@@ -1,0 +1,218 @@
+"""Core transformer building blocks (flax.linen).
+
+Behavioral parity targets (not a translation):
+- embeddings: word + position + token-type, LayerNorm + dropout
+  (reference `transformers/pytorch_transformers/modeling_bert.py:248-278`)
+- encoder layer: post-LN BERT block
+  (reference `modeling_bert.py:280-428`)
+- stream encoder: stack of `num_hidden_layers//2` layers with `return_at_layer`
+  mid-output readout and history-state KV concat for incremental decoding
+  (reference `oscar/modeling/modeling_vlbert.py:56-199` CaptionBert*).
+
+TPU-native design notes: all modules take a `dtype` compute policy (bf16 on
+TPU, fp32 params), masks are additive biases built once per stream, attention
+dispatches to a fused Pallas kernel on TPU (ops/attention.py), and the layer
+stack is a static Python loop (6 layers) that XLA fully unrolls and fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention, mask_to_bias
+from .config import ModelConfig
+
+ACT2FN = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "swish": nn.swish,
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+}
+
+
+def dense_init(config: ModelConfig):
+    return nn.initializers.normal(stddev=config.initializer_range)
+
+
+class Embeddings(nn.Module):
+    """Word + position + token-type embeddings over the extended vocabulary
+    (wordpieces + phrase-concept rows appended after `only_word_size`).
+
+    setup-style so the word table is reachable for functional weight tying
+    (LM heads call `word_table()` — the reference's tie_weights(only_vocab)
+    becomes true parameter sharing instead of a post-load re-tie)."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = jnp.dtype(cfg.dtype)
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=dense_init(cfg),
+            dtype=dt, name="word_embeddings")
+        self.position_embeddings = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size,
+            embedding_init=dense_init(cfg), dtype=dt,
+            name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size,
+            embedding_init=dense_init(cfg), dtype=dt,
+            name="token_type_embeddings")
+        self.norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                                 name="LayerNorm")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def word_table(self):
+        """The [vocab_size, H] embedding matrix (for tied LM decoders)."""
+        return self.word_embeddings.embedding
+
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None,
+                 *, deterministic: bool = True):
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[-1])[None, :]
+        x = (self.word_embeddings(input_ids)
+             + self.position_embeddings(position_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.norm(x)
+        return self.dropout(x, deterministic=deterministic)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with optional KV history concat
+    (the incremental-decoding cache of reference modeling_vlbert.py:63-69)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, *, history_state=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        dt = jnp.dtype(cfg.dtype)
+        b, l, _ = hidden.shape
+        kv_input = hidden if history_state is None else (
+            jnp.concatenate([history_state, hidden], axis=1))
+
+        def proj(name):
+            return nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                            dtype=dt, name=name)
+
+        def split_heads(x):
+            return x.reshape(x.shape[0], x.shape[1],
+                             cfg.num_attention_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        q = split_heads(proj("query")(hidden))
+        k = split_heads(proj("key")(kv_input))
+        v = split_heads(proj("value")(kv_input))
+
+        impl = cfg.attention_impl
+        if cfg.attention_probs_dropout_prob > 0 and not deterministic:
+            # attention-prob dropout forces the XLA path (kernel has no RNG plumbing)
+            scale = cfg.head_dim ** -0.5
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=False)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        else:
+            ctx = dot_product_attention(q, k, v, bias, impl=impl)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, cfg.hidden_size)
+        return ctx
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention + output projection + residual post-LN."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, *, history_state=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        dt = jnp.dtype(cfg.dtype)
+        ctx = SelfAttention(cfg, name="self")(
+            hidden, bias, history_state=history_state,
+            deterministic=deterministic)
+        out = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg), dtype=dt,
+                       name="output_dense")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                            name="output_norm")(out + hidden)
+
+
+class TransformerLayer(nn.Module):
+    """One post-LN BERT layer: attention block + GELU MLP block."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, *, history_state=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        dt = jnp.dtype(cfg.dtype)
+        attn_out = AttentionBlock(cfg, name="attention")(
+            hidden, bias, history_state=history_state,
+            deterministic=deterministic)
+        inter = nn.Dense(cfg.intermediate_size, kernel_init=dense_init(cfg),
+                         dtype=dt, name="intermediate_dense")(attn_out)
+        inter = ACT2FN[cfg.hidden_act](inter)
+        out = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg), dtype=dt,
+                       name="output_dense")(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                            name="output_norm")(out + attn_out)
+
+
+class StreamEncoder(nn.Module):
+    """Stack of `num_layers` TransformerLayers.
+
+    Returns (final_hidden, mid_hidden) where mid_hidden is the output of layer
+    `return_at_layer` (or None) — the reference's phrase_layer readout
+    (modeling_vlbert.py:162-177). `history_states`, when given, is a list of
+    per-layer cached hidden states for incremental decoding.
+    """
+
+    config: ModelConfig
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, hidden, bias, *, return_at_layer: Optional[int] = None,
+                 history_states=None, deterministic: bool = True):
+        cfg = self.config
+        mid = None
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            layer_cls = nn.remat(TransformerLayer, static_argnums=())
+        for i in range(self.num_layers):
+            hist = None if history_states is None else history_states[i]
+            hidden = layer_cls(cfg, name=f"layer_{i}")(
+                hidden, bias, history_state=hist, deterministic=deterministic)
+            if return_at_layer is not None and i == return_at_layer:
+                mid = hidden
+        return hidden, mid
+
+
+class Pooler(nn.Module):
+    """tanh(dense(first token)) (reference modeling_bert.py:462-474)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        cfg = self.config
+        first = hidden[:, 0]
+        return nn.tanh(nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                                dtype=jnp.dtype(cfg.dtype), name="dense")(first))
+
+
+__all__ = [
+    "ACT2FN", "Embeddings", "SelfAttention", "AttentionBlock",
+    "TransformerLayer", "StreamEncoder", "Pooler", "mask_to_bias",
+]

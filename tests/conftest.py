@@ -1,0 +1,28 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the JAX-native answer to multi-device testing without a cluster
+(SURVEY.md §4 "Implication for the rebuild"): every test sees 8 CPU devices
+and sharding/pjit paths run for real.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when a TPU is attached
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# persistent compile cache makes repeat test runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs

@@ -1,0 +1,87 @@
+"""TSV storage with .lineidx random access.
+
+Parity target: reference `oscar/utils/tsv_file.py` (TSVFile: on-demand
+.lineidx sidecar generation, seek(idx) random access, pid-change reopen for
+forked worker safety) and `oscar/utils/tsv_file_ops.py` (atomic
+tmp-then-rename writer). This format is the framework's feature/caption
+storage contract (`predictions.tsv` + `imageid2idx.json`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional, Sequence
+
+
+def _lineidx_path(tsv_path: str) -> str:
+    return os.path.splitext(tsv_path)[0] + ".lineidx"
+
+
+def build_lineidx(tsv_path: str) -> str:
+    """Generate the byte-offset sidecar (atomic)."""
+    idx_path = _lineidx_path(tsv_path)
+    tmp = idx_path + ".tmp"
+    with open(tsv_path, "rb") as f, open(tmp, "w") as out:
+        pos = 0
+        for line in f:
+            out.write(f"{pos}\n")
+            pos += len(line)
+    os.replace(tmp, idx_path)
+    return idx_path
+
+
+class TSVFile:
+    """Random-access TSV reader; safe across process forks."""
+
+    def __init__(self, tsv_path: str, generate_lineidx: bool = True):
+        self.tsv_path = tsv_path
+        self.lineidx_path = _lineidx_path(tsv_path)
+        if not os.path.isfile(self.lineidx_path) and generate_lineidx:
+            build_lineidx(tsv_path)
+        self._fp = None
+        self._lineidx: Optional[List[int]] = None
+        self._pid = None
+
+    def _ensure_lineidx(self):
+        if self._lineidx is None:
+            with open(self.lineidx_path) as f:
+                self._lineidx = [int(l) for l in f if l.strip()]
+
+    def _ensure_fp(self):
+        # reopen after fork (reference tsv_file.py:77-85)
+        if self._fp is None or self._pid != os.getpid():
+            self._fp = open(self.tsv_path, "rb")
+            self._pid = os.getpid()
+
+    def num_rows(self) -> int:
+        self._ensure_lineidx()
+        return len(self._lineidx)
+
+    def __len__(self) -> int:
+        return self.num_rows()
+
+    def seek(self, idx: int) -> List[str]:
+        self._ensure_lineidx()
+        self._ensure_fp()
+        self._fp.seek(self._lineidx[idx])
+        return self._fp.readline().decode("utf-8").rstrip("\n").split("\t")
+
+    def __getitem__(self, idx: int) -> List[str]:
+        return self.seek(idx)
+
+
+def tsv_writer(rows: Iterable[Sequence], tsv_path: str) -> None:
+    """Atomic write: tmp file + rename, with .lineidx emitted alongside
+    (reference tsv_file_ops.py:12-24)."""
+    os.makedirs(os.path.dirname(tsv_path) or ".", exist_ok=True)
+    tmp = tsv_path + ".tmp"
+    idx_tmp = _lineidx_path(tsv_path) + ".tmp"
+    with open(tmp, "wb") as f, open(idx_tmp, "w") as idx:
+        pos = 0
+        for row in rows:
+            line = ("\t".join(str(c) for c in row) + "\n").encode("utf-8")
+            idx.write(f"{pos}\n")
+            f.write(line)
+            pos += len(line)
+    os.replace(tmp, tsv_path)
+    os.replace(idx_tmp, _lineidx_path(tsv_path))

@@ -1,0 +1,86 @@
+"""Two-stage retrieval evaluation index algebra (pure host logic).
+
+Parity target: reference `oscar/run_retrieval.py` —
+compute_ranks_coarse (:481-522), compute_ranks / compute_ranks_t2i
+(:725-782 via test_fine_*), evaluate/evaluate_fine R@1/5/10 (:828-856).
+
+Conventions (matching the reference):
+- `sims` is [n_img, n_cap] (full_sims = img_emb @ txt_emb.T).
+- caption j belongs to image j // caps_per_img.
+- rank = 0-based position of the first correct item in descending-score
+  order; R@K = fraction with rank < K.
+
+All loops vectorized with numpy (the reference iterates rows in Python).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def recall_at_k(ranks: Sequence[int], ks: Sequence[int] = (1, 5, 10)
+                ) -> Dict[str, float]:
+    ranks = np.asarray(list(ranks))
+    return {f"R@{k}": float(np.mean(ranks < k)) for k in ks}
+
+
+def coarse_ranks(sims: np.ndarray, caps_per_img: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """(i2t_ranks [n_img], t2i_ranks [n_cap]) from the coarse sim matrix."""
+    n_img, n_cap = sims.shape
+    assert n_cap == n_img * caps_per_img
+
+    order_i2t = np.argsort(-sims, axis=1)                 # [n_img, n_cap]
+    own_img = order_i2t // caps_per_img                   # image of each cand
+    correct = own_img == np.arange(n_img)[:, None]
+    i2t_ranks = np.argmax(correct, axis=1)                # first True position
+
+    order_t2i = np.argsort(-sims.T, axis=1)               # [n_cap, n_img]
+    own = np.arange(n_cap) // caps_per_img
+    correct_t = order_t2i == own[:, None]
+    t2i_ranks = np.argmax(correct_t, axis=1)
+    return i2t_ranks, t2i_ranks
+
+
+def coarse_candidates(sims: np.ndarray, k_i2t: int, k_t2i: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(i2t_cands [n_img, k_i2t] caption ids, t2i_cands [n_cap, k_t2i]
+    image ids) — the rerank shortlists (reference caption_index/image_index)."""
+    i2t = np.argsort(-sims, axis=1)[:, :k_i2t]
+    t2i = np.argsort(-sims.T, axis=1)[:, :k_t2i]
+    return i2t, t2i
+
+
+def fine_ranks_i2t(scores: np.ndarray, cand_caps: np.ndarray,
+                   caps_per_img: int) -> np.ndarray:
+    """Ranks after i2t rerank. scores/cand_caps: [n_img, K]. If no correct
+    caption is in the shortlist, rank = K (reference compute_ranks)."""
+    n_img, k = scores.shape
+    order = np.argsort(-scores, axis=1)
+    sorted_caps = np.take_along_axis(cand_caps, order, axis=1)
+    correct = (sorted_caps // caps_per_img) == np.arange(n_img)[:, None]
+    has = correct.any(axis=1)
+    ranks = np.where(has, np.argmax(correct, axis=1), k)
+    return ranks
+
+
+def fine_ranks_t2i(scores: np.ndarray, cand_imgs: np.ndarray,
+                   caps_per_img: int) -> np.ndarray:
+    """Ranks after t2i rerank. scores/cand_imgs: [n_cap, K]."""
+    n_cap, k = scores.shape
+    order = np.argsort(-scores, axis=1)
+    sorted_imgs = np.take_along_axis(cand_imgs, order, axis=1)
+    own = np.arange(n_cap) // caps_per_img
+    correct = sorted_imgs == own[:, None]
+    has = correct.any(axis=1)
+    ranks = np.where(has, np.argmax(correct, axis=1), k)
+    return ranks
+
+
+def evaluate_ranks(i2t_ranks, t2i_ranks) -> Dict[str, Dict[str, float]]:
+    out = {"i2t_retrieval": recall_at_k(i2t_ranks)}
+    if t2i_ranks is not None and len(t2i_ranks):
+        out["t2i_retrieval"] = recall_at_k(t2i_ranks)
+    return out

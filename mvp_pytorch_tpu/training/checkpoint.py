@@ -1,0 +1,154 @@
+"""Checkpointing.
+
+Parity targets (SURVEY.md §5 "Checkpoint / resume"):
+- model dir format: `config.json` + weights + tokenizer files, loadable by
+  `from_pretrained` (reference save_pretrained/from_pretrained HF contract).
+- `last_checkpoint` pointer file in output_dir naming `checkpoint-{step:07d}`
+  (reference run_pretrain_ml.py:270-284, 739-741).
+- `training_args.json` snapshot (reference training_args.bin, de-pickled).
+- optimizer/scheduler state alongside (reference optimizer.pth).
+- small retry loop around saves for flaky blob storage
+  (reference 10-retry at run_pretrain_ml.py:728-744).
+
+Format: flax msgpack for tensors (framework-native, no pickle), JSON for
+manifests. Orbax is available but msgpack keeps checkpoints single-file and
+dependency-light; optimizer state saves from its host-gathered form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..models.config import ModelConfig
+
+WEIGHTS_NAME = "params.msgpack"
+OPT_NAME = "opt_state.msgpack"
+LAST_CHECKPOINT = "last_checkpoint"
+TRAIN_STATE_NAME = "train_meta.json"
+ARGS_NAME = "training_args.json"
+
+
+def _retry(fn, tries: int = 5, delay: float = 1.0):
+    for i in range(tries):
+        try:
+            return fn()
+        except OSError:
+            if i == tries - 1:
+                raise
+            time.sleep(delay)
+
+
+def to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pretrained(directory: str, params: Any,
+                    config: Optional[ModelConfig] = None) -> None:
+    """HF-style model directory: config.json + params.msgpack."""
+    os.makedirs(directory, exist_ok=True)
+    if config is not None:
+        config.save_pretrained(directory)
+    blob = serialization.msgpack_serialize(to_host(params))
+    _retry(lambda: _atomic_write(os.path.join(directory, WEIGHTS_NAME), blob))
+
+
+def _atomic_write(path: str, blob: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_pretrained(directory: str,
+                    target: Any = None) -> Tuple[ModelConfig, Any]:
+    config = ModelConfig.from_pretrained(directory)
+    with open(os.path.join(directory, WEIGHTS_NAME), "rb") as f:
+        blob = f.read()
+    if target is not None:
+        params = serialization.from_bytes(target, blob)
+    else:
+        params = serialization.msgpack_restore(blob)
+    return config, params
+
+
+class CheckpointManager:
+    """Step checkpoints + `last_checkpoint` pointer + resume."""
+
+    def __init__(self, output_dir: str, keep: int = 3):
+        self.output_dir = output_dir
+        self.keep = keep
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _ckpt_dir(self, step: int) -> str:
+        return os.path.join(self.output_dir, f"checkpoint-{step:07d}")
+
+    def save(self, step: int, params: Any, opt_state: Any = None,
+             config: Optional[ModelConfig] = None,
+             extra: Optional[dict] = None, args: Optional[dict] = None
+             ) -> str:
+        d = self._ckpt_dir(step)
+        save_pretrained(d, params, config)
+        if opt_state is not None:
+            blob = serialization.msgpack_serialize(to_host(opt_state))
+            _retry(lambda: _atomic_write(os.path.join(d, OPT_NAME), blob))
+        meta = {"step": step}
+        if extra:
+            meta.update(extra)
+        with open(os.path.join(d, TRAIN_STATE_NAME), "w") as f:
+            json.dump(meta, f)
+        if args is not None:
+            with open(os.path.join(d, ARGS_NAME), "w") as f:
+                json.dump(args, f, indent=2, default=str)
+        with open(os.path.join(self.output_dir, LAST_CHECKPOINT), "w") as f:
+            f.write(os.path.basename(d))
+        self._gc()
+        return d
+
+    def _gc(self) -> None:
+        if self.keep <= 0:
+            return
+        ckpts = sorted(d for d in os.listdir(self.output_dir)
+                       if d.startswith("checkpoint-"))
+        for d in ckpts[:-self.keep]:
+            import shutil
+            shutil.rmtree(os.path.join(self.output_dir, d),
+                          ignore_errors=True)
+
+    def latest(self) -> Optional[Tuple[int, str]]:
+        """(step, dir) of the last checkpoint, or None."""
+        pointer = os.path.join(self.output_dir, LAST_CHECKPOINT)
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            name = f.read().strip()
+        d = os.path.join(self.output_dir, name)
+        if not os.path.isdir(d):
+            return None
+        step = int(name.split("-")[-1])
+        return step, d
+
+    def restore(self, directory: str, params_target: Any = None,
+                opt_target: Any = None):
+        config, params = load_pretrained(directory, params_target)
+        opt_state = None
+        opt_path = os.path.join(directory, OPT_NAME)
+        if os.path.exists(opt_path):
+            with open(opt_path, "rb") as f:
+                blob = f.read()
+            if opt_target is not None:
+                opt_state = serialization.from_bytes(opt_target, blob)
+            else:
+                opt_state = serialization.msgpack_restore(blob)
+        meta = {}
+        meta_path = os.path.join(directory, TRAIN_STATE_NAME)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return config, params, opt_state, meta

@@ -1,0 +1,148 @@
+"""Unified trainer.
+
+One trainer replaces the reference's five copied train loops
+(run_pretrain_ml / run_pretrain_ml_qa / run_retrieval / run_vqa / run_ve /
+run_re — SURVEY.md §7.3). It owns:
+
+- the device mesh and shardings: batch sharded over the `data` axis, params
+  replicated, optimizer state SHARDED over `data` (the reference's
+  DeepSpeed-ZeRO-2 role, reference `oscar/tmp_config.json` +
+  run_pretrain_ml.py:406-414 — here it is a set of out_shardings on the
+  jitted step; XLA inserts the reduce-scatter/all-gather over ICI),
+- the jitted train step (loss + grad + optax update) with donated state,
+- deterministic per-step RNG (fold_in of the step counter),
+- gradient accumulation (reference --gradient_accumulation_steps),
+- metric extraction.
+
+The loss_fn contract: loss_fn(params, batch, rng) -> (loss, metrics_dict).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, \
+    zero_state_spec
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+class Trainer:
+    def __init__(self, loss_fn: Callable, optimizer: optax.GradientTransformation,
+                 mesh: Optional[Mesh] = None, *, zero_sharding: bool = True,
+                 grad_accum: int = 1):
+        self.loss_fn = loss_fn
+        self.tx = optimizer
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.zero_sharding = zero_sharding
+        self.grad_accum = max(1, grad_accum)
+        self._step_fn = None
+        self._state_shardings = None
+
+    # ------------------------------------------------------------------
+    # state init / shardings
+    # ------------------------------------------------------------------
+
+    def state_shardings(self, params) -> TrainState:
+        rep = replicated(self.mesh)
+        param_sh = jax.tree_util.tree_map(lambda _: rep, params)
+        opt_shapes = jax.eval_shape(self.tx.init, params)
+
+        def opt_leaf_sharding(leaf):
+            if not self.zero_sharding or not hasattr(leaf, "shape"):
+                return rep
+            spec = zero_state_spec(None, leaf.shape, self.mesh)
+            return NamedSharding(self.mesh, spec)
+
+        opt_sh = jax.tree_util.tree_map(opt_leaf_sharding, opt_shapes)
+        return TrainState(step=rep, params=param_sh, opt_state=opt_sh,
+                          rng=rep)
+
+    def init_state(self, params, rng: jax.Array) -> TrainState:
+        sh = self.state_shardings(params)
+
+        @functools.partial(jax.jit, out_shardings=sh)
+        def _init(params, rng):
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=self.tx.init(params), rng=rng)
+
+        return _init(params, rng)
+
+    # ------------------------------------------------------------------
+    # the hot step
+    # ------------------------------------------------------------------
+
+    def _build_step(self, state: TrainState):
+        sh = self.state_shardings(state.params)
+        b_sh = batch_sharding(self.mesh)
+        metric_sh = replicated(self.mesh)
+
+        def step_fn(state: TrainState, batch):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            if self.grad_accum == 1:
+                (loss, metrics), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True)(state.params, batch, rng)
+            else:
+                # micro-batch scan over the leading-split batch
+                def micro(carry, mb):
+                    acc_grads, acc_loss, acc_metrics, i = carry
+                    r = jax.random.fold_in(rng, i)
+                    (l, m), g = jax.value_and_grad(
+                        self.loss_fn, has_aux=True)(state.params, mb, r)
+                    acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, g)
+                    acc_metrics = jax.tree_util.tree_map(
+                        jnp.add, acc_metrics, m)
+                    return (acc_grads, acc_loss + l, acc_metrics, i + 1), None
+
+                split = jax.tree_util.tree_map(
+                    lambda x: x.reshape(self.grad_accum,
+                                        x.shape[0] // self.grad_accum,
+                                        *x.shape[1:]), batch)
+                zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                m_shape = jax.eval_shape(
+                    lambda p, b, r: self.loss_fn(p, b, r)[1], state.params,
+                    jax.tree_util.tree_map(lambda x: x[0], split), rng)
+                zero_m = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+                (grads, loss, metrics, _), _ = jax.lax.scan(
+                    micro, (zero_g, 0.0, zero_m, 0), split)
+                inv = 1.0 / self.grad_accum
+                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+                loss = loss * inv
+                metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            metrics = dict(metrics, loss=loss, grad_norm=gnorm)
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   opt_state=new_opt, rng=state.rng)
+            return new_state, metrics
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(sh, b_sh),
+            out_shardings=(sh, metric_sh),
+            donate_argnums=(0,),
+        )
+
+    def step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if self._step_fn is None:
+            self._step_fn = self._build_step(state)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x),
+                                     batch_sharding(self.mesh)), batch)
+        return self._step_fn(state, batch)

@@ -1,13 +1,17 @@
-"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test harness: force an 8-device virtual CPU mesh before JAX backends init.
 
 This is the JAX-native answer to multi-device testing without a cluster
 (SURVEY.md §4 "Implication for the rebuild"): every test sees 8 CPU devices
 and sharding/pjit paths run for real.
+
+NOTE: jax may already be *imported* by a pytest plugin before this conftest
+runs, so env vars alone are not reliable — we use jax.config.update, which
+works any time before backend initialization.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when a TPU is attached
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # persistent compile cache makes repeat test runs fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

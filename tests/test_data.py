@@ -1,0 +1,171 @@
+"""Data-layer tests: tokenizer, tensorize contract (golden vs hand-computed),
+masking statistics, TSV round-trip."""
+
+import random
+
+import numpy as np
+import pytest
+
+from mvp_pytorch_tpu.data import (BertTokenizer, PretrainExample,
+                                  TensorizeConfig, collate,
+                                  convert_example_to_features,
+                                  tensorize_example, TSVFile, tsv_writer)
+from mvp_pytorch_tpu.data.masking import random_word
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "two", "dogs", "are", "playing", "on", "a", "ground",
+         "dog", "grass", "play", "##ing", "un", "##want", "##ed"]
+
+
+@pytest.fixture()
+def tok(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return BertTokenizer(str(p))
+
+
+def test_tokenizer_basics(tok):
+    assert tok.tokenize("Two dogs are PLAYING") == ["two", "dogs", "are",
+                                                    "playing"]
+    # wordpiece split
+    assert tok.tokenize("unwanted") == ["un", "##want", "##ed"]
+    # unknown word
+    assert tok.tokenize("zebra") == ["[UNK]"]
+    # punctuation split
+    assert tok.tokenize("dogs, playing") == ["dogs", "[UNK]", "playing"]
+    ids = tok.convert_tokens_to_ids(["two", "dogs"])
+    assert ids == [5, 6]
+    assert tok.convert_ids_to_tokens(ids) == ["two", "dogs"]
+
+
+def test_tokenizer_save_load(tok, tmp_path):
+    d = tmp_path / "saved"
+    tok.save_pretrained(str(d))
+    tok2 = BertTokenizer.from_pretrained(str(d))
+    assert tok2.vocab == tok.vocab
+
+
+def test_tensorize_example_golden(tok):
+    """Hand-computed golden fixture for the inference contract."""
+    cfg = TensorizeConfig(max_seq_length=8, max_tag_length=5,
+                          max_img_seq_length=4, max_phrases=2,
+                          img_feature_dim=7)
+    img = np.arange(3 * 7, dtype=np.float32).reshape(3, 7)
+    ex = tensorize_example(tok, "two dogs playing", img, "dog grass",
+                           phrase_nodes=[100, 101], cfg=cfg)
+    # stream A: [CLS]=2 two=5 dogs=6 playing=8 p100 p101 [SEP]=3, pad to 10
+    np.testing.assert_array_equal(
+        ex["input_ids_a"], [2, 5, 6, 8, 100, 101, 3, 0, 0, 0])
+    np.testing.assert_array_equal(
+        ex["input_mask_a"], [1, 1, 1, 1, 1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(ex["phrase_index"], [4, 6])
+    # stream B: [CLS]=2 dog=12 grass=13 [SEP]=3 pad -> len 5
+    np.testing.assert_array_equal(ex["input_ids_b"], [2, 12, 13, 3, 0])
+    np.testing.assert_array_equal(ex["segment_ids_b"][:4], [1, 1, 1, 1])
+    # mask B covers tags (5) + regions (4): 3 real regions, 1 padded
+    np.testing.assert_array_equal(
+        ex["input_mask_b"], [1, 1, 1, 1, 0, 1, 1, 1, 0])
+    assert ex["img_feat"].shape == (4, 7)
+    np.testing.assert_array_equal(ex["img_feat"][3], np.zeros(7))
+    # image span in fused coordinates: starts at seq_a_total=10
+    np.testing.assert_array_equal(ex["image_index"], [10, 13])
+
+
+def test_tensorize_truncation(tok):
+    cfg = TensorizeConfig(max_seq_length=5, max_tag_length=4,
+                          max_img_seq_length=2, max_phrases=1,
+                          img_feature_dim=3)
+    img = np.ones((5, 3), np.float32)
+    ex = tensorize_example(tok, "two dogs are playing on a ground", img,
+                           "dog grass grass grass grass", [100, 101, 102],
+                           cfg=cfg)
+    # tokens_a truncated to 3, phrases to 1
+    assert ex["input_ids_a"].shape == (6,)
+    np.testing.assert_array_equal(ex["input_ids_a"], [2, 5, 6, 7, 100, 3])
+    # image truncated to 2, mask all ones
+    assert ex["img_feat"].shape == (2, 3)
+    np.testing.assert_array_equal(ex["input_mask_b"][-2:], [1, 1])
+    np.testing.assert_array_equal(ex["image_index"], [6, 8])
+
+
+def test_convert_example_to_features_contract(tok):
+    cfg = TensorizeConfig(max_seq_length=8, max_tag_length=5,
+                          max_img_seq_length=4, max_phrases=2,
+                          img_feature_dim=7)
+    rng = random.Random(0)
+    ex = PretrainExample(
+        tokens_a=["two", "dogs", "playing"],
+        tokens_b=["dog", "grass"],
+        img_feat=np.random.RandomState(0).randn(3, 7).astype(np.float32),
+        od_tags=["dog", "grass", "dog"],
+        phrase_nodes=[100, 101],
+        phrase_mask_map={0: [0]},   # word 0 masked -> phrase 0 masked
+        qa_ans=3, is_next=0, is_img_match=0)
+    f = convert_example_to_features(ex, tok, cfg=cfg, phrase_vocab_size=50,
+                                    rng=rng, tag2id={"dog": 0, "grass": 1},
+                                    mask_visual=True)
+    assert f["input_ids_a"].shape == (10,)
+    assert f["lm_label_ids_a"].shape == (10,)
+    assert f["input_ids_b"].shape == (5,)
+    # label ids b = tags (5) + region slots (4)
+    assert f["lm_label_ids_b"].shape == (9,)
+    assert f["img_feat"].shape == (4, 7)
+    assert f["input_mask_b"].shape == (9,)
+    # CLS/SEP/pad positions never predicted
+    assert f["lm_label_ids_a"][0] == -1
+    # phrase positions never predicted (parity with reference :961)
+    ps, pe = f["phrase_index"]
+    assert (f["lm_label_ids_a"][ps:pe] == -1).all()
+    # image span
+    np.testing.assert_array_equal(f["image_index"], [10, 13])
+    batch = collate([f, f])
+    assert batch["input_ids_a"].shape == (2, 10)
+
+
+def test_masking_statistics(tok):
+    rng = random.Random(0)
+    n_masked = 0
+    n_mask_tok = 0
+    total = 0
+    for _ in range(500):
+        tokens = ["dogs"] * 20
+        out, labels = random_word(tokens, tok.vocab, rng)
+        for t, l in zip(out, labels):
+            total += 1
+            if l >= 0:
+                n_masked += 1
+                if t == "[MASK]":
+                    n_mask_tok += 1
+    rate = n_masked / total
+    assert 0.12 < rate < 0.18, rate
+    mask_frac = n_mask_tok / n_masked
+    assert 0.75 < mask_frac < 0.85, mask_frac
+    # labels carry original ids
+    tokens = ["dogs"] * 10
+    _, labels = random_word(tokens, tok.vocab, random.Random(1))
+    for l in labels:
+        assert l in (-1, tok.vocab["dogs"])
+
+
+def test_masking_deterministic(tok):
+    t1, l1 = random_word(["two", "dogs", "are", "playing"] * 5, tok.vocab,
+                         random.Random(42))
+    t2, l2 = random_word(["two", "dogs", "are", "playing"] * 5, tok.vocab,
+                         random.Random(42))
+    assert t1 == t2 and l1 == l2
+
+
+def test_tsv_roundtrip(tmp_path):
+    p = str(tmp_path / "feats.tsv")
+    rows = [["img_%d" % i, str(i * 2), "payload_%d" % i] for i in range(10)]
+    tsv_writer(rows, p)
+    t = TSVFile(p)
+    assert len(t) == 10
+    assert t.seek(3) == ["img_3", "6", "payload_3"]
+    assert t.seek(0) == ["img_0", "0", "payload_0"]
+    assert t[9] == ["img_9", "18", "payload_9"]
+    # lineidx regeneration path
+    import os
+    os.remove(str(tmp_path / "feats.lineidx"))
+    t2 = TSVFile(p)
+    assert t2.seek(5)[0] == "img_5"

@@ -1,0 +1,361 @@
+"""Task datasets over the TSV feature-store contract.
+
+Parity targets:
+- feature store: `predictions.tsv` rows = [image_id, json{"feature":
+  base64(float32 [N, 2054]), "predictions": [tags...]}] + `imageid2idx.json`
+  (reference `tools/img_feat_extract.py:15-42,96-115`,
+  `oscar/datasets/general_dataset.py:157-166`).
+- GeneralDataset  <- `oscar/datasets/general_dataset.py:24` (MVPTRDataset):
+  custom-data fine-tuning records {image_id, text, phrases}.
+- RetrievalDataset <- `oscar/run_retrieval.py:24-296`: per-image caption
+  lists, phrase lookup, train positives, eval enumeration.
+- PretrainDataset <- `oscar/oscar_datasets_ml/oscar_tsv4.py:22-377`:
+  caption+tags+features corpus with masking at fetch time.
+- VQADataset <- `oscar/run_vqa.py:86-330`: questions + soft answer scores.
+- VEDataset  <- `oscar/run_ve.py:46-280`: SNLI-VE jsonl, 3-way labels.
+- REDataset  <- `oscar/run_re.py:46-186`: expressions + per-region IoU labels.
+
+Formats are JSON/TSV (no pickles); phrase scene-graph tuples ride in each
+record under "phrases" (the SPICE output contract) or via a sidecar json.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .tensorize import (PretrainExample, TensorizeConfig, collate,
+                        convert_example_to_features, tensorize_example)
+from .tsv import TSVFile
+
+VE_LABELS = {"contradiction": 0, "neutral": 1, "entailment": 2}
+
+
+def load_phrase_vocab(id2phrase_path: str) -> Dict[tuple, int]:
+    """{tuple(phrase words) -> absolute vocab id} (reference run_retrieval.py:93)."""
+    with open(id2phrase_path) as f:
+        id2phrase = json.load(f)
+    return {tuple(v): int(k) for k, v in id2phrase.items()}
+
+
+def phrases_to_ids(phrases: Sequence[Sequence[str]],
+                   sg2id: Optional[Dict[tuple, int]]) -> List[int]:
+    if not sg2id:
+        return []
+    out = []
+    for t in phrases:
+        t = tuple(t)
+        if t in sg2id:
+            out.append(sg2id[t])
+    return out
+
+
+class FeatureStore:
+    """predictions.tsv + imageid2idx.json random-access region features."""
+
+    def __init__(self, feature_tsv: str, imageid2idx: Optional[str] = None,
+                 feature_dim: int = 2054):
+        self.tsv = TSVFile(feature_tsv)
+        self.feature_dim = feature_dim
+        if imageid2idx is None:
+            imageid2idx = os.path.join(os.path.dirname(feature_tsv),
+                                       "imageid2idx.json")
+        with open(imageid2idx) as f:
+            self.id2idx = json.load(f)
+
+    def __contains__(self, image_id) -> bool:
+        return str(image_id) in self.id2idx
+
+    def keys(self) -> List[str]:
+        return list(self.id2idx.keys())
+
+    def get(self, image_id) -> Tuple[np.ndarray, List[str]]:
+        row = self.tsv.seek(self.id2idx[str(image_id)])
+        rec = json.loads(row[1])
+        feats = np.frombuffer(base64.b64decode(rec["feature"]),
+                              dtype=np.float32).reshape(-1, self.feature_dim)
+        return np.copy(feats), list(rec.get("predictions", []))
+
+
+class GeneralDataset:
+    """Custom-data records: [{"image_id", "text", "phrases", ("label")}]."""
+
+    def __init__(self, data_json: str, features: FeatureStore, tokenizer,
+                 sg2id: Optional[Dict[tuple, int]] = None,
+                 cfg: TensorizeConfig = TensorizeConfig()):
+        with open(data_json) as f:
+            self.data = json.load(f)
+        self.features = features
+        self.tokenizer = tokenizer
+        self.sg2id = sg2id
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        item = self.data[index]
+        feats, tags = self.features.get(item["image_id"])
+        ex = tensorize_example(
+            self.tokenizer, item["text"], feats, " ".join(tags),
+            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+        if "label" in item:
+            ex["label"] = np.int32(item["label"])
+        return ex
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
+class RetrievalDataset:
+    """Image-caption pairs for training + eval enumeration.
+
+    captions_json: {image_id: [{"text": ..., "phrases": [...]}, ...]} with a
+    fixed number of captions per image.
+    """
+
+    def __init__(self, captions_json: str, features: FeatureStore, tokenizer,
+                 sg2id: Optional[Dict[tuple, int]] = None,
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 num_captions_per_img: int = 5):
+        with open(captions_json) as f:
+            caps = json.load(f)
+        self.img_keys = sorted(caps.keys())
+        self.captions = caps
+        self.features = features
+        self.tokenizer = tokenizer
+        self.sg2id = sg2id
+        self.cfg = cfg
+        self.num_captions_per_img = num_captions_per_img
+        for k in self.img_keys:
+            assert len(caps[k]) >= num_captions_per_img, k
+
+    # --- train: one positive pair per index (reference :319-377) ---
+    def __len__(self):
+        return len(self.img_keys) * self.num_captions_per_img
+
+    def _cap(self, cap_global_idx: int):
+        img_i, cap_i = divmod(cap_global_idx, self.num_captions_per_img)
+        key = self.img_keys[img_i]
+        return key, self.captions[key][cap_i]
+
+    def example(self, cap_global_idx: int,
+                img_key: Optional[str] = None) -> Dict[str, np.ndarray]:
+        key, cap = self._cap(cap_global_idx)
+        if img_key is None:
+            img_key = key
+        feats, tags = self.features.get(img_key)
+        return tensorize_example(
+            self.tokenizer, cap["text"], feats, " ".join(tags),
+            phrases_to_ids(cap.get("phrases", []), self.sg2id), self.cfg)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.example(index)
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+    # --- eval enumeration: captions-only / images-only batches ---
+    def caption_arrays(self) -> Dict[str, np.ndarray]:
+        exs = [self.example(i) for i in range(len(self))]
+        batch = collate(exs)
+        return {k: batch[k] for k in
+                ("input_ids_a", "input_mask_a", "segment_ids_a")}
+
+    def image_arrays(self) -> Dict[str, np.ndarray]:
+        exs = []
+        for key in self.img_keys:
+            feats, tags = self.features.get(key)
+            exs.append(tensorize_example(self.tokenizer, "", feats,
+                                         " ".join(tags), [], self.cfg))
+        batch = collate(exs)
+        return {k: batch[k] for k in
+                ("input_ids_b", "input_mask_b", "segment_ids_b", "img_feat")}
+
+
+class PretrainDataset:
+    """Corpus TSV rows: [image_id, caption, json phrases(optional),
+    qa_answer(optional)] + FeatureStore regions/tags. Masking happens at
+    fetch time with a per-(seed, index, epoch) rng for determinism."""
+
+    def __init__(self, corpus_tsv: str, features: FeatureStore, tokenizer,
+                 sg2id: Optional[Dict[tuple, int]] = None,
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 tag2id: Optional[Dict[str, int]] = None,
+                 phrase_vocab_size: int = 0, seed: int = 0,
+                 mask_prob: float = 0.15, mask_visual: bool = True):
+        self.tsv = TSVFile(corpus_tsv)
+        self.features = features
+        self.tokenizer = tokenizer
+        self.sg2id = sg2id
+        self.cfg = cfg
+        self.tag2id = tag2id or {}
+        self.phrase_vocab_size = phrase_vocab_size
+        self.seed = seed
+        self.mask_prob = mask_prob
+        self.mask_visual = mask_visual
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.tsv)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        row = self.tsv.seek(index)
+        image_id, caption = row[0], row[1]
+        phrases = json.loads(row[2]) if len(row) > 2 and row[2] else []
+        qa_ans = int(row[3]) if len(row) > 3 and row[3] else -1
+        feats, tags = self.features.get(image_id)
+        tokens_a = self.tokenizer.tokenize(caption)
+        tokens_b = self.tokenizer.tokenize(" ".join(tags))
+        ex = PretrainExample(
+            tokens_a=tokens_a, tokens_b=tokens_b, img_feat=feats,
+            od_tags=[t.lower() for t in tags],
+            phrase_nodes=phrases_to_ids(phrases, self.sg2id),
+            qa_ans=qa_ans, guid=index)
+        rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
+        return convert_example_to_features(
+            ex, self.tokenizer, cfg=self.cfg, tag2id=self.tag2id,
+            phrase_vocab_size=self.phrase_vocab_size, rng=rng,
+            mask_prob=self.mask_prob, mask_visual=self.mask_visual)
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
+class VQADataset:
+    """jsonl: {"question_id", "image_id", "question", "labels": [ans ids],
+    "scores": [soft scores], "phrases": [...]}; answers via label2ans json."""
+
+    def __init__(self, jsonl_path: str, features: FeatureStore, tokenizer,
+                 num_answers: int, sg2id: Optional[Dict[tuple, int]] = None,
+                 cfg: TensorizeConfig = TensorizeConfig()):
+        self.items = []
+        with open(jsonl_path) as f:
+            for line in f:
+                if line.strip():
+                    self.items.append(json.loads(line))
+        self.features = features
+        self.tokenizer = tokenizer
+        self.num_answers = num_answers
+        self.sg2id = sg2id
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        item = self.items[index]
+        feats, tags = self.features.get(item["image_id"])
+        ex = tensorize_example(
+            self.tokenizer, item["question"], feats, " ".join(tags),
+            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+        target = np.zeros(self.num_answers, np.float32)
+        for l, s in zip(item.get("labels", []), item.get("scores", [])):
+            target[int(l)] = float(s)
+        ex["label"] = target
+        ex["question_id"] = np.int64(item.get("question_id", index))
+        return ex
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
+class VEDataset:
+    """SNLI-VE jsonl: {"pairID", "Flickr30K_ID", "sentence2" (hypothesis),
+    "gold_label", "phrases"} (reference run_ve.py:46-120)."""
+
+    def __init__(self, jsonl_path: str, features: FeatureStore, tokenizer,
+                 sg2id: Optional[Dict[tuple, int]] = None,
+                 cfg: TensorizeConfig = TensorizeConfig()):
+        self.items = []
+        with open(jsonl_path) as f:
+            for line in f:
+                if line.strip():
+                    it = json.loads(line)
+                    if it.get("gold_label") in VE_LABELS:
+                        self.items.append(it)
+        self.features = features
+        self.tokenizer = tokenizer
+        self.sg2id = sg2id
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        item = self.items[index]
+        img_id = item.get("Flickr30K_ID") or item["image_id"]
+        feats, tags = self.features.get(img_id)
+        ex = tensorize_example(
+            self.tokenizer, item["sentence2"], feats, " ".join(tags),
+            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+        ex["label"] = np.int32(VE_LABELS[item["gold_label"]])
+        return ex
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
+def compute_iou(box: Sequence[float], boxes: np.ndarray) -> np.ndarray:
+    """IoU of one box vs [N, 4] boxes, xyxy (reference run_re.py:46-74)."""
+    boxes = np.asarray(boxes, np.float32)
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    a1 = (box[2] - box[0]) * (box[3] - box[1])
+    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = a1 + a2 - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+class REDataset:
+    """Referring expressions: records {"image_id", "expression", "gt_box":
+    [x1,y1,x2,y2], "phrases"}; region boxes come from the feature geometry
+    (last 6 dims are [x1,y1,x2,y2,w,h] normalized) so labels are per-region
+    IoUs vs the gt box (reference run_re.py:46-186)."""
+
+    def __init__(self, data_json: str, features: FeatureStore, tokenizer,
+                 sg2id: Optional[Dict[tuple, int]] = None,
+                 cfg: TensorizeConfig = TensorizeConfig()):
+        with open(data_json) as f:
+            self.items = json.load(f)
+        self.features = features
+        self.tokenizer = tokenizer
+        self.sg2id = sg2id
+        self.cfg = cfg
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        item = self.items[index]
+        feats, tags = self.features.get(item["image_id"])
+        ex = tensorize_example(
+            self.tokenizer, item["expression"], feats, " ".join(tags),
+            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+        n = min(feats.shape[0], self.cfg.max_img_seq_length)
+        boxes = feats[:n, -6:-2]   # normalized xyxy
+        ious = compute_iou(item["gt_box"], boxes)
+        labels = np.full(self.cfg.max_img_seq_length, -1.0, np.float32)
+        labels[:n] = ious
+        ex["label"] = labels
+        return ex
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
+def re_score(logits: np.ndarray, labels: np.ndarray,
+             iou_threshold: float = 0.5) -> float:
+    """argmax-region IoU>=0.5 accuracy (reference run_re.py:389-423)."""
+    masked = np.where(labels >= 0, logits, -np.inf)
+    pick = masked.argmax(axis=1)
+    picked_iou = labels[np.arange(labels.shape[0]), pick]
+    return float(np.mean(picked_iou >= iou_threshold))

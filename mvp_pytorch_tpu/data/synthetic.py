@@ -1,0 +1,161 @@
+"""Synthetic dataset generator.
+
+Writes a miniature but format-faithful copy of every data artifact the
+framework consumes (feature TSVs, caption/task JSONs, vocab, phrase vocab),
+for smoke-testing the task drivers end to end without real corpora — the
+operational-validation capability the reference lacked (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import random
+from typing import Dict, List
+
+import numpy as np
+
+from .tsv import tsv_writer
+
+WORDS = ["two", "dogs", "are", "playing", "on", "a", "ground", "man",
+         "woman", "rides", "horse", "red", "car", "parked", "near", "tree",
+         "child", "holds", "ball", "in", "park", "the", "with", "small",
+         "large", "green", "blue", "street", "grass", "running"]
+TAGS = ["dog", "person", "horse", "car", "tree", "ball", "grass", "road",
+        "shirt", "sky"]
+
+
+def write_vocab(path: str) -> List[str]:
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    for w in WORDS + TAGS:   # dedupe: some tags are also caption words
+        if w not in vocab:
+            vocab.append(w)
+    with open(path, "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    return vocab
+
+
+def random_caption(rng: random.Random, n: int = 6) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def write_features(directory: str, image_ids: List[str],
+                   rng: np.random.RandomState, feature_dim: int = 2054,
+                   max_regions: int = 10) -> str:
+    """predictions.tsv + imageid2idx.json with valid box geometry."""
+    os.makedirs(directory, exist_ok=True)
+
+    def rows():
+        for img in image_ids:
+            n = rng.randint(3, max_regions + 1)
+            roi = rng.randn(n, feature_dim - 6).astype(np.float32)
+            x1 = rng.uniform(0, 0.5, (n, 1))
+            y1 = rng.uniform(0, 0.5, (n, 1))
+            x2 = x1 + rng.uniform(0.1, 0.5, (n, 1))
+            y2 = y1 + rng.uniform(0.1, 0.5, (n, 1))
+            geo = np.concatenate([x1, y1, x2, y2, x2 - x1, y2 - y1], 1)
+            feats = np.concatenate([roi, geo.astype(np.float32)], 1)
+            tags = [TAGS[rng.randint(len(TAGS))] for _ in range(n)]
+            yield [img, json.dumps({
+                "feature": base64.b64encode(feats.tobytes()).decode(),
+                "predictions": tags})]
+
+    tsv_path = os.path.join(directory, "predictions.tsv")
+    tsv_writer(rows(), tsv_path)
+    with open(os.path.join(directory, "imageid2idx.json"), "w") as f:
+        json.dump({img: i for i, img in enumerate(image_ids)}, f)
+    return tsv_path
+
+
+def make_synthetic_root(root: str, n_images: int = 12,
+                        caps_per_img: int = 5, n_answers: int = 7,
+                        feature_dim: int = 2054, seed: int = 0
+                        ) -> Dict[str, str]:
+    """Create every artifact; returns a path dict."""
+    rng = random.Random(seed)
+    nprng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    image_ids = [f"img_{i:04d}" for i in range(n_images)]
+
+    paths = {"root": root}
+    paths["vocab"] = os.path.join(root, "vocab.txt")
+    vocab_list = write_vocab(paths["vocab"])
+    paths["features"] = write_features(os.path.join(root, "features"),
+                                       image_ids, nprng, feature_dim)
+
+    # phrase vocab: ids appended after the wordpiece vocab
+    vocab_size = len(vocab_list)
+    phrases = [(rng.choice(WORDS), rng.choice(WORDS)) for _ in range(20)]
+    id2phrase = {str(vocab_size + i): list(p) for i, p in enumerate(phrases)}
+    paths["id2phrase"] = os.path.join(root, "id2phrase.json")
+    with open(paths["id2phrase"], "w") as f:
+        json.dump(id2phrase, f)
+
+    def some_phrases():
+        return [list(rng.choice(phrases)) for _ in range(rng.randint(0, 3))]
+
+    # retrieval captions
+    caps = {img: [{"text": random_caption(rng), "phrases": some_phrases()}
+                  for _ in range(caps_per_img)] for img in image_ids}
+    paths["captions"] = os.path.join(root, "captions.json")
+    with open(paths["captions"], "w") as f:
+        json.dump(caps, f)
+
+    # pretrain corpus tsv: [image_id, caption, phrases_json, qa_ans]
+    rows = [[img, random_caption(rng), json.dumps(some_phrases()),
+             rng.randrange(n_answers)]
+            for img in image_ids for _ in range(caps_per_img)]
+    paths["corpus"] = os.path.join(root, "corpus.tsv")
+    tsv_writer(rows, paths["corpus"])
+
+    # vqa jsonl + label2ans
+    paths["vqa"] = os.path.join(root, "vqa.jsonl")
+    with open(paths["vqa"], "w") as f:
+        for qid, img in enumerate(image_ids * 2):
+            f.write(json.dumps({
+                "question_id": qid, "image_id": img,
+                "question": random_caption(rng, 5) + " ?",
+                "labels": [rng.randrange(n_answers)], "scores": [1.0],
+                "phrases": some_phrases()}) + "\n")
+    paths["label2ans"] = os.path.join(root, "label2ans.json")
+    with open(paths["label2ans"], "w") as f:
+        json.dump([f"answer_{i}" for i in range(n_answers)], f)
+
+    # SNLI-VE jsonl
+    paths["ve"] = os.path.join(root, "ve.jsonl")
+    labels = ["contradiction", "neutral", "entailment"]
+    with open(paths["ve"], "w") as f:
+        for i, img in enumerate(image_ids * 2):
+            f.write(json.dumps({
+                "pairID": f"p{i}", "Flickr30K_ID": img,
+                "sentence2": random_caption(rng, 5),
+                "gold_label": labels[rng.randrange(3)],
+                "phrases": some_phrases()}) + "\n")
+
+    # RE json
+    re_items = []
+    for img in image_ids:
+        x1, y1 = rng.uniform(0, 0.4), rng.uniform(0, 0.4)
+        re_items.append({"image_id": img,
+                         "expression": random_caption(rng, 4),
+                         "gt_box": [x1, y1, x1 + rng.uniform(0.2, 0.5),
+                                    y1 + rng.uniform(0.2, 0.5)],
+                         "phrases": some_phrases()})
+    paths["re"] = os.path.join(root, "re.json")
+    with open(paths["re"], "w") as f:
+        json.dump(re_items, f)
+
+    # general custom-data json
+    paths["general"] = os.path.join(root, "general.json")
+    with open(paths["general"], "w") as f:
+        json.dump([{"image_id": img, "text": random_caption(rng),
+                    "phrases": some_phrases(), "label": rng.randrange(3)}
+                   for img in image_ids], f)
+
+    # tag2id for MRC / visual MLM
+    paths["tag2id"] = os.path.join(root, "tag2id.json")
+    with open(paths["tag2id"], "w") as f:
+        json.dump({t: i for i, t in enumerate(TAGS)}, f)
+
+    return paths

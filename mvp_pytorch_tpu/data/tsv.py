@@ -31,27 +31,32 @@ def build_lineidx(tsv_path: str) -> str:
 
 
 class TSVFile:
-    """Random-access TSV reader; safe across process forks."""
+    """Random-access TSV reader; safe across process forks AND threads.
+
+    The reference reopens on pid change for forked DataLoader workers
+    (tsv_file.py:77-85); our prefetcher uses threads, so the handle is
+    thread-local (seek+readline on a shared fp would interleave)."""
 
     def __init__(self, tsv_path: str, generate_lineidx: bool = True):
+        import threading
         self.tsv_path = tsv_path
         self.lineidx_path = _lineidx_path(tsv_path)
         if not os.path.isfile(self.lineidx_path) and generate_lineidx:
             build_lineidx(tsv_path)
-        self._fp = None
+        self._local = threading.local()
         self._lineidx: Optional[List[int]] = None
-        self._pid = None
 
     def _ensure_lineidx(self):
         if self._lineidx is None:
             with open(self.lineidx_path) as f:
                 self._lineidx = [int(l) for l in f if l.strip()]
 
-    def _ensure_fp(self):
-        # reopen after fork (reference tsv_file.py:77-85)
-        if self._fp is None or self._pid != os.getpid():
-            self._fp = open(self.tsv_path, "rb")
-            self._pid = os.getpid()
+    def _fp(self):
+        loc = self._local
+        if getattr(loc, "fp", None) is None or loc.pid != os.getpid():
+            loc.fp = open(self.tsv_path, "rb")
+            loc.pid = os.getpid()
+        return loc.fp
 
     def num_rows(self) -> int:
         self._ensure_lineidx()
@@ -62,9 +67,9 @@ class TSVFile:
 
     def seek(self, idx: int) -> List[str]:
         self._ensure_lineidx()
-        self._ensure_fp()
-        self._fp.seek(self._lineidx[idx])
-        return self._fp.readline().decode("utf-8").rstrip("\n").split("\t")
+        fp = self._fp()
+        fp.seek(self._lineidx[idx])
+        return fp.readline().decode("utf-8").rstrip("\n").split("\t")
 
     def __getitem__(self, idx: int) -> List[str]:
         return self.seek(idx)

@@ -50,7 +50,11 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
     logits: [..., V]; labels: [...] int (clipped to >= 0 internally);
     weights: [...] float. Returns scalar; 0 when nothing is labeled.
     """
-    labels_safe = jnp.maximum(labels, 0)
+    v = logits.shape[-1]
+    # out-of-range labels are treated as unlabeled (defends against vocab
+    # mismatches; OOB take_along_axis would silently fill NaN under jit)
+    weights = weights * (labels < v)
+    labels_safe = jnp.clip(labels, 0, v - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
     total = jnp.sum(nll * weights)

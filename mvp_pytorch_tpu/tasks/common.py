@@ -1,0 +1,211 @@
+"""Shared CLI plumbing for the task drivers.
+
+One implementation of the argparse/build/train-loop/save/resume skeleton the
+reference copies into each run_*.py (SURVEY.md §2.3 L4). Each task driver
+supplies a dataset, a model, and a loss adapter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.loader import BatchSampler, PrefetchLoader
+from ..data.tokenization import BertTokenizer
+from ..models.config import ModelConfig
+from ..parallel.mesh import make_mesh
+from ..training.checkpoint import CheckpointManager, load_pretrained
+from ..training.metrics import MetricLogger, MetricsWriter
+from ..training.optim import make_optimizer
+from ..training.trainer import Trainer
+from ..utils.logger import setup_logger
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--model_name_or_path", type=str, default=None,
+                        help="checkpoint dir (config.json + params.msgpack + vocab.txt)")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate synthetic data into output_dir/synth")
+    parser.add_argument("--do_train", action="store_true")
+    parser.add_argument("--do_eval", action="store_true")
+    parser.add_argument("--seed", type=int, default=88)
+    parser.add_argument("--train_batch_size", type=int, default=32)
+    parser.add_argument("--eval_batch_size", type=int, default=64)
+    parser.add_argument("--learning_rate", type=float, default=4e-5)
+    parser.add_argument("--weight_decay", type=float, default=0.05)
+    parser.add_argument("--warmup_steps", type=int, default=0)
+    parser.add_argument("--max_steps", type=int, default=100)
+    parser.add_argument("--max_grad_norm", type=float, default=1.0)
+    parser.add_argument("--scheduler", type=str, default="linear",
+                        choices=["linear", "constant", "cosine"])
+    parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    parser.add_argument("--max_seq_length", type=int, default=35)
+    parser.add_argument("--max_tag_length", type=int, default=20)
+    parser.add_argument("--max_img_seq_length", type=int, default=50)
+    parser.add_argument("--max_phrases", type=int, default=5)
+    parser.add_argument("--img_feature_dim", type=int, default=2054)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--log_period", type=int, default=10)
+    parser.add_argument("--ckpt_period", type=int, default=200)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny model for smoke tests")
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="force a JAX platform (cpu gives a virtual mesh)")
+    parser.add_argument("--num_cpu_devices", type=int, default=8)
+
+
+def apply_platform(args) -> None:
+    """Force the JAX platform BEFORE any backend init. Needed because this
+    container's axon sitecustomize pins JAX_PLATFORMS=axon (env is ignored)."""
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.num_cpu_devices)
+
+
+def tensorize_cfg(args):
+    from ..data.tensorize import TensorizeConfig
+    return TensorizeConfig(
+        max_seq_length=args.max_seq_length,
+        max_tag_length=args.max_tag_length,
+        max_img_seq_length=args.max_img_seq_length,
+        max_phrases=args.max_phrases,
+        img_feature_dim=args.img_feature_dim)
+
+
+def build_config(args, tokenizer, **overrides) -> ModelConfig:
+    if args.model_name_or_path:
+        cfg = ModelConfig.from_pretrained(args.model_name_or_path,
+                                          dtype=args.dtype, **overrides)
+        return cfg
+    base = dict(vocab_size=max(tokenizer.vocab_size, 86051),
+                only_word_size=tokenizer.vocab_size,
+                img_feature_dim=args.img_feature_dim, dtype=args.dtype)
+    if args.tiny:
+        base.update(hidden_size=64, num_hidden_layers=4,
+                    num_attention_heads=4, intermediate_size=128,
+                    vocab_size=tokenizer.vocab_size + 64,
+                    max_position_embeddings=128)
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+def load_params_or_init(args, model, init_fn):
+    """Load params from --model_name_or_path if it has weights, else init."""
+    if args.model_name_or_path:
+        from ..training.checkpoint import WEIGHTS_NAME
+        wpath = os.path.join(args.model_name_or_path, WEIGHTS_NAME)
+        if os.path.exists(wpath):
+            _, params = load_pretrained(args.model_name_or_path)
+            return params
+    return init_fn()
+
+
+class TrainLoop:
+    """Sampler + prefetch + trainer + checkpoint/resume + metrics."""
+
+    def __init__(self, args, loss_fn, params, dataset, config,
+                 extra_meta: Optional[dict] = None, logger=None):
+        self.args = args
+        self.logger = logger or setup_logger("train", args.output_dir)
+        self.mesh = make_mesh()
+        total = args.max_steps
+        tx = make_optimizer(
+            args.learning_rate, warmup_steps=args.warmup_steps,
+            total_steps=total, schedule=args.scheduler,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm)
+        self.trainer = Trainer(loss_fn, tx, self.mesh,
+                               grad_accum=args.gradient_accumulation_steps)
+        self.ckpt = CheckpointManager(args.output_dir)
+        self.config = config
+        self.dataset = dataset
+        self.extra_meta = extra_meta or {}
+
+        self.state = self.trainer.init_state(params,
+                                             jax.random.PRNGKey(args.seed))
+        start_step = 0
+        latest = self.ckpt.latest()
+        if latest is not None:
+            step, d = latest
+            self.logger.info(f"resuming from {d} at step {step}")
+            host_params = jax.device_get(self.state.params)
+            host_opt = jax.device_get(self.state.opt_state)
+            _, params_r, opt_r, _meta = self.ckpt.restore(
+                d, params_target=host_params, opt_target=host_opt)
+            import jax.numpy as jnp
+
+            def put_like(tgt, src):
+                return jax.device_put(src, tgt.sharding)
+
+            new_params = jax.tree_util.tree_map(put_like, self.state.params,
+                                                params_r)
+            new_opt = (jax.tree_util.tree_map(put_like, self.state.opt_state,
+                                              opt_r)
+                       if opt_r is not None else self.state.opt_state)
+            self.state = self.state._replace(
+                step=jnp.asarray(step, jnp.int32), params=new_params,
+                opt_state=new_opt)
+            start_step = step
+        self.start_step = start_step
+
+    def run(self, eval_hook: Optional[Callable[[int, dict], Dict]] = None):
+        args = self.args
+        sampler = BatchSampler(len(self.dataset), args.train_batch_size,
+                               seed=args.seed)
+        loader = PrefetchLoader(self.dataset.fetch, sampler,
+                                start_step=self.start_step,
+                                num_threads=args.num_workers)
+        meters = MetricLogger()
+        writer = MetricsWriter(os.path.join(args.output_dir, "train_logs"))
+        t_last = time.time()
+        n_since = 0
+        try:
+            for step, batch in loader:
+                if step >= args.max_steps:
+                    break
+                self.state, metrics = self.trainer.step(self.state, batch)
+                n_since += 1
+                if (step + 1) % args.log_period == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t_last
+                    m["steps_per_sec"] = n_since / dt
+                    m["examples_per_sec"] = n_since * args.train_batch_size / dt
+                    t_last, n_since = time.time(), 0
+                    meters.update(**m)
+                    writer.write(step + 1, m)
+                    self.logger.info(
+                        f"step {step + 1}/{args.max_steps} "
+                        + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                if (step + 1) % args.ckpt_period == 0 or step + 1 == args.max_steps:
+                    params_host = jax.device_get(self.state.params)
+                    self.ckpt.save(step + 1, params_host,
+                                   opt_state=jax.device_get(self.state.opt_state),
+                                   config=self.config,
+                                   extra=self.extra_meta,
+                                   args=vars(args))
+                    if eval_hook is not None:
+                        res = eval_hook(step + 1, self.state.params)
+                        if res:
+                            path = os.path.join(args.output_dir, "eval_logs.json")
+                            logs = []
+                            if os.path.exists(path):
+                                with open(path) as f:
+                                    logs = json.load(f)
+                            logs.append({"step": step + 1, **res})
+                            with open(path, "w") as f:
+                                json.dump(logs, f, indent=2)
+        finally:
+            loader.close()
+            writer.close()
+        return self.state

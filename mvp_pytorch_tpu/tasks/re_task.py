@@ -1,0 +1,140 @@
+"""Referring-expression driver.
+
+Parity target: reference `oscar/run_re.py` — per-region IoU labels
+(compute_iou :46-74), --loss_mod 1/2/3 cosine-MSE vs bce heads (model side
+modeling_vlbert.py:1943-1968), re_score argmax-IoU>=0.5 accuracy (:389-423),
+--phrase_layer mid-layer readout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import (FeatureStore, REDataset, load_phrase_vocab,
+                             re_score)
+from ..data.synthetic import make_synthetic_root
+from ..data.tokenization import BertTokenizer
+from ..models.tasks import REModel
+from ..utils.logger import setup_logger
+from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+                     load_params_or_init, tensorize_cfg)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--train_json", type=str, default=None)
+    p.add_argument("--eval_json", type=str, default=None)
+    p.add_argument("--feature_tsv", type=str, default=None)
+    p.add_argument("--id2phrase", type=str, default=None)
+    p.add_argument("--loss_mod", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("--phrase_layer", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def evaluate(args, model, variables, dataset, mt):
+    @jax.jit
+    def fwd(v, batch):
+        return model.apply(v, batch["input_ids_a"], batch["input_mask_a"],
+                           batch["segment_ids_a"], batch["input_ids_b"],
+                           batch["input_mask_b"], batch["segment_ids_b"],
+                           batch["img_feat"], max_tag_length=mt,
+                           mod=args.loss_mod,
+                           phrase_layer=args.phrase_layer)
+
+    bs = args.eval_batch_size
+    logits, labels = [], []
+    idx = np.arange(len(dataset))
+    for i in range(0, len(idx), bs):
+        chunk = idx[i:i + bs]
+        if len(chunk) < bs:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
+                                                     bs - len(chunk))])
+        batch = dataset.fetch(chunk)
+        out = np.asarray(fwd(variables,
+                             jax.tree_util.tree_map(jnp.asarray, batch)))
+        n = min(bs, len(idx) - i)
+        logits.append(out[:n])
+        labels.append(batch["label"][:n])
+    return re_score(np.concatenate(logits), np.concatenate(labels))
+
+
+def main(argv=None):
+    args = get_args(argv)
+    apply_platform(args)
+    logger = setup_logger("re", args.output_dir)
+
+    if args.synthetic:
+        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        args.train_json = args.eval_json = paths["re"]
+        args.feature_tsv = paths["features"]
+        args.id2phrase = paths["id2phrase"]
+        vocab = paths["vocab"]
+    else:
+        vocab = os.path.join(args.model_name_or_path or args.data_dir,
+                             "vocab.txt")
+
+    tokenizer = BertTokenizer(vocab)
+    sg2id = load_phrase_vocab(args.id2phrase) if args.id2phrase else None
+    cfg = build_config(args, tokenizer, num_labels=1, loss_type="sfmx")
+    tcfg = tensorize_cfg(args)
+    features = FeatureStore(args.feature_tsv,
+                            feature_dim=args.img_feature_dim)
+    dataset = REDataset(args.train_json, features, tokenizer, sg2id=sg2id,
+                        cfg=tcfg)
+    eval_dataset = (REDataset(args.eval_json, features, tokenizer,
+                              sg2id=sg2id, cfg=tcfg)
+                    if args.eval_json else dataset)
+
+    model = REModel(cfg)
+    mt = args.max_tag_length
+
+    def model_inputs(batch):
+        return (batch["input_ids_a"], batch["input_mask_a"],
+                batch["segment_ids_a"], batch["input_ids_b"],
+                batch["input_mask_b"], batch["segment_ids_b"],
+                batch["img_feat"])
+
+    def init_fn():
+        sample = jax.tree_util.tree_map(jnp.asarray,
+                                        dataset.fetch(np.arange(2)))
+        return jax.jit(lambda: model.init(
+            jax.random.PRNGKey(args.seed), *model_inputs(sample),
+            labels=jnp.asarray(sample["label"]), max_tag_length=mt,
+            mod=3))()["params"]
+
+    params = load_params_or_init(args, model, init_fn)
+
+    def loss_fn(p, batch, rng):
+        loss, logits = model.apply(
+            {"params": p}, *model_inputs(batch), labels=batch["label"],
+            max_tag_length=mt, mod=args.loss_mod,
+            phrase_layer=args.phrase_layer, deterministic=False,
+            rngs={"dropout": rng})
+        return loss, {}
+
+    def eval_hook(step, p):
+        if not args.do_eval:
+            return None
+        acc = evaluate(args, model, {"params": p}, eval_dataset, mt)
+        logger.info(f"step {step}: re accuracy (IoU>=0.5) = {acc:.4f}")
+        return {"re_accuracy": acc}
+
+    if args.do_train:
+        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
+        tokenizer.save_pretrained(args.output_dir)
+        state = loop.run(eval_hook)
+        params = state.params
+    elif args.do_eval:
+        eval_hook(0, params)
+    logger.info("re done")
+
+
+if __name__ == "__main__":
+    main()

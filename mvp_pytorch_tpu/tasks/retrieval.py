@@ -1,0 +1,233 @@
+"""Image-text retrieval driver: training + two-stage coarse/fine evaluation.
+
+Parity target: reference `oscar/run_retrieval.py` (train loop :545-682;
+test_coarse :694-741; fine rerank :743-826; evaluation :828-871) with the
+TPU-native improvements: the three model modes are separate jitted functions,
+and the fine rerank reuses cached uni-modal stream outputs.
+
+Synthetic smoke:
+  python -m mvp_pytorch_tpu.tasks.retrieval --output_dir /tmp/ret \
+      --synthetic --tiny --max_steps 10 --do_train --do_eval --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import (FeatureStore, RetrievalDataset,
+                             load_phrase_vocab)
+from ..data.synthetic import make_synthetic_root
+from ..data.tokenization import BertTokenizer
+from ..models.tasks import RetrievalModel
+from ..utils.logger import setup_logger
+from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+                     load_params_or_init, tensorize_cfg)
+from .retrieval_eval import (coarse_candidates, coarse_ranks, evaluate_ranks,
+                             fine_ranks_i2t, fine_ranks_t2i)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--captions_json", type=str, default=None)
+    p.add_argument("--feature_tsv", type=str, default=None)
+    p.add_argument("--id2phrase", type=str, default=None)
+    p.add_argument("--eval_captions_json", type=str, default=None)
+    p.add_argument("--num_captions_per_img", type=int, default=5)
+    p.add_argument("--num_captions_per_img_val", type=int, default=20,
+                   help="i2t rerank shortlist size")
+    p.add_argument("--num_images_per_cap_val", type=int, default=10,
+                   help="t2i rerank shortlist size")
+    p.add_argument("--hn_mod", type=str, default="hard",
+                   choices=["hard", "sample"])
+    return p.parse_args(argv)
+
+
+def two_stage_eval(args, model, variables, dataset, logger):
+    """Coarse sweep -> sim matrix -> cached fine rerank -> R@K."""
+    mt = args.max_tag_length
+
+    @jax.jit
+    def enc_txt(v, b):
+        seq = model.apply(v, b["input_ids_a"], b["input_mask_a"],
+                          b["segment_ids_a"],
+                          method=RetrievalModel.encode_text_seq)
+        glob = model.apply(v, b["input_ids_a"], b["input_mask_a"],
+                           b["segment_ids_a"],
+                           method=RetrievalModel.encode_text_only)
+        return seq, glob
+
+    @jax.jit
+    def enc_img(v, b):
+        vis, mask = model.apply(v, b["input_ids_b"], b["input_mask_b"],
+                                b["segment_ids_b"], b["img_feat"],
+                                max_tag_length=mt,
+                                method=RetrievalModel.encode_image_seq)
+        glob = model.apply(v, b["input_ids_b"], b["input_mask_b"],
+                           b["segment_ids_b"], b["img_feat"],
+                           method=RetrievalModel.encode_image_only)
+        return vis, mask, glob
+
+    @jax.jit
+    def fine(v, txt_seq, txt_mask, vis, vis_mask, cap_idx, img_idx):
+        logits = model.apply(v, txt_seq[cap_idx], txt_mask[cap_idx],
+                             vis[img_idx], vis_mask[img_idx],
+                             method=RetrievalModel.score_cached)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    def run_batched(fn, data, n, bs):
+        outs = None
+        for i in range(0, n, bs):
+            chunk = {k: jnp.asarray(v[i:i + bs]) for k, v in data.items()}
+            res = fn(variables, chunk)
+            res = res if isinstance(res, tuple) else (res,)
+            if outs is None:
+                outs = [[] for _ in res]
+            for o, r in zip(outs, res):
+                o.append(r)
+        return [jnp.concatenate(o) for o in outs]
+
+    bs = args.eval_batch_size
+    cap_arrays = dataset.caption_arrays()
+    img_arrays = dataset.image_arrays()
+    n_cap = cap_arrays["input_ids_a"].shape[0]
+    n_img = img_arrays["input_ids_b"].shape[0]
+    # pad eval sets to batch multiples (static shapes)
+    def pad_to(d, n, bs):
+        m = (-n) % bs
+        return {k: np.concatenate([v, np.repeat(v[:1], m, 0)]) for k, v in
+                d.items()} if m else d
+    cap_p = pad_to(cap_arrays, n_cap, bs)
+    img_p = pad_to(img_arrays, n_img, bs)
+
+    txt_seq, txt_glob = run_batched(enc_txt, cap_p,
+                                    cap_p["input_ids_a"].shape[0], bs)
+    vis, vis_mask, img_glob = run_batched(enc_img, img_p,
+                                          img_p["input_ids_b"].shape[0], bs)
+    txt_seq, txt_glob = txt_seq[:n_cap], txt_glob[:n_cap]
+    vis, vis_mask, img_glob = vis[:n_img], vis_mask[:n_img], img_glob[:n_img]
+
+    sims = np.asarray(img_glob @ txt_glob.T)         # [n_img, n_cap]
+    cpi = dataset.num_captions_per_img
+    i2t_ranks_c, t2i_ranks_c = coarse_ranks(sims, cpi)
+    coarse_res = evaluate_ranks(i2t_ranks_c, t2i_ranks_c)
+    logger.info(f"coarse: {json.dumps(coarse_res)}")
+
+    k_i2t = min(args.num_captions_per_img_val, n_cap)
+    k_t2i = min(args.num_images_per_cap_val, n_img)
+    i2t_cands, t2i_cands = coarse_candidates(sims, k_i2t, k_t2i)
+
+    cap_idx = np.concatenate([i2t_cands.reshape(-1),
+                              np.repeat(np.arange(n_cap), k_t2i)])
+    img_idx = np.concatenate([np.repeat(np.arange(n_img), k_i2t),
+                              t2i_cands.reshape(-1)])
+    n_pairs = cap_idx.shape[0]
+    pad = (-n_pairs) % bs
+    cap_idx = np.concatenate([cap_idx, np.zeros(pad, cap_idx.dtype)])
+    img_idx = np.concatenate([img_idx, np.zeros(pad, img_idx.dtype)])
+    scores = []
+    txt_mask = jnp.asarray(cap_arrays["input_mask_a"])
+    for i in range(0, n_pairs + pad, bs):
+        scores.append(fine(variables, txt_seq, txt_mask, vis, vis_mask,
+                           jnp.asarray(cap_idx[i:i + bs]),
+                           jnp.asarray(img_idx[i:i + bs])))
+    scores = np.asarray(jnp.concatenate(scores))[:n_pairs]
+
+    i2t_scores = scores[: n_img * k_i2t].reshape(n_img, k_i2t)
+    t2i_scores = scores[n_img * k_i2t:].reshape(n_cap, k_t2i)
+    fine_res = evaluate_ranks(
+        fine_ranks_i2t(i2t_scores, i2t_cands, cpi),
+        fine_ranks_t2i(t2i_scores, t2i_cands, cpi))
+    logger.info(f"fine: {json.dumps(fine_res)}")
+    return {"coarse": coarse_res, "fine": fine_res}
+
+
+def main(argv=None):
+    args = get_args(argv)
+    apply_platform(args)
+    logger = setup_logger("retrieval", args.output_dir)
+
+    if args.synthetic:
+        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"),
+                                    caps_per_img=args.num_captions_per_img)
+        args.captions_json = paths["captions"]
+        args.feature_tsv = paths["features"]
+        args.id2phrase = paths["id2phrase"]
+        vocab = paths["vocab"]
+    else:
+        vocab = os.path.join(args.model_name_or_path or args.data_dir,
+                             "vocab.txt")
+
+    tokenizer = BertTokenizer(vocab)
+    sg2id = load_phrase_vocab(args.id2phrase) if args.id2phrase else None
+    cfg = build_config(args, tokenizer, num_labels=2)
+    tcfg = tensorize_cfg(args)
+    features = FeatureStore(args.feature_tsv,
+                            feature_dim=args.img_feature_dim)
+    dataset = RetrievalDataset(args.captions_json, features, tokenizer,
+                               sg2id=sg2id, cfg=tcfg,
+                               num_captions_per_img=args.num_captions_per_img)
+    eval_dataset = dataset
+    if args.eval_captions_json:
+        eval_dataset = RetrievalDataset(
+            args.eval_captions_json, features, tokenizer, sg2id=sg2id,
+            cfg=tcfg, num_captions_per_img=args.num_captions_per_img)
+
+    model = RetrievalModel(cfg)
+    mt = args.max_tag_length
+
+    def model_inputs(batch):
+        return (batch["input_ids_a"], batch["input_mask_a"],
+                batch["segment_ids_a"], batch["input_ids_b"],
+                batch["input_mask_b"], batch["segment_ids_b"],
+                batch["img_feat"])
+
+    def init_fn():
+        sample = jax.tree_util.tree_map(jnp.asarray,
+                                        dataset.fetch(np.arange(2)))
+        rngs = {"params": jax.random.PRNGKey(args.seed),
+                "hardneg": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        return jax.jit(lambda: model.init(
+            rngs, *model_inputs(sample), max_tag_length=mt,
+            hn_mod=args.hn_mod, deterministic=True))()["params"]
+
+    params = load_params_or_init(args, model, init_fn)
+
+    def loss_fn(p, batch, rng):
+        k1, k2 = jax.random.split(rng)
+        out = model.apply({"params": p}, *model_inputs(batch),
+                          max_tag_length=mt, hn_mod=args.hn_mod,
+                          deterministic=False,
+                          rngs={"hardneg": k1, "dropout": k2})
+        return out.total_loss, {"clip": out.retrieval_loss,
+                                "itm": out.itm_loss}
+
+    if args.do_train:
+        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
+        tokenizer.save_pretrained(args.output_dir)
+
+        def eval_hook(step, p):
+            if not args.do_eval:
+                return None
+            return two_stage_eval(args, model, {"params": p}, eval_dataset,
+                                  logger)
+
+        state = loop.run(eval_hook)
+        params = state.params
+    if args.do_eval and not args.do_train:
+        res = two_stage_eval(args, model, {"params": params}, eval_dataset,
+                             logger)
+        with open(os.path.join(args.output_dir, "test_eval.json"), "w") as f:
+            json.dump(res, f, indent=2)
+    logger.info("retrieval done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""SNLI-VE driver.
+
+Parity target: reference `oscar/run_ve.py` — 3-class CE over jsonl pairs
+(:46-280, trainer :408-657), `--freeze_steps` backbone freeze/unfreeze
+schedule (:477-481, 559-563) re-expressed as an optax multi_transform mask
+(no parameter mutation), `--use_single` selects the Plus classifier.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.datasets import FeatureStore, VEDataset, load_phrase_vocab
+from ..data.synthetic import make_synthetic_root
+from ..data.tokenization import BertTokenizer
+from ..models.tasks import ClassificationModel, ClassificationPlusModel
+from ..utils.logger import setup_logger
+from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+                     load_params_or_init, tensorize_cfg)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--train_jsonl", type=str, default=None)
+    p.add_argument("--eval_jsonl", type=str, default=None)
+    p.add_argument("--feature_tsv", type=str, default=None)
+    p.add_argument("--id2phrase", type=str, default=None)
+    p.add_argument("--use_single", action="store_true",
+                   help="Plus model w/ single-stream interaction features")
+    p.add_argument("--freeze_steps", type=int, default=0,
+                   help="freeze the backbone for the first N steps")
+    return p.parse_args(argv)
+
+
+def evaluate(args, model, variables, dataset, mt):
+    @jax.jit
+    def fwd(v, batch):
+        return model.apply(v, batch["input_ids_a"], batch["input_mask_a"],
+                           batch["segment_ids_a"], batch["input_ids_b"],
+                           batch["input_mask_b"], batch["segment_ids_b"],
+                           batch["img_feat"], max_tag_length=mt)
+
+    bs = args.eval_batch_size
+    correct = total = 0
+    idx = np.arange(len(dataset))
+    for i in range(0, len(idx), bs):
+        chunk = idx[i:i + bs]
+        if len(chunk) < bs:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
+                                                     bs - len(chunk))])
+        batch = dataset.fetch(chunk)
+        logits = np.asarray(fwd(variables,
+                                jax.tree_util.tree_map(jnp.asarray, batch)))
+        n = min(bs, len(idx) - i)
+        correct += int((logits[:n].argmax(1) == batch["label"][:n]).sum())
+        total += n
+    return correct / max(total, 1)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    apply_platform(args)
+    logger = setup_logger("ve", args.output_dir)
+
+    if args.synthetic:
+        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        args.train_jsonl = args.eval_jsonl = paths["ve"]
+        args.feature_tsv = paths["features"]
+        args.id2phrase = paths["id2phrase"]
+        vocab = paths["vocab"]
+    else:
+        vocab = os.path.join(args.model_name_or_path or args.data_dir,
+                             "vocab.txt")
+
+    tokenizer = BertTokenizer(vocab)
+    sg2id = load_phrase_vocab(args.id2phrase) if args.id2phrase else None
+    cfg = build_config(args, tokenizer, num_labels=3, loss_type="sfmx")
+    tcfg = tensorize_cfg(args)
+    features = FeatureStore(args.feature_tsv,
+                            feature_dim=args.img_feature_dim)
+    dataset = VEDataset(args.train_jsonl, features, tokenizer, sg2id=sg2id,
+                        cfg=tcfg)
+    eval_dataset = (VEDataset(args.eval_jsonl, features, tokenizer,
+                              sg2id=sg2id, cfg=tcfg)
+                    if args.eval_jsonl else dataset)
+
+    model_cls = (ClassificationPlusModel if args.use_single
+                 else ClassificationModel)
+    model = model_cls(cfg)
+    mt = args.max_tag_length
+
+    def model_inputs(batch):
+        return (batch["input_ids_a"], batch["input_mask_a"],
+                batch["segment_ids_a"], batch["input_ids_b"],
+                batch["input_mask_b"], batch["segment_ids_b"],
+                batch["img_feat"])
+
+    def init_fn():
+        sample = jax.tree_util.tree_map(jnp.asarray,
+                                        dataset.fetch(np.arange(2)))
+        return jax.jit(lambda: model.init(
+            jax.random.PRNGKey(args.seed), *model_inputs(sample),
+            max_tag_length=mt))()["params"]
+
+    params = load_params_or_init(args, model, init_fn)
+
+    def loss_fn(p, batch, rng):
+        loss, logits = model.apply(
+            {"params": p}, *model_inputs(batch), labels=batch["label"],
+            max_tag_length=mt, deterministic=False, rngs={"dropout": rng})
+        acc = jnp.mean((jnp.argmax(logits, 1) == batch["label"]))
+        return loss, {"acc": acc}
+
+    def eval_hook(step, p):
+        if not args.do_eval:
+            return None
+        acc = evaluate(args, model, {"params": p}, eval_dataset, mt)
+        logger.info(f"step {step}: ve accuracy = {acc:.4f}")
+        return {"ve_accuracy": acc}
+
+    if args.do_train:
+        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
+        if args.freeze_steps > 0:
+            from ..training.optim import freeze_prefix_until
+            loop.trainer.tx = freeze_prefix_until(
+                loop.trainer.tx, "bert", args.freeze_steps)
+            loop.state = loop.trainer.init_state(
+                params, jax.random.PRNGKey(args.seed))
+        tokenizer.save_pretrained(args.output_dir)
+        state = loop.run(eval_hook)
+        params = state.params
+    elif args.do_eval:
+        eval_hook(0, params)
+    logger.info("ve done")
+
+
+if __name__ == "__main__":
+    main()

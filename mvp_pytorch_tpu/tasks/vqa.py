@@ -1,0 +1,170 @@
+"""VQA driver.
+
+Parity target: reference `oscar/run_vqa.py` — soft-score bce training
+(:538-772), VQA-accuracy eval via one-hot argmax-score sum (:775-860,
+compute_score_with_logits :508-513), EvalAI-format test output (:883-944).
+
+Synthetic smoke:
+  python -m mvp_pytorch_tpu.tasks.vqa --output_dir /tmp/vqa --synthetic \
+      --tiny --max_steps 10 --do_train --do_eval --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import FeatureStore, VQADataset, load_phrase_vocab
+from ..data.synthetic import make_synthetic_root
+from ..data.tokenization import BertTokenizer
+from ..models.tasks import VQAModel
+from ..utils.logger import setup_logger
+from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+                     load_params_or_init, tensorize_cfg)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--train_jsonl", type=str, default=None)
+    p.add_argument("--eval_jsonl", type=str, default=None)
+    p.add_argument("--feature_tsv", type=str, default=None)
+    p.add_argument("--id2phrase", type=str, default=None)
+    p.add_argument("--label2ans", type=str, default=None)
+    p.add_argument("--loss_type", type=str, default="bce",
+                   choices=["bce", "sfmx", "kl"])
+    p.add_argument("--test_jsonl", type=str, default=None,
+                   help="write EvalAI-format {split}_results.json")
+    return p.parse_args(argv)
+
+
+def vqa_accuracy(logits: np.ndarray, targets: np.ndarray) -> float:
+    """sum of soft scores at argmax (reference compute_score_with_logits)."""
+    pick = logits.argmax(axis=1)
+    return float(targets[np.arange(len(pick)), pick].sum() / len(pick))
+
+
+def evaluate(args, model, variables, dataset, mt):
+    @jax.jit
+    def fwd(v, batch):
+        return model.apply(v, batch["input_ids_a"], batch["input_mask_a"],
+                           batch["segment_ids_a"], batch["input_ids_b"],
+                           batch["input_mask_b"], batch["segment_ids_b"],
+                           batch["img_feat"], max_tag_length=mt)
+
+    bs = args.eval_batch_size
+    logits, targets, qids = [], [], []
+    idx = np.arange(len(dataset))
+    for i in range(0, len(idx), bs):
+        chunk = idx[i:i + bs]
+        if len(chunk) < bs:  # pad for static shapes
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
+                                                     bs - len(chunk))])
+        batch = dataset.fetch(chunk)
+        out = np.asarray(fwd(variables,
+                             jax.tree_util.tree_map(jnp.asarray, batch)))
+        n = min(bs, len(idx) - i)
+        logits.append(out[:n])
+        targets.append(batch["label"][:n])
+        qids.append(batch["question_id"][:n])
+    logits = np.concatenate(logits)
+    targets = np.concatenate(targets)
+    return logits, targets, np.concatenate(qids)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    apply_platform(args)
+    logger = setup_logger("vqa", args.output_dir)
+
+    if args.synthetic:
+        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        args.train_jsonl = args.eval_jsonl = paths["vqa"]
+        args.feature_tsv = paths["features"]
+        args.id2phrase = paths["id2phrase"]
+        args.label2ans = paths["label2ans"]
+        vocab = paths["vocab"]
+    else:
+        vocab = os.path.join(args.model_name_or_path or args.data_dir,
+                             "vocab.txt")
+
+    tokenizer = BertTokenizer(vocab)
+    with open(args.label2ans) as f:
+        label2ans = json.load(f)
+    n_ans = len(label2ans)
+    sg2id = load_phrase_vocab(args.id2phrase) if args.id2phrase else None
+    cfg = build_config(args, tokenizer, num_labels=n_ans,
+                       loss_type=args.loss_type)
+    tcfg = tensorize_cfg(args)
+    features = FeatureStore(args.feature_tsv,
+                            feature_dim=args.img_feature_dim)
+    dataset = VQADataset(args.train_jsonl, features, tokenizer, n_ans,
+                         sg2id=sg2id, cfg=tcfg)
+    eval_dataset = (VQADataset(args.eval_jsonl, features, tokenizer, n_ans,
+                               sg2id=sg2id, cfg=tcfg)
+                    if args.eval_jsonl else dataset)
+
+    model = VQAModel(cfg)
+    mt = args.max_tag_length
+
+    def model_inputs(batch):
+        return (batch["input_ids_a"], batch["input_mask_a"],
+                batch["segment_ids_a"], batch["input_ids_b"],
+                batch["input_mask_b"], batch["segment_ids_b"],
+                batch["img_feat"])
+
+    def init_fn():
+        sample = jax.tree_util.tree_map(jnp.asarray,
+                                        dataset.fetch(np.arange(2)))
+        return jax.jit(lambda: model.init(
+            jax.random.PRNGKey(args.seed), *model_inputs(sample),
+            max_tag_length=mt))()["params"]
+
+    params = load_params_or_init(args, model, init_fn)
+
+    def loss_fn(p, batch, rng):
+        loss, logits = model.apply(
+            {"params": p}, *model_inputs(batch), labels=batch["label"],
+            max_tag_length=mt, deterministic=False,
+            rngs={"dropout": rng})
+        return loss, {}
+
+    def eval_hook(step, p):
+        if not args.do_eval:
+            return None
+        logits, targets, _ = evaluate(args, model, {"params": p},
+                                      eval_dataset, mt)
+        acc = vqa_accuracy(logits, targets)
+        logger.info(f"step {step}: vqa accuracy = {acc:.4f}")
+        return {"vqa_accuracy": acc}
+
+    if args.do_train:
+        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
+        tokenizer.save_pretrained(args.output_dir)
+        state = loop.run(eval_hook)
+        params = state.params
+    elif args.do_eval:
+        eval_hook(0, params)
+
+    if args.test_jsonl:
+        test_ds = VQADataset(args.test_jsonl, features, tokenizer, n_ans,
+                             sg2id=sg2id, cfg=tcfg)
+        logits, _, qids = evaluate(args, model, {"params": params}, test_ds,
+                                   mt)
+        results = [{"question_id": int(q), "answer": label2ans[int(a)]}
+                   for q, a in zip(qids, logits.argmax(1))]
+        split = os.path.splitext(os.path.basename(args.test_jsonl))[0]
+        out = os.path.join(args.output_dir, f"{split}_results.json")
+        with open(out, "w") as f:
+            json.dump(results, f)
+        logger.info(f"wrote {out}")
+    logger.info("vqa done")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,13 +49,19 @@ def to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _serialize(tree: Any) -> bytes:
+    # to_state_dict flattens tuples/namedtuples (optax states) into dicts
+    return serialization.msgpack_serialize(
+        serialization.to_state_dict(to_host(tree)))
+
+
 def save_pretrained(directory: str, params: Any,
                     config: Optional[ModelConfig] = None) -> None:
     """HF-style model directory: config.json + params.msgpack."""
     os.makedirs(directory, exist_ok=True)
     if config is not None:
         config.save_pretrained(directory)
-    blob = serialization.msgpack_serialize(to_host(params))
+    blob = _serialize(params)
     _retry(lambda: _atomic_write(os.path.join(directory, WEIGHTS_NAME), blob))
 
 
@@ -71,10 +77,11 @@ def load_pretrained(directory: str,
     config = ModelConfig.from_pretrained(directory)
     with open(os.path.join(directory, WEIGHTS_NAME), "rb") as f:
         blob = f.read()
+    state = serialization.msgpack_restore(blob)
     if target is not None:
-        params = serialization.from_bytes(target, blob)
+        params = serialization.from_state_dict(target, state)
     else:
-        params = serialization.msgpack_restore(blob)
+        params = state
     return config, params
 
 
@@ -96,7 +103,7 @@ class CheckpointManager:
         d = self._ckpt_dir(step)
         save_pretrained(d, params, config)
         if opt_state is not None:
-            blob = serialization.msgpack_serialize(to_host(opt_state))
+            blob = _serialize(opt_state)
             _retry(lambda: _atomic_write(os.path.join(d, OPT_NAME), blob))
         meta = {"step": step}
         if extra:
@@ -142,10 +149,11 @@ class CheckpointManager:
         if os.path.exists(opt_path):
             with open(opt_path, "rb") as f:
                 blob = f.read()
+            state = serialization.msgpack_restore(blob)
             if opt_target is not None:
-                opt_state = serialization.from_bytes(opt_target, blob)
+                opt_state = serialization.from_state_dict(opt_target, state)
             else:
-                opt_state = serialization.msgpack_restore(blob)
+                opt_state = state
         meta = {}
         meta_path = os.path.join(directory, TRAIN_STATE_NAME)
         if os.path.exists(meta_path):

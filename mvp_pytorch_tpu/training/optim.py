@@ -56,6 +56,36 @@ def decay_mask(params) -> Any:
         lambda path, _: not _no_decay(path), params)
 
 
+def freeze_prefix_until(inner: optax.GradientTransformation, prefix: str,
+                        steps: int) -> optax.GradientTransformation:
+    """Zero updates for params under `prefix` while step < steps.
+
+    The functional re-expression of the reference's freeze/unfreeze
+    backbone schedule (reference `oscar/run_ve.py:477-481,559-563` mutates
+    requires_grad mid-training; here the schedule is part of the update
+    rule, so the jitted step stays pure)."""
+    import jax
+
+    def init(params):
+        return (inner.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None, **extra):
+        inner_state, count = state
+        updates, new_inner = inner.update(grads, inner_state, params, **extra)
+        frozen = count < steps
+
+        def mask(path, u):
+            names = [getattr(p, "key", str(p)) for p in path]
+            if names and names[0] == prefix:
+                return jnp.where(frozen, jnp.zeros_like(u), u)
+            return u
+
+        updates = jax.tree_util.tree_map_with_path(mask, updates)
+        return updates, (new_inner, count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float, *, warmup_steps: int = 0,
                    total_steps: int = 0, schedule: str = "linear",
                    weight_decay: float = 0.01, b1: float = 0.9,

@@ -1,0 +1,154 @@
+"""Constrained beam search over finite-state machines.
+
+Parity target: reference `oscar/utils/cbs.py` — ConstrainedBeamSearch (:30-365)
+maintains one beam set per FSM state and only allows token transitions the
+FSM permits; FiniteStateMachineBuilder (:444-857) encodes "the caption must
+mention k of these constraint words" as a 2^C-bitmask state machine with
+chain states for multi-token constraints; select_best_beam_with_constraints
+(:366-434) picks the best finished beam among states satisfying >= the
+required number of constraints.
+
+TPU-native design: the FSM is a dense boolean tensor [S, S, V] built on host
+(numpy) per batch; the search itself is a lax.scan where every (state, beam)
+slot advances in lockstep — data-dependent "which beams exist per state"
+becomes a masked dense [B, S, K] score tensor.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def build_fsm(constraints: Sequence[Sequence[int]], vocab_size: int,
+              max_states: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense FSM for up to C constraints (token-id sequences).
+
+    Returns (fsm [S, S, V] bool, n_constraints_satisfied [S]).
+    States 0..2^C-1 are bitmask main states; chain states for multi-token
+    constraints are appended. fsm[s, s', v] = emitting v in state s moves to
+    s'. Unconstrained tokens self-loop.
+    """
+    c = len(constraints)
+    n_main = 1 << c
+    states: List[dict] = []   # chain bookkeeping
+    total = n_main
+    chain_index = {}
+    for s in range(n_main):
+        for i, words in enumerate(constraints):
+            if (s >> i) & 1:
+                continue
+            for step in range(1, len(words)):
+                chain_index[(s, i, step)] = total
+                total += 1
+    if total > max_states:
+        raise ValueError(f"FSM needs {total} states > max_states {max_states}")
+
+    fsm = np.zeros((max_states, max_states, vocab_size), bool)
+    nsat = np.zeros(max_states, np.int32)
+    for s in range(n_main):
+        nsat[s] = bin(s).count("1")
+
+    def add_self_loops(s: int, except_tokens: set):
+        stay = np.ones(vocab_size, bool)
+        for t in except_tokens:
+            stay[t] = False
+        fsm[s, s] |= stay
+
+    for s in range(n_main):
+        starts = set()
+        for i, words in enumerate(constraints):
+            if (s >> i) & 1:
+                continue
+            w0 = words[0]
+            starts.add(w0)
+            target = (s | (1 << i)) if len(words) == 1 else chain_index[(s, i, 1)]
+            fsm[s, target, w0] = True
+        add_self_loops(s, starts)
+
+    for (s, i, step), cs in chain_index.items():
+        words = constraints[i]
+        nsat[cs] = bin(s).count("1")
+        nxt_tok = words[step]
+        if step + 1 < len(words):
+            nxt_state = chain_index[(s, i, step + 1)]
+        else:
+            nxt_state = s | (1 << i)
+        fsm[cs, nxt_state, nxt_tok] = True
+        # failing the chain falls back to the source state
+        back = np.ones(vocab_size, bool)
+        back[nxt_tok] = False
+        fsm[cs, s] |= back
+    return fsm, nsat
+
+
+def constrained_beam_search(logits_fn, fsm: jax.Array, bos_token_id: int,
+                            eos_token_id: int, pad_token_id: int,
+                            mask_token_id: int, max_len: int,
+                            num_beams: int) -> Tuple[jax.Array, jax.Array]:
+    """fsm: [B, S, S, V] bool. Returns (sequences [B, S, K, L],
+    logprobs [B, S, K]) — per-FSM-state beams like the reference (:300-365).
+
+    logits_fn: [N, L] -> [N, L, V] (N = B*S*K flattened buffers).
+    """
+    b, s, _, v = fsm.shape
+    k = num_beams
+    tokens = jnp.full((b, s, k, max_len), mask_token_id, jnp.int32)
+    tokens = tokens.at[..., 0].set(bos_token_id)
+    # only state 0 / beam 0 is live initially
+    logp = jnp.full((b, s, k), NEG_INF)
+    logp = logp.at[:, 0, 0].set(0.0)
+    trans_bias = jnp.where(fsm, 0.0, NEG_INF)        # [B, S_src, S_dst, V]
+
+    def step(carry, t):
+        tokens, logp = carry
+        flat = tokens.reshape(b * s * k, max_len)
+        lg = logits_fn(flat)[:, t, :].astype(jnp.float32)
+        lp_tok = jax.nn.log_softmax(lg, -1).reshape(b, s, k, v)
+        # EOS keeps finished beams in place: treat EOS as self-loop by
+        # boosting it only when already emitted (handled by pad after EOS)
+        # candidate scores into each destination state:
+        # [B, s_src, K, V] + trans [B, s_src, s_dst, V]
+        cand = (logp[..., None] + lp_tok)[:, :, None, :, :] \
+            + trans_bias[:, :, :, None, :]           # [B, src, dst, K, V]
+        cand = jnp.swapaxes(cand, 1, 2)              # [B, dst, src, K, V]
+        flat_cand = cand.reshape(b, s, s * k * v)
+        top_lp, top_idx = jax.lax.top_k(flat_cand, k)     # [B, dst, K]
+        src = top_idx // (k * v)
+        beam = (top_idx // v) % k
+        tok = top_idx % v
+        # gather source beam buffers
+        src_beam = (src * k + beam).reshape(b, s * k)     # [B, S*K]
+        flat_tokens = tokens.reshape(b, s * k, max_len)
+        gathered = jax.vmap(lambda ft, ix: ft[ix])(flat_tokens, src_beam)
+        new_tokens = gathered.reshape(b, s, k, max_len)
+        new_tokens = new_tokens.at[..., t].set(tok)
+        return (new_tokens, top_lp), None
+
+    (tokens, logp), _ = jax.lax.scan(step, (tokens, logp),
+                                     jnp.arange(1, max_len))
+    return tokens, logp
+
+
+def select_best_beam_with_constraints(sequences: np.ndarray,
+                                      logprobs: np.ndarray,
+                                      nsat: np.ndarray,
+                                      min_constraints: int
+                                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pick the best beam among states with >= min_constraints satisfied
+    (reference :366-434). sequences: [B, S, K, L]; logprobs: [B, S, K];
+    nsat: [S]. Falls back to the globally best beam when no state qualifies."""
+    b, s, k, l = sequences.shape
+    ok = nsat >= min_constraints
+    masked = np.where(ok[None, :, None], logprobs, -np.inf)
+    if not np.isfinite(masked.max(axis=(1, 2))).all():
+        masked = logprobs
+    flat = masked.reshape(b, s * k)
+    best = flat.argmax(axis=1)
+    seqs = sequences.reshape(b, s * k, l)[np.arange(b), best]
+    return seqs, flat[np.arange(b), best]

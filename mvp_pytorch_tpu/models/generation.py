@@ -1,0 +1,196 @@
+"""Autoregressive generation utilities (greedy / sampling / beam search).
+
+Parity target: reference `oscar/modeling/modeling_utils.py:21-678`
+(CaptionPreTrainedModel.generate: greedy + sampling with temperature /
+top-k / top-p / repetition penalty, beam search with length penalty and
+early stopping, BeamHypotheses) — re-designed for XLA: the decode loop is a
+`lax.scan` over a fixed-length [MASK]-filled token buffer (the model's causal
+mask makes future positions inert), so the whole generate is one compiled
+program. Sequences are short (~20-40 steps over ~90 tokens), so per-step
+recompute beats a mutable KV cache on TPU.
+
+The model is abstracted as `logits_fn(tokens [N, L]) -> [N, L, V]`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def apply_repetition_penalty(logits, tokens, t, penalty: float):
+    """HF semantics: previously used tokens' scores get /penalty (if >0)
+    or *penalty (if <0). tokens: [N, L]; only positions < t count."""
+    if penalty == 1.0:
+        return logits
+    n, v = logits.shape
+    l = tokens.shape[1]
+    pos_mask = (jnp.arange(l)[None, :] < t)
+    onehot = jax.nn.one_hot(tokens, v, dtype=jnp.bool_.dtype)
+    used = jnp.any(onehot & pos_mask[..., None], axis=1)  # [N, V]
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(used, penalized, logits)
+
+
+def top_k_top_p_filtering(logits, top_k: int = 0, top_p: float = 1.0):
+    """Mask logits outside top-k / nucleus top-p
+    (reference modeling_utils.py:600-633)."""
+    v = logits.shape[-1]
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, min(top_k, v))[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens with cumulative prob <= top_p (always keep the first)
+        cutoff_idx = jnp.sum(cum <= top_p, axis=-1, keepdims=True)
+        cutoff_idx = jnp.maximum(cutoff_idx, 1)
+        threshold = jnp.take_along_axis(sorted_logits,
+                                        cutoff_idx - 1, axis=-1)
+        logits = jnp.where(logits < threshold, NEG_INF, logits)
+    return logits
+
+
+class GenerateOutput(NamedTuple):
+    sequences: jax.Array      # [N, max_len] token ids (inc. BOS at 0)
+    logprobs: jax.Array       # [N, max_len] per-step chosen logprob (0 at BOS/pad)
+    lengths: jax.Array        # [N] generated length incl. EOS
+
+
+def generate(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
+             pad_token_id: int, mask_token_id: int, batch_size: int,
+             max_len: int, *, do_sample: bool = False,
+             temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+             repetition_penalty: float = 1.0, min_len: int = 0,
+             rng: Optional[jax.Array] = None,
+             forced_prefix: Optional[jax.Array] = None) -> GenerateOutput:
+    """Greedy/sampling decode. Buffer[0]=BOS, rest [MASK]; step t writes
+    position t. Finished rows emit PAD and stop accumulating logprob."""
+    n = batch_size
+    tokens = jnp.full((n, max_len), mask_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(bos_token_id)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, t):
+        tokens, finished, rng = carry
+        logits_all = logits_fn(tokens)            # [N, L, V]
+        logits = logits_all[:, t, :].astype(jnp.float32)
+        logits = apply_repetition_penalty(logits, tokens, t,
+                                          repetition_penalty)
+        if min_len > 0:
+            logits = jnp.where(
+                (t < min_len) & (jnp.arange(logits.shape[-1]) == eos_token_id
+                                 )[None, :], NEG_INF, logits)
+        if do_sample:
+            logits = logits / jnp.maximum(temperature, 1e-6)
+            logits = top_k_top_p_filtering(logits, top_k, top_p)
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, logits)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        step_logp = jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
+        nxt = jnp.where(finished, pad_token_id, nxt)
+        step_logp = jnp.where(finished, 0.0, step_logp)
+        if forced_prefix is not None:
+            pl = forced_prefix.shape[1]
+            forced = jnp.where(t < pl,
+                               forced_prefix[:, jnp.minimum(t, pl - 1)], nxt)
+            nxt = jnp.where((t < pl) & (forced >= 0), forced, nxt)
+        tokens = tokens.at[:, t].set(nxt)
+        finished = finished | (nxt == eos_token_id)
+        return (tokens, finished, rng), (step_logp, finished)
+
+    init = (tokens, jnp.zeros((n,), bool), rng)
+    (tokens, finished, _), (logps, fin_hist) = jax.lax.scan(
+        step, init, jnp.arange(1, max_len))
+    logprobs = jnp.concatenate(
+        [jnp.zeros((n, 1)), jnp.transpose(logps)], axis=1)
+    lengths = 1 + jnp.sum(~jnp.transpose(fin_hist), axis=1) + 1
+    lengths = jnp.minimum(lengths, max_len)
+    return GenerateOutput(tokens, logprobs, lengths)
+
+
+def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
+                pad_token_id: int, mask_token_id: int, batch_size: int,
+                max_len: int, num_beams: int, *,
+                length_penalty: float = 1.0,
+                repetition_penalty: float = 1.0,
+                min_len: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Beam search; returns (sequences [B, max_len], scores [B]).
+
+    logits_fn operates on flattened [B*num_beams, L] buffers.
+    Standard alive/finished-beam bookkeeping; length penalty
+    score = logprob_sum / len**alpha (reference BeamHypotheses :635-678).
+    """
+    b, k = batch_size, num_beams
+    tokens = jnp.full((b, k, max_len), mask_token_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(bos_token_id)
+    alive_logp = jnp.tile(jnp.array([[0.0] + [NEG_INF] * (k - 1)]), (b, 1))
+    fin_scores = jnp.full((b, k), NEG_INF)
+    fin_tokens = jnp.full((b, k, max_len), pad_token_id, jnp.int32)
+
+    def step(carry, t):
+        tokens, alive_logp, fin_tokens, fin_scores = carry
+        flat = tokens.reshape(b * k, max_len)
+        logits = logits_fn(flat)[:, t, :].astype(jnp.float32)
+        logits = apply_repetition_penalty(logits, flat, t,
+                                          repetition_penalty)
+        v = logits.shape[-1]
+        if min_len > 0:
+            logits = jnp.where(
+                (t < min_len) & (jnp.arange(v) == eos_token_id)[None, :],
+                NEG_INF, logits)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+        cand = alive_logp[..., None] + logp                 # [B, K, V]
+        flat_cand = cand.reshape(b, k * v)
+        # take 2K to guarantee K non-EOS continuations
+        top_lp, top_idx = jax.lax.top_k(flat_cand, 2 * k)
+        beam_idx = top_idx // v
+        tok_idx = top_idx % v
+        cand_tokens = jnp.take_along_axis(
+            tokens, beam_idx[..., None], axis=1)            # [B, 2K, L]
+        cand_tokens = cand_tokens.at[:, :, t].set(
+            jnp.where(tok_idx == mask_token_id, pad_token_id, tok_idx))
+        is_eos = tok_idx == eos_token_id
+
+        # finished candidates: score with length penalty
+        lp_score = top_lp / ((t + 1) ** length_penalty)
+        new_fin_scores = jnp.where(is_eos, lp_score, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], 1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], 1)
+        fin_top, fin_sel = jax.lax.top_k(all_fin_scores, k)
+        fin_tokens = jnp.take_along_axis(all_fin_tokens, fin_sel[..., None],
+                                         axis=1)
+        fin_scores = fin_top
+
+        # alive: best K non-EOS
+        alive_cand_lp = jnp.where(is_eos, NEG_INF, top_lp)
+        alive_top, alive_sel = jax.lax.top_k(alive_cand_lp, k)
+        tokens = jnp.take_along_axis(cand_tokens, alive_sel[..., None],
+                                     axis=1)
+        # restore [MASK] at future positions for alive beams
+        future = jnp.arange(max_len)[None, None, :] > t
+        tokens = jnp.where(future, mask_token_id, tokens)
+        alive_logp = alive_top
+        return (tokens, alive_logp, fin_tokens, fin_scores), None
+
+    carry = (tokens, alive_logp, fin_tokens, fin_scores)
+    (tokens, alive_logp, fin_tokens, fin_scores), _ = jax.lax.scan(
+        step, carry, jnp.arange(1, max_len))
+
+    # close out alive beams at max_len
+    alive_score = alive_logp / (max_len ** length_penalty)
+    tokens = jnp.where(tokens == mask_token_id, pad_token_id, tokens)
+    all_scores = jnp.concatenate([fin_scores, alive_score], 1)
+    all_tokens = jnp.concatenate([fin_tokens, tokens], 1)
+    best, sel = jax.lax.top_k(all_scores, 1)
+    seqs = jnp.take_along_axis(all_tokens, sel[..., None], axis=1)[:, 0]
+    return seqs, best[:, 0]

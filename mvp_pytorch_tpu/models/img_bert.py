@@ -1,0 +1,252 @@
+"""Single-stream backbone ("classic Oscar" path) + captioning model.
+
+Parity targets:
+- ImgBertModel <- reference `oscar/modeling/modeling_vlbert.py:202-352`
+  (BertImgModel): 12-layer BERT over `[text ; projected regions]`, 2D or 3D
+  attention masks, per-layer mask lists ("stage attention", :140-156,265-276).
+- ImgBertForPreTraining <- `modeling_vlbert_pretrain.py:1920-2028` (MLM +
+  seq-relationship) and VLBertImgForPreTraining (:2107-2223) adds MRF
+  masked-region-feature regression + MRC tag classification.
+- ImgBertForSequenceClassification <- `modeling_vlbert.py:886-967`.
+- CaptioningModel <- `modeling_vlbert_pretrain.py:1565-1875`
+  (BertForImageCaptioning): training on masked caption positions with
+  label-smoothed KL + drop-worst curriculum; decoding with a seq2seq
+  attention mask (caption causal, context bidirectional, context blind to
+  caption). Decoding here recomputes the short sequence per step under
+  lax.scan — at ~90 tokens this is MXU-cheap and keeps the graph static
+  (no mutable past-KV objects).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import mask_to_bias
+from ..ops.masked import (cross_entropy, gather_masked_positions,
+                          masked_cross_entropy)
+from .config import ModelConfig
+from .heads import (LMPredictionHead, MRFMRCHeads, ClassifierHead,
+                    SeqRelationshipHead)
+from .layers import Embeddings, Pooler, StreamEncoder, dense_init
+
+
+class ImgBertModel(nn.Module):
+    """BERT over [text ; projected regions], full depth."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embeddings = Embeddings(cfg, name="embeddings")
+        self.encoder = StreamEncoder(cfg, cfg.num_hidden_layers,
+                                     name="encoder")
+        self.pooler = Pooler(cfg, name="pooler")
+        self.img_embedding = nn.Dense(
+            cfg.hidden_size, kernel_init=dense_init(cfg),
+            dtype=jnp.dtype(cfg.dtype), name="img_embedding")
+        if cfg.use_img_layernorm:
+            self.img_norm = nn.LayerNorm(
+                epsilon=cfg.img_layer_norm_eps, dtype=jnp.dtype(cfg.dtype),
+                name="img_norm")
+        self.img_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def word_table(self):
+        return self.embeddings.word_table()
+
+    def img_kernel(self):
+        return self.img_embedding.variables["params"]["kernel"]
+
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 position_ids=None, img_feats=None, *,
+                 deterministic: bool = True):
+        """attention_mask: [B, L] or [B, L, L] (seq2seq / stage masks),
+        where L covers text+regions."""
+        emb = self.embeddings(input_ids, token_type_ids, position_ids,
+                              deterministic=deterministic)
+        if img_feats is not None:
+            img = self.img_embedding(img_feats)
+            if self.config.use_img_layernorm:
+                img = self.img_norm(img)
+            img = self.img_dropout(img, deterministic=deterministic)
+            emb = jnp.concatenate([emb, img.astype(emb.dtype)], axis=1)
+        if attention_mask is None:
+            attention_mask = jnp.ones(emb.shape[:2], jnp.int32)
+        bias = mask_to_bias(attention_mask)
+        seq, _ = self.encoder(emb, bias, deterministic=deterministic)
+        return seq, self.pooler(seq)
+
+
+class ImgBertForPreTraining(nn.Module):
+    """Single-stream pretraining: MLM + ITM (+ optional MRF/MRC)."""
+
+    config: ModelConfig
+    use_mrfr: bool = False       # masked-region-feature regression
+    od_tag_size: int = 1601
+
+    def setup(self):
+        cfg = self.config
+        self.bert = ImgBertModel(cfg, name="bert")
+        self.cls_predictions = LMPredictionHead(cfg, only_vocab=True,
+                                                name="cls_predictions")
+        self.seq_relationship = SeqRelationshipHead(cfg,
+                                                    name="cls_seq_relationship")
+        if self.use_mrfr:
+            self.mrf_mrc = MRFMRCHeads(cfg, od_tag_size=self.od_tag_size,
+                                       name="mrf_mrc")
+
+    def __call__(self, input_ids, attention_mask, token_type_ids, img_feats,
+                 masked_lm_labels, next_sentence_label=None,
+                 masked_region_labels=None, masked_region_targets=None, *,
+                 max_pred: int = 20, deterministic: bool = False):
+        seq, pooled = self.bert(input_ids, attention_mask, token_type_ids,
+                                img_feats=img_feats,
+                                deterministic=deterministic)
+        la = input_ids.shape[1]
+        word_table = self.bert.word_table()
+        mh, ml, mw = gather_masked_positions(seq[:, :la], masked_lm_labels,
+                                             max_pred)
+        mlm_loss = masked_cross_entropy(
+            self.cls_predictions(mh, word_table), ml, mw)
+        total = mlm_loss
+        out = {"mlm_loss": mlm_loss}
+        if next_sentence_label is not None:
+            itm_logits = self.seq_relationship(pooled)
+            itm_loss = cross_entropy(itm_logits, next_sentence_label)
+            total = total + itm_loss
+            out["itm_loss"] = itm_loss
+        if self.use_mrfr and masked_region_labels is not None:
+            region_h = seq[:, la:]
+            mrf_feat, mrc_score = self.mrf_mrc(region_h,
+                                               self.bert.img_kernel())
+            w = (masked_region_labels >= 0).astype(jnp.float32)
+            mrc_loss = masked_cross_entropy(mrc_score, masked_region_labels,
+                                            w)
+            mrf_loss = jnp.sum(w[..., None] * (
+                mrf_feat - masked_region_targets.astype(jnp.float32)) ** 2
+                ) / jnp.maximum(jnp.sum(w) * mrf_feat.shape[-1], 1.0)
+            total = total + mrc_loss + mrf_loss
+            out.update(mrc_loss=mrc_loss, mrf_loss=mrf_loss)
+        out["total_loss"] = total
+        return out
+
+
+class ImgBertForSequenceClassification(nn.Module):
+    """Single-stream classifier (reference modeling_vlbert.py:886-967)."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.bert = ImgBertModel(cfg, name="bert")
+        self.classifier = ClassifierHead(cfg, name="classifier")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids, attention_mask, token_type_ids, img_feats,
+                 labels=None, *, deterministic: bool = True):
+        from .tasks import classification_loss
+        _, pooled = self.bert(input_ids, attention_mask, token_type_ids,
+                              img_feats=img_feats,
+                              deterministic=deterministic)
+        logits = self.classifier(
+            self.dropout(pooled, deterministic=deterministic))
+        if labels is None:
+            return logits
+        return classification_loss(self.config, logits, labels), logits
+
+
+# ---------------------------------------------------------------------------
+# captioning
+# ---------------------------------------------------------------------------
+
+def make_seq2seq_mask(l_cap: int, ctx_mask: jax.Array) -> jax.Array:
+    """[B, L, L] mask: caption causal; caption sees valid context; context
+    bidirectional over itself and blind to the caption
+    (the reference's seq2seq attention mask, modeling_vlbert_pretrain.py:1620-1875)."""
+    b = ctx_mask.shape[0]
+    l_ctx = ctx_mask.shape[1]
+    l = l_cap + l_ctx
+    causal = jnp.tril(jnp.ones((l_cap, l_cap), jnp.int32))
+    cap_rows = jnp.concatenate(
+        [jnp.broadcast_to(causal, (b, l_cap, l_cap)),
+         jnp.broadcast_to(ctx_mask[:, None, :], (b, l_cap, l_ctx))], axis=2)
+    ctx_rows = jnp.concatenate(
+        [jnp.zeros((b, l_ctx, l_cap), jnp.int32),
+         jnp.broadcast_to(ctx_mask[:, None, :], (b, l_ctx, l_ctx))], axis=2)
+    return jnp.concatenate([cap_rows, ctx_rows], axis=1)
+
+
+def captioning_loss(logits, targets, weights, *, label_smoothing: float = 0.1,
+                    drop_worst_ratio: float = 0.0):
+    """Label-smoothed KL over masked caption positions with optional
+    drop-worst curriculum (reference BertCaptioningLoss :1537-1563)."""
+    v = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    eps = label_smoothing
+    tgt = jnp.clip(targets, 0, v - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+    smooth = -jnp.sum(logp, axis=-1)
+    # KL(one_hot_smoothed || p) up to a constant = (1-eps-eps/(V-1))*nll
+    #   + eps/(V-1) * sum_nll  (+ entropy const, dropped like the reference's
+    #   kl with fixed one-hot has const target entropy)
+    per = (1.0 - eps) * nll + (eps / (v - 1)) * (smooth - nll)
+    per = per * weights
+    flat = per.reshape(-1)
+    wflat = weights.reshape(-1)
+    if drop_worst_ratio > 0:
+        k = int(flat.shape[0] * (1 - drop_worst_ratio))
+        flat_sel = -jax.lax.top_k(-flat, k)[0]   # smallest k losses
+        # weight-aware denom: approximate with count of nonzero in selection
+        denom = jnp.maximum(jnp.sum(flat_sel > 0), 1)
+        return jnp.sum(flat_sel) / denom
+    return jnp.sum(flat) / jnp.maximum(jnp.sum(wflat), 1.0)
+
+
+class CaptioningModel(nn.Module):
+    """Image captioning over the single-stream backbone."""
+
+    config: ModelConfig
+    label_smoothing: float = 0.1
+    drop_worst_ratio: float = 0.0
+
+    def setup(self):
+        cfg = self.config
+        self.bert = ImgBertModel(cfg, name="bert")
+        self.cls_predictions = LMPredictionHead(cfg, only_vocab=False,
+                                                name="cls_predictions")
+
+    def _logits(self, seq, l_cap):
+        return self.cls_predictions(seq[:, :l_cap],
+                                    self.bert.word_table())
+
+    def __call__(self, input_ids, ctx_ids, ctx_mask, token_type_ids,
+                 ctx_token_type_ids, img_feats, masked_pos=None,
+                 masked_ids=None, *, deterministic: bool = False):
+        """Training: input_ids = caption with [MASK]s; ctx_ids = od tags;
+        ctx covers tags + regions. masked_pos [B, L_cap] 0/1, masked_ids
+        [B, L_cap] target ids (0 where unmasked)."""
+        l_cap = input_ids.shape[1]
+        full_ids = jnp.concatenate([input_ids, ctx_ids], axis=1)
+        full_seg = jnp.concatenate([token_type_ids, ctx_token_type_ids],
+                                   axis=1)
+        mask3d = make_seq2seq_mask(l_cap, ctx_mask)
+        seq, _ = self.bert(full_ids, mask3d, full_seg, img_feats=img_feats,
+                           deterministic=deterministic)
+        logits = self._logits(seq, l_cap)
+        if masked_pos is None:
+            return logits
+        w = masked_pos.astype(jnp.float32)
+        loss = captioning_loss(logits, masked_ids, w,
+                               label_smoothing=self.label_smoothing,
+                               drop_worst_ratio=self.drop_worst_ratio)
+        return loss, logits
+
+    def decode_logits(self, caption_ids, ctx_ids, ctx_mask, token_type_ids,
+                      ctx_token_type_ids, img_feats):
+        """Decode-mode forward: full caption buffer (causal mask), returns
+        [B, L_cap, V] logits; generation reads position t."""
+        return self(caption_ids, ctx_ids, ctx_mask, token_type_ids,
+                    ctx_token_type_ids, img_feats, deterministic=True)

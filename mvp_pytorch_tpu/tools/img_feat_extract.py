@@ -1,0 +1,56 @@
+"""Region-feature extraction CLI.
+
+Parity target: reference `tools/img_feat_extract.py` — run the (TorchScript)
+object detector over an image directory and write the framework's feature
+contract: `predictions.tsv` rows [image_name, json{"feature": base64 float32
+[N, 2054], "predictions": tags}] + `imageid2idx.json` (+ .lineidx).
+
+Usage:
+  python -m mvp_pytorch_tpu.tools.img_feat_extract \
+      --vinvl_od_path od_model.pt --image_dir imgs/ --target_dir out/ \
+      --od_config_dir tools_tpu/configs/
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--vinvl_od_path", type=str, required=True)
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--target_dir", type=str, required=True)
+    p.add_argument("--od_config_dir", type=str, default="tools_tpu/configs/")
+    args = p.parse_args(argv)
+
+    from ..data.tsv import tsv_writer
+    from ..pipeline import InferencePipeline
+    od = InferencePipeline._make_torchscript_od(args.vinvl_od_path,
+                                                args.od_config_dir)
+    images = sorted(
+        f for f in os.listdir(args.image_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    os.makedirs(args.target_dir, exist_ok=True)
+
+    def rows():
+        for name in images:
+            feats, tags = od(os.path.join(args.image_dir, name))
+            enc = base64.b64encode(feats.astype(np.float32).tobytes()
+                                   ).decode("utf-8")
+            yield [name, json.dumps({"feature": enc, "predictions": tags})]
+
+    tsv_path = os.path.join(args.target_dir, "predictions.tsv")
+    tsv_writer(rows(), tsv_path)
+    with open(os.path.join(args.target_dir, "imageid2idx.json"), "w") as f:
+        json.dump({name: i for i, name in enumerate(images)}, f)
+    print(f"wrote {tsv_path} ({len(images)} images)")
+
+
+if __name__ == "__main__":
+    main()

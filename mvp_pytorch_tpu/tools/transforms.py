@@ -1,0 +1,53 @@
+"""Image preprocessing for the detection front-end (numpy/PIL, no torchvision).
+
+Parity target: reference `tools/transform_utils.py:124-155` build_transforms
+with `tools/configs/vinvl_transform.json`: resize shorter side to
+MIN_SIZE_TEST capped by MAX_SIZE_TEST (maskrcnn-benchmark geometry), CHW
+float tensor, optional BGR255 conversion, pixel-mean/std normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def resize_shape(w: int, h: int, min_size: int, max_size: int
+                 ) -> Tuple[int, int]:
+    """maskrcnn-benchmark resize rule: shorter side -> min_size unless that
+    pushes the longer side past max_size (then scale to max_size)."""
+    size = min_size
+    mn, mx = (w, h) if w < h else (h, w)
+    if mx / mn * size > max_size:
+        size = int(round(max_size * mn / mx))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return w, h
+    if w < h:
+        return size, int(size * h / w)
+    return int(size * w / h), size
+
+
+class VinVLTransform:
+    def __init__(self, cfg: dict):
+        self.min_size = cfg["MIN_SIZE_TEST"]
+        self.max_size = cfg["MAX_SIZE_TEST"]
+        self.to_bgr255 = cfg.get("TO_BGR255", True)
+        self.mean = np.asarray(cfg["PIXEL_MEAN"], np.float32)
+        self.std = np.asarray(cfg.get("PIXEL_STD", [1.0, 1.0, 1.0]),
+                              np.float32)
+
+    def __call__(self, pil_img) -> np.ndarray:
+        w, h = pil_img.size
+        nw, nh = resize_shape(w, h, self.min_size, self.max_size)
+        img = pil_img.resize((nw, nh))
+        x = np.asarray(img, np.float32) / 255.0          # HWC RGB [0,1]
+        x = np.transpose(x, (2, 0, 1))                   # CHW
+        if self.to_bgr255:
+            x = x[::-1] * 255.0
+        x = (x - self.mean[:, None, None]) / self.std[:, None, None]
+        return x
+
+
+def build_transforms(cfg: dict) -> VinVLTransform:
+    return VinVLTransform(cfg)

@@ -1,0 +1,165 @@
+"""Numerical parity vs the ACTUAL reference implementation.
+
+Instantiates the reference PyTorch BiBertImgForPreTraining (read-only import
+from /root/reference) with a tiny config, converts its random-init weights
+with mvp_pytorch_tpu.convert, and checks our BiEncoder + heads reproduce the
+reference forward numerics at fp32 tolerance. This is the strongest possible
+checkpoint-compatibility proof without the released weights.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+B, LA, T, R = 3, 12, 6, 5
+MAX_TAG = T
+
+
+@pytest.fixture(scope="module")
+def ref_model_and_inputs():
+    sys.path.insert(0, REF)
+    sys.path.insert(0, os.path.join(REF, "transformers"))
+    # the vendored lib imports boto3 unconditionally; stub it (no network)
+    import types
+    for name in ("boto3", "botocore", "botocore.exceptions", "anytree"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "botocore.exceptions":
+                class ClientError(Exception):
+                    pass
+                mod.ClientError = ClientError
+            sys.modules[name] = mod
+    # oscar imports `transformers.pytorch_transformers`; the installed HF
+    # transformers shadows the reference's folder, so alias a namespace
+    # module pointing at the reference copy for this process.
+    parent = types.ModuleType("transformers")
+    parent.__path__ = [os.path.join(REF, "transformers")]
+    sys.modules["transformers"] = parent
+
+    import torch
+    torch.manual_seed(0)
+    from transformers.pytorch_transformers.modeling_bert import BertConfig
+    from oscar.modeling.modeling_vlbert import BiBertImgForPreTraining
+
+    cfg = BertConfig(vocab_size_or_config_json_file=131, hidden_size=32,
+                     num_hidden_layers=4, num_attention_heads=4,
+                     intermediate_size=37, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    cfg.torchscript = True   # modern torch rejects the non-clone tie path
+    cfg.img_feature_dim = 22
+    cfg.img_feature_type = "faster_r-cnn"
+    cfg.only_word_size = 99
+    cfg.qa_answer_size = 7
+    cfg.num_contrast_classes = 2
+    cfg.use_img_layernorm = False
+    model = BiBertImgForPreTraining(cfg)
+    model.eval()
+
+    rs = np.random.RandomState(0)
+    inputs = dict(
+        input_ids_a=rs.randint(0, 131, (B, LA)).astype(np.int64),
+        attention_mask_a=np.ones((B, LA), np.int64),
+        token_type_ids_a=np.zeros((B, LA), np.int64),
+        input_ids_b=rs.randint(0, 99, (B, T)).astype(np.int64),
+        attention_mask_b=np.ones((B, T + R), np.int64),
+        token_type_ids_b=np.ones((B, T), np.int64),
+        img_feats=rs.randn(B, R, 22).astype(np.float32),
+    )
+    return model, inputs
+
+
+def test_backbone_forward_parity(ref_model_and_inputs):
+    import torch
+    model, inputs = ref_model_and_inputs
+    t = {k: torch.tensor(v) for k, v in inputs.items()}
+    with torch.no_grad():
+        outputs, single_stream, _ = model.bert(
+            input_ids_a=t["input_ids_a"],
+            attention_mask_a=t["attention_mask_a"],
+            token_type_ids_a=t["token_type_ids_a"],
+            input_ids_b=t["input_ids_b"],
+            attention_mask_b=t["attention_mask_b"],
+            token_type_ids_b=t["token_type_ids_b"],
+            img_feats=t["img_feats"], max_tag_length=MAX_TAG,
+            encode_hn=False)
+    ref_seq, ref_pooled = outputs[0].numpy(), outputs[1].numpy()
+    ref_txt, ref_vis, ref_sim = [x.numpy() for x in single_stream]
+
+    # convert weights and run ours
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import BiEncoder, ModelConfig
+    import jax.numpy as jnp
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, skipped = convert_state_dict(sd)
+    assert not [s for s in skipped if "decoder" not in s], skipped
+
+    cfg = ModelConfig(vocab_size=131, only_word_size=99, hidden_size=32,
+                      num_hidden_layers=4, num_attention_heads=4,
+                      intermediate_size=37, max_position_embeddings=64,
+                      img_feature_dim=22, qa_answer_size=7,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    bi = BiEncoder(cfg)
+    out = bi.apply({"params": params["bert"]},
+                   jnp.asarray(inputs["input_ids_a"]),
+                   jnp.asarray(inputs["attention_mask_a"]),
+                   jnp.asarray(inputs["token_type_ids_a"]),
+                   jnp.asarray(inputs["input_ids_b"]),
+                   jnp.asarray(inputs["attention_mask_b"]),
+                   jnp.asarray(inputs["token_type_ids_b"]),
+                   jnp.asarray(inputs["img_feats"]),
+                   max_tag_length=MAX_TAG)
+
+    np.testing.assert_allclose(np.asarray(out.txt_output), ref_txt,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.vis_output), ref_vis,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.sim_mat), ref_sim,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.sequence_output), ref_seq,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.pooled_output), ref_pooled,
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_mlm_head_parity(ref_model_and_inputs):
+    """Tied-decoder MLM logits must match the reference (the 'hard part 1'
+    of SURVEY.md §7: weight tying to a vocab slice)."""
+    import torch
+    model, inputs = ref_model_and_inputs
+    rs = np.random.RandomState(1)
+    hidden = rs.randn(B, 4, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_scores, _ = model.cls(torch.tensor(hidden),
+                                  torch.tensor(hidden[:, 0]))
+        ref_half = model.half_mlm(torch.tensor(hidden))
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.heads import LMPredictionHead
+    import jax.numpy as jnp
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, _ = convert_state_dict(sd)
+    cfg = ModelConfig(vocab_size=131, only_word_size=99, hidden_size=32,
+                      num_hidden_layers=4, num_attention_heads=4,
+                      intermediate_size=37, max_position_embeddings=64,
+                      img_feature_dim=22)
+    head = LMPredictionHead(cfg, only_vocab=True)
+    table = jnp.asarray(
+        params["bert"]["embeddings"]["word_embeddings"]["embedding"])
+    got = head.apply({"params": params["cls_predictions"]},
+                     jnp.asarray(hidden), table)
+    np.testing.assert_allclose(np.asarray(got), ref_scores.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    got_half = head.apply({"params": params["half_mlm"]},
+                          jnp.asarray(hidden), table)
+    np.testing.assert_allclose(np.asarray(got_half), ref_half.numpy(),
+                               atol=2e-4, rtol=1e-3)

@@ -77,8 +77,17 @@ class FeatureStore:
     def get(self, image_id) -> Tuple[np.ndarray, List[str]]:
         row = self.tsv.seek(self.id2idx[str(image_id)])
         rec = json.loads(row[1])
-        feats = np.frombuffer(base64.b64decode(rec["feature"]),
-                              dtype=np.float32).reshape(-1, self.feature_dim)
+        blob = None
+        try:
+            from .. import native
+            if native.available:
+                blob = native.b64_decode(rec["feature"])
+        except Exception:
+            blob = None
+        if blob is None:
+            blob = base64.b64decode(rec["feature"])
+        feats = np.frombuffer(blob, dtype=np.float32).reshape(
+            -1, self.feature_dim)
         return np.copy(feats), list(rec.get("predictions", []))
 
 

@@ -202,3 +202,42 @@ class BertTokenizer:
         if os.path.isdir(path):
             path = os.path.join(path, VOCAB_NAME)
         return cls(path, **kwargs)
+
+
+class FastBertTokenizer(BertTokenizer):
+    """BertTokenizer with the native C++ fast path for ASCII text.
+
+    Same algorithm, same outputs (tested against the Python path); unicode
+    text transparently falls back to the Python implementation. This is the
+    framework's native input-pipeline component (the reference spends its
+    DataLoader-worker CPU here — SURVEY.md §3 hot loop 4)."""
+
+    def __init__(self, vocab_file: str, **kwargs):
+        super().__init__(vocab_file, **kwargs)
+        self._native = None
+        try:
+            from .. import native
+            if native.available:
+                self._nv = native.NativeVocab(dict(self.vocab),
+                                              self.unk_token)
+                self._native = native
+        except Exception:
+            self._native = None
+
+    @property
+    def native_active(self) -> bool:
+        return self._native is not None
+
+    def encode(self, text: str):
+        if self._native is not None:
+            ids = self._native.tokenize_ascii(self._nv, text)
+            if ids is not None:
+                return ids
+        return super().encode(text)
+
+    def tokenize(self, text: str):
+        if self._native is not None:
+            ids = self._native.tokenize_ascii(self._nv, text)
+            if ids is not None:
+                return self.convert_ids_to_tokens(ids)
+        return super().tokenize(text)

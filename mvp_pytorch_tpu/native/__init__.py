@@ -1,0 +1,99 @@
+"""ctypes loader for the native data-plane library (fastdata.cpp).
+
+Builds libfastdata.so on first import if a toolchain is available; every
+entry point has a pure-Python fallback so the framework never hard-depends
+on the native build (graceful degradation, explicit `available` flag).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+_HERE = os.path.dirname(__file__)
+_SO = os.path.join(_HERE, "libfastdata.so")
+_SRC = os.path.join(_HERE, "fastdata.cpp")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                   < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.vocab_create.restype = ctypes.c_void_p
+    lib.vocab_add.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                              ctypes.c_int32]
+    lib.vocab_finalize.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vocab_free.argtypes = [ctypes.c_void_p]
+    lib.vocab_size.argtypes = [ctypes.c_void_p]
+    lib.vocab_size.restype = ctypes.c_int32
+    lib.tokenize_ascii.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_int32,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.c_int32]
+    lib.tokenize_ascii.restype = ctypes.c_int32
+    lib.b64_decode.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                               ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_int32]
+    lib.b64_decode.restype = ctypes.c_int32
+    return lib
+
+
+_LIB = _load()
+available = _LIB is not None
+
+
+class NativeVocab:
+    """Immutable native vocab handle for FastTokenizer."""
+
+    def __init__(self, vocab: dict, unk_token: str = "[UNK]"):
+        if _LIB is None:
+            raise RuntimeError("native fastdata library unavailable")
+        self._h = _LIB.vocab_create()
+        for tok, idx in vocab.items():
+            _LIB.vocab_add(self._h, tok.encode("utf-8"), idx)
+        _LIB.vocab_finalize(self._h, vocab.get(unk_token, 1))
+
+    def __del__(self):
+        if _LIB is not None and getattr(self, "_h", None):
+            _LIB.vocab_free(self._h)
+            self._h = None
+
+
+_MAX_TOKENS = 4096
+
+
+def tokenize_ascii(nv: NativeVocab, text: str) -> Optional[List[int]]:
+    """Tokenize to ids; None if text needs the Python unicode path."""
+    raw = text.encode("utf-8", errors="strict")
+    out = (ctypes.c_int32 * _MAX_TOKENS)()
+    n = _LIB.tokenize_ascii(nv._h, raw, len(raw), out, _MAX_TOKENS)
+    if n < 0:
+        return None
+    return list(out[:n])
+
+
+def b64_decode(data: str) -> Optional[bytes]:
+    raw = data.encode("ascii")
+    cap = (len(raw) // 4 + 1) * 3
+    out = (ctypes.c_uint8 * cap)()
+    n = _LIB.b64_decode(raw, len(raw), out, cap)
+    if n < 0:
+        return None
+    return bytes(out[:n])

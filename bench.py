@@ -38,11 +38,13 @@ def main():
     LA = 75           # 70 text + 5 phrase slots
     T, R = 20, 50     # tags, regions
     K_I2T, K_T2I = 20, 10   # rerank candidates (num_captions_per_img_val-style)
-    EB, SB = 500, 500       # encode batch, score batch
+    EB, SB = 500, 1000      # encode batch, score batch
 
+    import os
     cfg = ModelConfig(vocab_size=86051, only_word_size=30522,
                       dtype="bfloat16", hidden_dropout_prob=0.0,
-                      attention_probs_dropout_prob=0.0)
+                      attention_probs_dropout_prob=0.0,
+                      attention_impl=os.environ.get("BENCH_ATTN", "auto"))
     model = RetrievalModel(cfg)
 
     rs = np.random.RandomState(0)
@@ -66,23 +68,13 @@ def main():
     # --- jitted stages (params passed as args, never as baked constants) ---
     @jax.jit
     def _enc_txt(v, batch):
-        seq = model.apply(v, **batch, method=RetrievalModel.encode_text_seq)
-        glob = model.apply(v, batch["input_ids_a"],
-                           batch["attention_mask_a"],
-                           batch["token_type_ids_a"],
-                           method=RetrievalModel.encode_text_only)
-        return seq, glob
+        return model.apply(v, **batch,
+                           method=RetrievalModel.encode_text_full)
 
     @jax.jit
     def _enc_img(v, batch):
-        vis_part, vis_mask = model.apply(
-            v, **batch, max_tag_length=T,
-            method=RetrievalModel.encode_image_seq)
-        glob = model.apply(v, batch["input_ids_b"],
-                           batch["attention_mask_b"],
-                           batch["token_type_ids_b"], batch["img_feats"],
-                           method=RetrievalModel.encode_image_only)
-        return vis_part, vis_mask, glob
+        return model.apply(v, **batch, max_tag_length=T,
+                           method=RetrievalModel.encode_image_full)
 
     @jax.jit
     def _fine_scores(v, txt_seq, txt_mask, vis_part, vis_mask, cap_idx,

@@ -361,6 +361,70 @@ class REDataset:
         return collate([self[int(i)] for i in indices])
 
 
+class ImgOnlyDataset:
+    """Vision-only pretraining stream: MLM over object tags with empty text
+    (reference ImgOnlyDataset, oscar_datasets_ml/oscar_tsv.py:1190-1240).
+    Yields the same tensor schema as PretrainDataset with a blank stream A."""
+
+    def __init__(self, features: FeatureStore, tokenizer,
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 seed: int = 0, mask_prob: float = 0.15):
+        self.keys = features.keys()
+        self.features = features
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.seed = seed
+        self.mask_prob = mask_prob
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        feats, tags = self.features.get(self.keys[index])
+        ex = PretrainExample(
+            tokens_a=[], tokens_b=self.tokenizer.tokenize(" ".join(tags)),
+            img_feat=feats, od_tags=[t.lower() for t in tags], guid=index)
+        rng = random.Random(f"img:{self.seed}:{index}")
+        return convert_example_to_features(ex, self.tokenizer, cfg=self.cfg,
+                                           rng=rng, mask_prob=self.mask_prob)
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
+class TextOnlyDataset:
+    """Text-only pretraining stream: caption-corpus MLM with a single dummy
+    region (reference TextOnlyDataset/TextOnlyDataset2,
+    oscar_datasets_ml/oscar_tsv.py:914-1075 — fakes img_seq_len=1)."""
+
+    def __init__(self, corpus_tsv: str, tokenizer,
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 seed: int = 0, mask_prob: float = 0.15,
+                 text_column: int = 1):
+        self.tsv = TSVFile(corpus_tsv)
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.seed = seed
+        self.mask_prob = mask_prob
+        self.text_column = text_column
+
+    def __len__(self):
+        return len(self.tsv)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        row = self.tsv.seek(index)
+        text = row[min(self.text_column, len(row) - 1)]
+        dummy = np.zeros((1, self.cfg.img_feature_dim), np.float32)
+        ex = PretrainExample(tokens_a=self.tokenizer.tokenize(text),
+                             tokens_b=[], img_feat=dummy, guid=index)
+        rng = random.Random(f"txt:{self.seed}:{index}")
+        return convert_example_to_features(ex, self.tokenizer, cfg=self.cfg,
+                                           rng=rng, mask_prob=self.mask_prob)
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
 def re_score(logits: np.ndarray, labels: np.ndarray,
              iou_threshold: float = 0.5) -> float:
     """argmax-region IoU>=0.5 accuracy (reference run_re.py:389-423)."""

@@ -141,6 +141,9 @@ class BiPretrainModel(nn.Module):
         self.half_mlm = LMPredictionHead(cfg, only_vocab=True, name="half_mlm")
         if cfg.qa_answer_size > 0:
             self.qa_head = nn.Dense(cfg.qa_answer_size, name="qa_head")
+        # QA-pair binary contrastive head (reference BiBertImgForPreTraining2
+        # qa_seq_relation, modeling_vlbert_pretrain.py:2760,2840-2843)
+        self.qa_seq_relation = nn.Dense(2, name="qa_seq_relation")
         self.logit_scale = self.param(
             "logit_scale",
             lambda key, shape: jnp.full(shape, np.log(1.0 / 0.07),
@@ -149,7 +152,8 @@ class BiPretrainModel(nn.Module):
     def __call__(self, input_ids_a, attention_mask_a, token_type_ids_a,
                  lm_label_ids_a, input_ids_b, attention_mask_b,
                  token_type_ids_b, lm_label_ids_b, img_feats,
-                 phrase_index=None, image_index=None, qa_ans=None, *,
+                 phrase_index=None, image_index=None, qa_ans=None,
+                 qa_is_next=None, *,
                  max_tag_length: int = 20, max_pred_a: int = 20,
                  max_pred_b: int = 10, hn_mod: str = "hard",
                  phrase_mod: str = "sample", wra_phrase_width: int = 10,
@@ -202,6 +206,12 @@ class BiPretrainModel(nn.Module):
             qa_logits = self.qa_head(out.pooled_output).astype(jnp.float32)
             qa_loss = cross_entropy(qa_logits, qa_ans)
             total = total + qa_loss
+        if qa_is_next is not None:
+            qa_rel_logits = self.qa_seq_relation(
+                out.pooled_output).astype(jnp.float32)
+            qa_rel_loss = cross_entropy(qa_rel_logits, qa_is_next)
+            total = total + qa_rel_loss
+            qa_loss = qa_rel_loss if qa_loss is None else qa_loss + qa_rel_loss
 
         # 5. WRA phrase-region alignment
         wra_loss = None

@@ -181,6 +181,12 @@ class RetrievalModel(nn.Module):
                                        token_type_ids_a)
         return seq
 
+    def encode_text_full(self, input_ids_a, attention_mask_a,
+                         token_type_ids_a):
+        """(seq, global) in ONE encoder pass — coarse+fine eval caching."""
+        return self.bert.encode_text(input_ids_a, attention_mask_a,
+                                     token_type_ids_a)
+
     def encode_image_seq(self, input_ids_b, attention_mask_b,
                          token_type_ids_b, img_feats, *,
                          max_tag_length: int = 20):
@@ -188,6 +194,15 @@ class RetrievalModel(nn.Module):
         seq, _ = self.bert.encode_image(input_ids_b, attention_mask_b,
                                         token_type_ids_b, img_feats)
         return seq[:, max_tag_length:, :], attention_mask_b[:, max_tag_length:]
+
+    def encode_image_full(self, input_ids_b, attention_mask_b,
+                          token_type_ids_b, img_feats, *,
+                          max_tag_length: int = 20):
+        """(vis_part, vis_part_mask, global) in ONE encoder pass."""
+        seq, glob = self.bert.encode_image(input_ids_b, attention_mask_b,
+                                           token_type_ids_b, img_feats)
+        return (seq[:, max_tag_length:, :],
+                attention_mask_b[:, max_tag_length:], glob)
 
     def score_cached(self, txt_seq, attention_mask_a, vis_part,
                      vis_part_mask):
@@ -403,6 +418,34 @@ class WREModel(nn.Module):
         else:
             raise NotImplementedError(mod)
         return wra_loss, logits
+
+
+class CaseModel(nn.Module):
+    """Case-study model: phrase-region similarity matrices for analysis
+    (reference BiBertImgForCase, modeling_vlbert.py:2247-2388). Returns
+    (sims [B, P, R], phrase_valid [B, P], region_valid [B, R])."""
+
+    config: ModelConfig
+
+    def setup(self):
+        self.bert = BiEncoder(self.config, name="bert")
+
+    def __call__(self, input_ids_a, attention_mask_a, token_type_ids_a,
+                 input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
+                 phrase_index, image_index, *, max_tag_length: int = 20,
+                 phrase_width: int = 10, phrase_layer=None):
+        from ..ops.masked import gather_span
+        out = self.bert(input_ids_a, attention_mask_a, token_type_ids_a,
+                        input_ids_b, attention_mask_b, token_type_ids_b,
+                        img_feats, max_tag_length=max_tag_length,
+                        phrase_layer=phrase_layer)
+        seq = out.sequence_output if phrase_layer is None else out.mid_joint
+        ph, ph_valid = gather_span(seq, phrase_index, phrase_width)
+        im, im_valid = gather_span(seq, image_index, img_feats.shape[1])
+        ph = l2_normalize(ph.astype(jnp.float32))
+        im = l2_normalize(im.astype(jnp.float32))
+        sims = jnp.einsum("bph,brh->bpr", ph, im)
+        return sims, ph_valid, im_valid
 
 
 # ---------------------------------------------------------------------------

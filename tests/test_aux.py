@@ -1,0 +1,172 @@
+"""Aux subsystem tests: processors, img/text-only datasets, cached_path,
+profiler timers, QA-contrastive head, CaseModel, forward_joint."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvp_pytorch_tpu.data.datasets import (FeatureStore, ImgOnlyDataset,
+                                           TextOnlyDataset)
+from mvp_pytorch_tpu.data.processors import (GQAProcessor, NLVRProcessor,
+                                             PROCESSORS, VCRProcessor,
+                                             VQATextProcessor)
+from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+from mvp_pytorch_tpu.models import BiEncoder, BiPretrainModel, tiny_config
+from mvp_pytorch_tpu.models.tasks import CaseModel
+from mvp_pytorch_tpu.training.profiler import StepTimer
+from mvp_pytorch_tpu.utils.file_utils import cached_path
+
+B, LA, T, R = 2, 10, 5, 4
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("aux")
+    return make_synthetic_root(str(root))
+
+
+def test_img_and_text_only_datasets(synth):
+    tok = BertTokenizer(synth["vocab"])
+    fs = FeatureStore(synth["features"])
+    img_ds = ImgOnlyDataset(fs, tok)
+    ex = img_ds[0]
+    assert ex["input_ids_a"][0] == tok.vocab["[CLS]"]
+    assert ex["input_ids_a"][2] == 0          # empty stream A: CLS SEP pad
+    assert ex["img_feat"].shape[1] == 2054
+
+    txt_ds = TextOnlyDataset(synth["corpus"], tok)
+    ex2 = txt_ds[0]
+    assert (ex2["input_ids_a"] > 0).sum() > 2  # real text
+    assert ex2["image_index"][1] - ex2["image_index"][0] == 1  # dummy region
+    b = txt_ds.fetch(np.arange(4))
+    assert b["input_ids_a"].shape[0] == 4
+
+
+def test_processors(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "train.jsonl"), "w") as f:
+        f.write(json.dumps({"question_id": 5, "image_id": "img_1",
+                            "question": "what is it?", "labels": [2],
+                            "scores": [1.0]}) + "\n")
+        f.write(json.dumps({"question_id": 6, "image_id": "img_2",
+                            "question": "how many?", "labels": [0],
+                            "scores": [0.6]}) + "\n")
+    exs = VQATextProcessor().get_train_examples(d)
+    assert len(exs) == 2 and exs[0].q_id == 5 and exs[0].img_key == "img_1"
+
+    with open(os.path.join(d, "dev.jsonl"), "w") as f:
+        f.write(json.dumps({"sentence": "both images have dogs",
+                            "label": "True", "img0": "a.jpg",
+                            "img1": "b.jpg"}) + "\n")
+    nlvr = NLVRProcessor().get_dev_examples(d)
+    assert nlvr[0].label == 1
+    assert json.loads(nlvr[0].img_key) == ["a.jpg", "b.jpg"]
+
+    with open(os.path.join(d, "val.jsonl"), "w") as f:
+        f.write(json.dumps({"question": "why?", "img_id": "i1",
+                            "answer_choices": ["a", "b", "c", "d"],
+                            "answer_label": 1,
+                            "rationale_choices": ["r1", "r2", "r3", "r4"],
+                            "rationale_label": 2}) + "\n")
+    qa = VCRProcessor("qa").get_dev_examples(d)
+    assert len(qa) == 4 and qa[1].label == 1 and qa[0].label == 0
+    qar = VCRProcessor("qar").get_dev_examples(d)
+    assert qar[2].label == 1 and "b" in qar[0].text_a
+    q_ar = VCRProcessor("q_ar").get_dev_examples(d)
+    assert len(q_ar) == 16 and q_ar[1 * 4 + 2].label == 1
+    assert set(PROCESSORS) == {"vqa_text", "vqa_text_a", "gqa", "nlvr", "vcr"}
+
+
+def test_cached_path(tmp_path):
+    p = tmp_path / "x.txt"
+    p.write_text("hi")
+    assert cached_path(str(p)) == str(p)
+    assert cached_path(f"file://{p}") == str(p)
+    with pytest.raises(FileNotFoundError):
+        cached_path(str(tmp_path / "missing.txt"))
+    with pytest.raises(ValueError):
+        cached_path("ftp://x/y")
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.mark("data")
+    t.mark("compute")
+    out = t.pop()
+    assert set(out) == {"data", "compute"}
+    assert t.pop() == {}
+
+
+def make_batch(cfg, rng=0):
+    r = np.random.RandomState(rng)
+    return dict(
+        input_ids_a=jnp.asarray(r.randint(0, cfg.vocab_size, (B, LA))),
+        attention_mask_a=jnp.ones((B, LA), jnp.int32),
+        token_type_ids_a=jnp.zeros((B, LA), jnp.int32),
+        input_ids_b=jnp.asarray(r.randint(0, cfg.only_word_size, (B, T))),
+        attention_mask_b=jnp.ones((B, T + R), jnp.int32),
+        token_type_ids_b=jnp.ones((B, T), jnp.int32),
+        img_feats=jnp.asarray(r.randn(B, R, cfg.img_feature_dim), jnp.float32),
+    )
+
+
+def test_qa_contrastive_head():
+    cfg = tiny_config()
+    model = BiPretrainModel(cfg)
+    batch = make_batch(cfg)
+    lm_a = jnp.full((B, LA), -1, jnp.int32)
+    lm_b = jnp.full((B, T + R), -1, jnp.int32)
+    rngs = {"hardneg": jax.random.PRNGKey(1), "wra": jax.random.PRNGKey(2)}
+    kwargs = dict(input_ids_a=batch["input_ids_a"],
+                  attention_mask_a=batch["attention_mask_a"],
+                  token_type_ids_a=batch["token_type_ids_a"],
+                  lm_label_ids_a=lm_a, input_ids_b=batch["input_ids_b"],
+                  attention_mask_b=batch["attention_mask_b"],
+                  token_type_ids_b=batch["token_type_ids_b"],
+                  lm_label_ids_b=lm_b, img_feats=batch["img_feats"],
+                  qa_is_next=jnp.asarray([0, 1]))
+    v = model.init({"params": jax.random.PRNGKey(0), **rngs}, **kwargs,
+                   max_tag_length=T)
+    out = model.apply(v, **kwargs, max_tag_length=T, rngs=rngs)
+    assert np.isfinite(float(out.qa_loss))
+    assert "qa_seq_relation" in v["params"]
+
+
+def test_case_model():
+    cfg = tiny_config()
+    model = CaseModel(cfg)
+    batch = make_batch(cfg)
+    phrase_index = jnp.tile(jnp.asarray([[2, 5]]), (B, 1))
+    image_index = jnp.tile(jnp.asarray([[LA, LA + R]]), (B, 1))
+    v = model.init(jax.random.PRNGKey(0), **batch,
+                   phrase_index=phrase_index, image_index=image_index,
+                   max_tag_length=T)
+    sims, pv, iv = model.apply(v, **batch, phrase_index=phrase_index,
+                               image_index=image_index, max_tag_length=T)
+    assert sims.shape == (B, 10, R)
+    assert np.all(np.abs(np.asarray(sims)) <= 1.0 + 1e-5)
+    np.testing.assert_array_equal(np.asarray(pv[:, :3]), 1.0)
+
+
+def test_forward_joint_nlvr():
+    cfg = tiny_config()
+    model = BiEncoder(cfg)
+    batch = make_batch(cfg)
+    v = model.init(jax.random.PRNGKey(0), **batch, max_tag_length=T)
+    outs = model.apply(
+        v, batch["input_ids_a"], batch["attention_mask_a"],
+        batch["token_type_ids_a"], batch["input_ids_b"],
+        batch["attention_mask_b"], batch["token_type_ids_b"],
+        batch["img_feats"], batch["input_ids_b"], batch["attention_mask_b"],
+        batch["token_type_ids_b"], batch["img_feats"], max_tag_length=T,
+        method=BiEncoder.forward_joint)
+    assert len(outs) == 2
+    (seq1, pooled1), (seq2, pooled2) = outs
+    assert pooled1.shape == (B, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(pooled1), np.asarray(pooled2),
+                               atol=1e-5)  # same image twice

@@ -147,12 +147,16 @@ _pallas_attention_ad.defvjp(_attn_fwd, _attn_bwd)
 
 
 def dot_product_attention(q, k, v, bias=None, *, impl: str = "auto"):
-    """Dispatch: Pallas fused kernel on TPU, XLA elsewhere.
+    """Dispatch: 'auto' | 'xla' | 'pallas' | 'pallas_interpret' (tests).
 
-    impl: 'auto' | 'xla' | 'pallas' | 'pallas_interpret' (tests).
+    Measured on TPU v5e at MVPTR shapes (B=1000, L=125, H=12, D=64), the
+    XLA path runs the 6-layer fusion stack in 126 ms vs 176 ms for the
+    per-(batch, head) Pallas kernel — at ~128-token sequences XLA's fused
+    attention wins, so 'auto' resolves to XLA everywhere. The Pallas kernel
+    stays as an opt-in for future batch-tiled variants.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if impl == "xla":
         return xla_attention(q, k, v, bias)
     if bias is None:

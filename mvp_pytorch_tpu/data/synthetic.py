@@ -146,6 +146,16 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["re"], "w") as f:
         json.dump(re_items, f)
 
+    # NLVR2 jsonl: statement + two images
+    paths["nlvr"] = os.path.join(root, "nlvr.jsonl")
+    with open(paths["nlvr"], "w") as f:
+        for i in range(n_images):
+            f.write(json.dumps({
+                "sentence": random_caption(rng, 6),
+                "label": "True" if rng.random() < 0.5 else "False",
+                "img0": image_ids[i],
+                "img1": image_ids[(i + 1) % n_images]}) + "\n")
+
     # general custom-data json
     paths["general"] = os.path.join(root, "general.json")
     with open(paths["general"], "w") as f:

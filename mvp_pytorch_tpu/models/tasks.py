@@ -420,6 +420,37 @@ class WREModel(nn.Module):
         return wra_loss, logits
 
 
+class NLVRModel(nn.Module):
+    """NLVR2: one statement + two images via BiEncoder.forward_joint
+    (reference forward_joint modeling_vlbert.py:725-869 +
+    ImageBertForMultipleChoice-style pooled classification)."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.bert = BiEncoder(cfg, name="bert")
+        self.classifier = ClassifierHead(cfg, num_labels=2, name="classifier")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids_a, attention_mask_a, token_type_ids_a,
+                 input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
+                 input_ids_b2, attention_mask_b2, token_type_ids_b2,
+                 img_feats2, labels=None, *, max_tag_length: int = 20,
+                 deterministic: bool = True):
+        (seq1, pooled1), (seq2, pooled2) = self.bert.forward_joint(
+            input_ids_a, attention_mask_a, token_type_ids_a,
+            input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
+            input_ids_b2, attention_mask_b2, token_type_ids_b2, img_feats2,
+            max_tag_length=max_tag_length, deterministic=deterministic)
+        both = self.dropout(jnp.concatenate([pooled1, pooled2], axis=-1),
+                            deterministic=deterministic)
+        logits = self.classifier(both)
+        if labels is None:
+            return logits
+        return cross_entropy(logits, labels), logits
+
+
 class CaseModel(nn.Module):
     """Case-study model: phrase-region similarity matrices for analysis
     (reference BiBertImgForCase, modeling_vlbert.py:2247-2388). Returns

@@ -44,6 +44,13 @@ def get_args(argv=None):
     p.add_argument("--mask_caption_prob", type=float, default=0.15)
     p.add_argument("--scst", action="store_true",
                    help="self-critical fine-tuning after cross-entropy")
+    p.add_argument("--scst_steps", type=int, default=20)
+    p.add_argument("--scst_batch", type=int, default=8)
+    p.add_argument("--scst_lr", type=float, default=1e-6)
+    p.add_argument("--use_cbs", action="store_true",
+                   help="constrained decoding: captions must mention one "
+                        "detected object tag")
+    p.add_argument("--cbs_beams", type=int, default=2)
     return p.parse_args(argv)
 
 
@@ -224,9 +231,152 @@ def main(argv=None):
         tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)
         params = state.params
-    elif args.do_eval:
-        eval_hook(0, params)
+
+    if args.scst:
+        params = scst_finetune(args, model, params, dataset, tokenizer,
+                               max_cap, logger)
+        eval_hook(args.max_steps + args.scst_steps, params)
+
+    if args.use_cbs and args.do_eval:
+        cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
+                        logger)
     logger.info("captioning done")
+
+
+def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
+    """Self-critical fine-tuning (reference ScstRewardCriterion,
+    caption_evaluate.py:115-196): sample + greedy decode, CIDEr-D advantage
+    on host, exact differentiable logprobs via one forward over L masked
+    copies of each sampled caption (every position t sees real prefix and
+    [MASK] at t — the same distribution the decoder samples from)."""
+    import optax
+    from ..models.generation import generate
+    from ..training.scst import ScstReward, scst_loss
+
+    tk = tokenizer.vocab
+    reward = ScstReward(baseline_type="greedy")
+    refs_all = dataset.references()
+    tx = optax.adamw(args.scst_lr)
+    opt_state = tx.init(params)
+    imgs_all = sorted({img for img, _ in dataset.items})
+    rng = jax.random.PRNGKey(args.seed)
+
+    def ctx_for(imgs):
+        ctxs = [dataset.context(i) for i in imgs]
+        return (jnp.asarray(np.stack([c[0] for c in ctxs])),
+                jnp.asarray(np.stack([c[1] for c in ctxs])),
+                jnp.asarray(np.stack([c[2] for c in ctxs])))
+
+    def make_logits_fn(p, ids_b, ctx_mask, feats, n):
+        def f(tokens):
+            reps = tokens.shape[0] // n
+            return model.apply(
+                {"params": p}, tokens, jnp.repeat(ids_b, reps, 0),
+                jnp.repeat(ctx_mask, reps, 0),
+                jnp.zeros((tokens.shape[0], max_cap), jnp.int32),
+                jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
+                jnp.repeat(feats, reps, 0), deterministic=True)
+        return f
+
+    @jax.jit
+    def scst_grad(p, sampled, sample_mask, adv, ids_b, ctx_mask, feats):
+        n, l = sampled.shape
+
+        def loss(p):
+            # L masked copies per sequence: copy t has [MASK] at position t
+            eye = jnp.eye(l, dtype=bool)[None]                  # [1, L, L]
+            expanded = jnp.where(eye, tk["[MASK]"], sampled[:, None, :])
+            flat = expanded.reshape(n * l, l)
+            logits = make_logits_fn(p, ids_b, ctx_mask, feats, n)(flat)
+            diag = logits.reshape(n, l, l, -1)[
+                :, jnp.arange(l), jnp.arange(l), :]             # [N, L, V]
+            logp = jax.nn.log_softmax(diag.astype(jnp.float32), -1)
+            tok_lp = jnp.take_along_axis(logp, sampled[..., None], -1)[..., 0]
+            return scst_loss(tok_lp, sample_mask, adv)
+
+        return jax.value_and_grad(loss)(p)
+
+    def decode_tokens(rows):
+        out = []
+        inv = tokenizer.ids_to_tokens
+        for row in np.asarray(rows):
+            toks = []
+            for t in row[1:]:
+                if t in (tk["[SEP]"], tk["[PAD]"]):
+                    break
+                toks.append(inv.get(int(t), "[UNK]"))
+            out.append(toks)
+        return out
+
+    for step in range(args.scst_steps):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        pick = jax.random.choice(k1, len(imgs_all),
+                                 (min(args.scst_batch, len(imgs_all)),),
+                                 replace=False)
+        imgs = [imgs_all[int(i)] for i in np.asarray(pick)]
+        ids_b, ctx_mask, feats = ctx_for(imgs)
+        n = len(imgs)
+        lf = make_logits_fn(params, ids_b, ctx_mask, feats, n)
+        samp = generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
+                        tk["[MASK]"], n, max_cap, do_sample=True,
+                        temperature=1.0, rng=k2)
+        greedy = generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
+                          tk["[MASK]"], n, max_cap)
+        s_toks = decode_tokens(samp.sequences)
+        g_toks = decode_tokens(greedy.sequences)
+        refs = [refs_all[i] for i in imgs]
+        adv = reward.rewards(s_toks, g_toks, refs)
+        mask = (np.asarray(samp.logprobs) != 0).astype(np.float32)
+        loss, grads = scst_grad(params, samp.sequences,
+                                jnp.asarray(mask), jnp.asarray(adv),
+                                ids_b, ctx_mask, feats)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if (step + 1) % max(1, args.scst_steps // 4) == 0:
+            logger.info(f"scst step {step + 1}/{args.scst_steps}: "
+                        f"loss={float(loss):.4f} "
+                        f"mean_adv={float(adv.mean()):.3f}")
+    return params
+
+
+def cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
+                    logger):
+    """Constrained decoding: force each caption to mention one detected tag
+    (reference ConstrainedBeamSearch usage pattern)."""
+    from ..models.cbs import (build_fsm, constrained_beam_search,
+                              select_best_beam_with_constraints)
+    tk = tokenizer.vocab
+    imgs = sorted({img for img, _ in dataset.items})[:4]
+    n_hits = 0
+    for img in imgs:
+        ids_b, ctx_mask, feats = (jnp.asarray(x[None]) for x in
+                                  dataset.context(img))
+        _, tags = dataset.features.get(img)
+        tag_ids = [tk[t] for t in tags[:1] if t in tk]
+        if not tag_ids:
+            continue
+        fsm_np, nsat = build_fsm([tag_ids], model.config.vocab_size,
+                                 max_states=2 + max(0, len(tag_ids) - 1))
+        fsm = jnp.asarray(fsm_np[None])
+
+        def lf(tokens):
+            reps = tokens.shape[0]
+            return model.apply(
+                {"params": params}, tokens,
+                jnp.repeat(ids_b, reps, 0), jnp.repeat(ctx_mask, reps, 0),
+                jnp.zeros((reps, max_cap), jnp.int32),
+                jnp.ones((reps, ids_b.shape[1]), jnp.int32),
+                jnp.repeat(feats, reps, 0), deterministic=True)
+
+        seqs, logps = constrained_beam_search(
+            lf, fsm, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"], tk["[MASK]"],
+            max_cap, args.cbs_beams)
+        best, _ = select_best_beam_with_constraints(
+            np.asarray(seqs), np.asarray(logps), nsat, 1)
+        if tag_ids[0] in best[0]:
+            n_hits += 1
+    logger.info(f"cbs: {n_hits}/{len(imgs)} captions contain the "
+                f"constraint tag")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.datasets import FeatureStore, PretrainDataset, load_phrase_vocab
 from ..data.synthetic import make_synthetic_root
@@ -46,7 +47,35 @@ def get_args(argv=None):
     p.add_argument("--qa_answer_size", type=int, default=0)
     p.add_argument("--max_pred_a", type=int, default=20)
     p.add_argument("--max_pred_b", type=int, default=10)
+    # extra uni-modal stream (reference make_full_data_loader_ds +
+    # --extra_dataset_file/--extra_loss_weight, run_pretrain_ml.py:59,149,618-623)
+    p.add_argument("--extra_mode", type=str, default=None,
+                   choices=[None, "text_only", "img_only"])
+    p.add_argument("--extra_corpus_tsv", type=str, default=None)
+    p.add_argument("--extra_loss_weight", type=float, default=0.2)
+    p.add_argument("--extra_batch_divisor", type=int, default=5,
+                   help="extra batch = train_batch / divisor (reference 1/5)")
     return p.parse_args(argv)
+
+
+class CombinedDataset:
+    """Main + extra uni-modal stream; one fetch returns both sub-batches
+    (deterministic extra indexing keyed off the main indices)."""
+
+    def __init__(self, main, extra, divisor: int):
+        self.main = main
+        self.extra = extra
+        self.divisor = max(1, divisor)
+
+    def __len__(self):
+        return len(self.main)
+
+    def fetch(self, indices):
+        import numpy as np
+        n_extra = max(1, len(indices) // self.divisor)
+        extra_idx = (np.asarray(indices[:n_extra]) * 7919 + 13) % len(self.extra)
+        return {"main": self.main.fetch(indices),
+                "extra": self.extra.fetch(extra_idx)}
 
 
 def main(argv=None):
@@ -110,9 +139,27 @@ def main(argv=None):
             kw["qa_ans"] = batch["qa_ans"]
         return kw
 
+    extra_dataset = None
+    if args.extra_mode == "text_only":
+        from ..data.datasets import TextOnlyDataset
+        extra_dataset = TextOnlyDataset(
+            args.extra_corpus_tsv or args.corpus_tsv, tokenizer, cfg=tcfg,
+            seed=args.seed, mask_prob=args.mask_prob)
+    elif args.extra_mode == "img_only":
+        from ..data.datasets import ImgOnlyDataset
+        extra_dataset = ImgOnlyDataset(
+            FeatureStore(args.feature_tsv, feature_dim=args.img_feature_dim),
+            tokenizer, cfg=tcfg, seed=args.seed, mask_prob=args.mask_prob)
+    if extra_dataset is not None:
+        dataset = CombinedDataset(dataset, extra_dataset,
+                                  args.extra_batch_divisor)
+
     def init_fn():
-        sample = jax.tree_util.tree_map(jnp.asarray,
-                                        dataset.fetch(jnp.arange(2)))
+        raw = dataset.fetch(np.arange(2) if extra_dataset is None
+                            else np.arange(2 * args.extra_batch_divisor))
+        if extra_dataset is not None:
+            raw = raw["main"]
+        sample = jax.tree_util.tree_map(jnp.asarray, raw)
         rngs = {"params": jax.random.PRNGKey(args.seed),
                 "hardneg": jax.random.PRNGKey(1), "wra": jax.random.PRNGKey(2),
                 "dropout": jax.random.PRNGKey(3)}
@@ -127,20 +174,40 @@ def main(argv=None):
 
     params = load_params_or_init(args, model, init_fn)
 
-    def loss_fn(p, batch, rng):
+    def forward(p, batch, rng, *, with_phrases=True):
         k1, k2, k3 = jax.random.split(rng, 3)
-        out = model.apply(
-            {"params": p}, **model_kwargs(batch), max_tag_length=mt,
+        kw = model_kwargs(batch)
+        if not with_phrases:
+            kw.pop("phrase_index")
+            kw.pop("image_index")
+            kw.pop("qa_ans", None)
+        return model.apply(
+            {"params": p}, **kw, max_tag_length=mt,
             hn_mod=args.hn_mod, phrase_mod=args.phrase_mod,
             max_pred_a=args.max_pred_a, max_pred_b=args.max_pred_b,
             phrase_layer=args.wra_layer, deterministic=False,
             rngs={"hardneg": k1, "wra": k2, "dropout": k3})
+
+    def loss_fn(p, batch, rng):
+        if extra_dataset is not None:
+            k_main, k_extra = jax.random.split(rng)
+            out = forward(p, batch["main"], k_main)
+            extra_out = forward(p, batch["extra"], k_extra,
+                                with_phrases=False)
+            w = args.extra_loss_weight
+            total = (1.0 - w) * out.total_loss + w * extra_out.total_loss
+        else:
+            out = forward(p, batch, rng)
+            extra_out = None
+            total = out.total_loss
         metrics = {"vis_mlm": out.vis_mlm_loss, "clip": out.retrieval_loss,
                    "mlm": out.masked_lm_loss, "itm": out.itm_loss,
                    "wra": out.wra_loss}
         if out.qa_loss is not None:
             metrics["qa"] = out.qa_loss
-        return out.total_loss, metrics
+        if extra_out is not None:
+            metrics["extra"] = extra_out.total_loss
+        return total, metrics
 
     loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
     tokenizer.save_pretrained(args.output_dir)

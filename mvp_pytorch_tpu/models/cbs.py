@@ -135,6 +135,43 @@ def constrained_beam_search(logits_fn, fsm: jax.Array, bos_token_id: int,
     return tokens, logp
 
 
+class ConstraintFilter:
+    """Filter candidate constraint words (reference ConstraintFilter:
+    blacklist + 'a'-prefixed wordforms expansion). Keeps non-blacklisted
+    object classes and produces token-sequence constraints via a tokenizer."""
+
+    BLACKLIST = {"auto part", "bathroom accessory", "bicycle wheel",
+                 "boy", "building", "clothing", "door handle",
+                 "fashion accessory", "footwear", "girl", "hiking equipment",
+                 "human arm", "human beard", "human body", "human ear",
+                 "human eye", "human face", "human foot", "human hair",
+                 "human hand", "human head", "human leg", "human mouth",
+                 "human nose", "land vehicle", "mammal", "man",
+                 "person", "personal care", "plant", "plumbing fixture",
+                 "seat belt", "skull", "sports equipment", "tire", "tree",
+                 "vehicle registration plate", "wheel", "woman"}
+
+    def __init__(self, tokenizer, max_words_per_constraint: int = 3):
+        self.tokenizer = tokenizer
+        self.max_words = max_words_per_constraint
+
+    def __call__(self, object_classes: Sequence[str],
+                 max_constraints: int = 3) -> List[List[int]]:
+        out = []
+        for cls in object_classes:
+            name = cls.lower().strip()
+            if name in self.BLACKLIST:
+                continue
+            ids = self.tokenizer.convert_tokens_to_ids(
+                self.tokenizer.tokenize(name))
+            if 0 < len(ids) <= self.max_words:
+                if ids not in out:
+                    out.append(ids)
+            if len(out) >= max_constraints:
+                break
+        return out
+
+
 def select_best_beam_with_constraints(sequences: np.ndarray,
                                       logprobs: np.ndarray,
                                       nsat: np.ndarray,

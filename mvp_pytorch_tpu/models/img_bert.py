@@ -39,15 +39,26 @@ class ImgBertModel(nn.Module):
 
     config: ModelConfig
 
+    code_voc: int = 0     # discrete-code image features (dis_code* variants,
+    code_dim: int = 0     # reference modeling_vlbert.py:219-228)
+
     def setup(self):
         cfg = self.config
         self.embeddings = Embeddings(cfg, name="embeddings")
         self.encoder = StreamEncoder(cfg, cfg.num_hidden_layers,
                                      name="encoder")
         self.pooler = Pooler(cfg, name="pooler")
-        self.img_embedding = nn.Dense(
-            cfg.hidden_size, kernel_init=dense_init(cfg),
-            dtype=jnp.dtype(cfg.dtype), name="img_embedding")
+        if cfg.img_feature_type.startswith("dis_code"):
+            self.code_embeddings = nn.Embed(
+                self.code_voc, self.code_dim, dtype=jnp.dtype(cfg.dtype),
+                name="code_embeddings")
+            self.img_embedding = nn.Dense(
+                cfg.hidden_size, kernel_init=dense_init(cfg),
+                dtype=jnp.dtype(cfg.dtype), name="img_embedding")
+        else:
+            self.img_embedding = nn.Dense(
+                cfg.hidden_size, kernel_init=dense_init(cfg),
+                dtype=jnp.dtype(cfg.dtype), name="img_embedding")
         if cfg.use_img_layernorm:
             self.img_norm = nn.LayerNorm(
                 epsilon=cfg.img_layer_norm_eps, dtype=jnp.dtype(cfg.dtype),
@@ -68,9 +79,16 @@ class ImgBertModel(nn.Module):
         emb = self.embeddings(input_ids, token_type_ids, position_ids,
                               deterministic=deterministic)
         if img_feats is not None:
-            img = self.img_embedding(img_feats)
-            if self.config.use_img_layernorm:
-                img = self.img_norm(img)
+            ft = self.config.img_feature_type
+            if ft.startswith("dis_code"):
+                code = self.code_embeddings(img_feats)    # [B, N, code_dim]
+                if ft == "dis_code_t":
+                    code = jnp.swapaxes(code, 1, 2)
+                img = self.img_embedding(code)
+            else:
+                img = self.img_embedding(img_feats)
+                if self.config.use_img_layernorm:
+                    img = self.img_norm(img)
             img = self.img_dropout(img, deterministic=deterministic)
             emb = jnp.concatenate([emb, img.astype(emb.dtype)], axis=1)
         if attention_mask is None:

@@ -185,15 +185,20 @@ class StreamEncoder(nn.Module):
     @nn.compact
     def __call__(self, hidden, bias, *, return_at_layer: Optional[int] = None,
                  history_states=None, deterministic: bool = True):
+        """`bias` may be a single additive bias or a LIST of per-layer biases
+        (the reference's "stage attention" mask lists,
+        modeling_vlbert.py:140-156,265-276)."""
         cfg = self.config
         mid = None
         layer_cls = TransformerLayer
         if cfg.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=())
+        per_layer = isinstance(bias, (list, tuple))
         for i in range(self.num_layers):
             hist = None if history_states is None else history_states[i]
+            b = bias[i] if per_layer else bias
             hidden = layer_cls(cfg, name=f"layer_{i}")(
-                hidden, bias, history_state=hist, deterministic=deterministic)
+                hidden, b, history_state=hist, deterministic=deterministic)
             if return_at_layer is not None and i == return_at_layer:
                 mid = hidden
         return hidden, mid

@@ -1,0 +1,104 @@
+"""Caption evaluation: BLEU-4 + CIDEr-D wrapper, COCO-format conversion.
+
+Parity target: reference `oscar/utils/caption_evaluate.py` —
+evaluate_on_coco_caption (:59-92), tsv->COCO-json conversion (:93-114), and
+the NocapsEvaluator EvalAI poller (:198+, stubbed here: this environment has
+no egress; the submission payload contract is preserved).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import Counter
+from typing import Dict, List, Sequence
+
+from .cider import CiderScorer, ngram_counts
+
+
+def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
+           max_n: int = 4) -> List[float]:
+    """Corpus BLEU-1..max_n with brevity penalty (standard algorithm)."""
+    matches = [0] * max_n
+    totals = [0] * max_n
+    cand_len = ref_len = 0
+    for cand, refs in zip(candidates, references):
+        cand_len += len(cand)
+        ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        for n in range(1, max_n + 1):
+            c_ngrams = Counter(tuple(cand[i:i + n])
+                               for i in range(len(cand) - n + 1))
+            max_ref = Counter()
+            for r in refs:
+                r_ngrams = Counter(tuple(r[i:i + n])
+                                   for i in range(len(r) - n + 1))
+                for g, c in r_ngrams.items():
+                    max_ref[g] = max(max_ref[g], c)
+            matches[n - 1] += sum(min(c, max_ref[g])
+                                  for g, c in c_ngrams.items())
+            totals[n - 1] += max(sum(c_ngrams.values()), 0)
+    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
+    out = []
+    logsum = 0.0
+    for n in range(max_n):
+        p = matches[n] / totals[n] if totals[n] else 0.0
+        logsum += math.log(max(p, 1e-12))
+        out.append(bp * math.exp(logsum / (n + 1)))
+    return out
+
+
+def evaluate_captions(predictions: Dict[str, List[str]],
+                      references: Dict[str, List[List[str]]]
+                      ) -> Dict[str, float]:
+    """{'Bleu_1'..'Bleu_4', 'CIDEr'} over tokenized captions
+    (the reference's evaluate_on_coco_caption metric surface; METEOR/SPICE
+    need external artifacts and are omitted by contract)."""
+    keys = sorted(predictions.keys())
+    cands = [predictions[k] for k in keys]
+    refs = [references[k] for k in keys]
+    bleu = bleu_n(cands, refs)
+    cider_mean, _ = CiderScorer().compute(cands, refs)
+    out = {f"Bleu_{i+1}": b for i, b in enumerate(bleu)}
+    out["CIDEr"] = cider_mean
+    return out
+
+
+def tsv_to_coco_format(caption_tsv: str, out_json: str) -> str:
+    """predictions tsv rows [image_id, json [{'caption': ...}]] -> COCO
+    result json (reference caption_evaluate.py:93-114)."""
+    from ..data.tsv import TSVFile
+    tsv = TSVFile(caption_tsv)
+    results = []
+    for i in range(len(tsv)):
+        row = tsv.seek(i)
+        caps = json.loads(row[1])
+        if isinstance(caps, dict):
+            caps = [caps]
+        for c in caps:
+            results.append({"image_id": row[0],
+                            "caption": c["caption"]})
+    with open(out_json, "w") as f:
+        json.dump(results, f)
+    return out_json
+
+
+class NocapsEvaluator:
+    """EvalAI submission contract (reference :198+). This environment has no
+    egress; `submit` writes the payload to disk and raises on poll."""
+
+    def __init__(self, phase: str = "val"):
+        self.phase = phase
+
+    def build_payload(self, predictions: List[dict]) -> List[dict]:
+        return [{"image_id": p["image_id"], "caption": p["caption"]}
+                for p in predictions]
+
+    def submit(self, predictions: List[dict], out_path: str) -> str:
+        with open(out_path, "w") as f:
+            json.dump(self.build_payload(predictions), f)
+        return out_path
+
+    def evaluate(self, predictions, out_path="nocaps_submission.json"):
+        path = self.submit(predictions, out_path)
+        raise RuntimeError(
+            f"no egress: wrote EvalAI payload to {path}; submit manually")

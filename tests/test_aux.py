@@ -170,3 +170,56 @@ def test_forward_joint_nlvr():
     assert pooled1.shape == (B, cfg.hidden_size)
     np.testing.assert_allclose(np.asarray(pooled1), np.asarray(pooled2),
                                atol=1e-5)  # same image twice
+
+
+def test_caption_eval_bleu_cider():
+    from mvp_pytorch_tpu.utils.caption_eval import (bleu_n,
+                                                    evaluate_captions)
+    preds = {"a": ["two", "dogs", "play"], "b": ["junk", "words", "here"]}
+    refs = {"a": [["two", "dogs", "play"]], "b": [["a", "man", "rides"]]}
+    res = evaluate_captions(preds, refs)
+    assert set(res) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr"}
+    assert 0 < res["Bleu_1"] <= 1.0
+    # perfect-match corpus scores Bleu_1 == 1 relative weight
+    perfect = evaluate_captions({"a": ["two", "dogs"]},
+                                {"a": [["two", "dogs"]]})
+    assert perfect["Bleu_1"] == 1.0 and perfect["Bleu_2"] == 1.0
+
+
+def test_constraint_filter(tmp_path):
+    from mvp_pytorch_tpu.data.synthetic import write_vocab
+    from mvp_pytorch_tpu.models.cbs import ConstraintFilter
+    p = tmp_path / "vocab.txt"
+    write_vocab(str(p))
+    tok = BertTokenizer(str(p))
+    f = ConstraintFilter(tok)
+    # 'person' and 'tree' are blacklisted; 'dog' and 'ball' pass
+    cons = f(["person", "dog", "tree", "ball"], max_constraints=3)
+    assert cons == [[tok.vocab["dog"]], [tok.vocab["ball"]]]
+
+
+def test_per_layer_mask_lists():
+    cfg = tiny_config()
+    from mvp_pytorch_tpu.models.layers import StreamEncoder, mask_to_bias
+    enc = StreamEncoder(cfg, num_layers=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, cfg.hidden_size),
+                    jnp.float32)
+    m_full = mask_to_bias(jnp.ones((2, 6), jnp.int32))
+    m_half = mask_to_bias(
+        jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, jnp.int32))
+    v = enc.init(jax.random.PRNGKey(0), x, m_full)
+    out_single, _ = enc.apply(v, x, m_full)
+    out_staged, _ = enc.apply(v, x, [m_full, m_half])
+    assert out_staged.shape == out_single.shape
+    assert not np.allclose(np.asarray(out_staged), np.asarray(out_single))
+
+
+def test_dis_code_img_bert():
+    from mvp_pytorch_tpu.models.img_bert import ImgBertModel
+    cfg = tiny_config(img_feature_type="dis_code")
+    model = ImgBertModel(cfg, code_voc=17, code_dim=8)
+    ids = jnp.zeros((2, 6), jnp.int32)
+    codes = jnp.asarray(np.random.RandomState(0).randint(0, 17, (2, 4)))
+    v = model.init(jax.random.PRNGKey(0), ids, img_feats=codes)
+    seq, pooled = model.apply(v, ids, img_feats=codes)
+    assert seq.shape == (2, 10, cfg.hidden_size)

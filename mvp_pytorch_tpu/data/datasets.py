@@ -361,6 +361,68 @@ class REDataset:
         return collate([self[int(i)] for i in indices])
 
 
+class MultiCorpusPretrainDataset:
+    """Multiple pretraining corpora behind one index space.
+
+    Parity target: the reference's yaml-driven multi-corpus loading
+    (oscar_tsv4.py:25-99 — `corpus` name list, per-corpus feature TSVs,
+    chunked `datasets_with_splits`, sg_file, phrase_vocab_size). Our yaml:
+
+        corpora:
+          - name: coco
+            corpus_tsv: .../coco_corpus.tsv
+            feature_tsv: .../coco/predictions.tsv
+          - name: cc
+            corpus_tsv: .../cc_corpus.tsv
+            feature_tsv: .../cc/predictions.tsv   # or a list of chunks
+        id2phrase: .../id2phrase.json
+        tag2id: .../tag2id.json
+        phrase_vocab_size: 55529
+    """
+
+    def __init__(self, datasets: Sequence["PretrainDataset"]):
+        assert datasets
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    @classmethod
+    def from_yaml(cls, yaml_path: str, tokenizer, cfg=None, seed: int = 0,
+                  mask_prob: float = 0.15, mask_visual: bool = True):
+        from ..utils.misc import load_from_yaml_file
+        from .tensorize import TensorizeConfig
+        spec = load_from_yaml_file(yaml_path)
+        cfg = cfg or TensorizeConfig()
+        sg2id = (load_phrase_vocab(spec["id2phrase"])
+                 if spec.get("id2phrase") else None)
+        tag2id = {}
+        if spec.get("tag2id"):
+            with open(spec["tag2id"]) as f:
+                raw = json.load(f)
+            tag2id = {t: tokenizer.vocab.get(t, 1) for t in raw}
+        pvs = int(spec.get("phrase_vocab_size", 0))
+        datasets = []
+        for c in spec["corpora"]:
+            feats = c["feature_tsv"]
+            feat_list = feats if isinstance(feats, list) else [feats]
+            for chunk in feat_list:   # chunked feature TSVs
+                datasets.append(PretrainDataset(
+                    c["corpus_tsv"], FeatureStore(chunk), tokenizer,
+                    sg2id=sg2id, cfg=cfg, tag2id=tag2id,
+                    phrase_vocab_size=pvs, seed=seed, mask_prob=mask_prob,
+                    mask_visual=mask_visual))
+        return cls(datasets)
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        d = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[d][index - int(self._offsets[d])]
+
+    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        return collate([self[int(i)] for i in indices])
+
+
 class ImgOnlyDataset:
     """Vision-only pretraining stream: MLM over object tags with empty text
     (reference ImgOnlyDataset, oscar_datasets_ml/oscar_tsv.py:1190-1240).

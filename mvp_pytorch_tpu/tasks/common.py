@@ -168,19 +168,25 @@ class TrainLoop:
                                 num_threads=args.num_workers)
         meters = MetricLogger()
         writer = MetricsWriter(os.path.join(args.output_dir, "train_logs"))
+        from ..training.profiler import StepTimer
+        timer = StepTimer()   # data/compute split (reference time_info)
         t_last = time.time()
         n_since = 0
         try:
             for step, batch in loader:
+                timer.mark("data")
                 if step >= args.max_steps:
                     break
                 self.state, metrics = self.trainer.step(self.state, batch)
+                timer.mark("compute")
                 n_since += 1
                 if (step + 1) % args.log_period == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t_last
                     m["steps_per_sec"] = n_since / dt
                     m["examples_per_sec"] = n_since * args.train_batch_size / dt
+                    for k, v in timer.pop().items():
+                        m[f"time_{k}"] = v / max(n_since, 1)
                     t_last, n_since = time.time(), 0
                     meters.update(**m)
                     writer.write(step + 1, m)

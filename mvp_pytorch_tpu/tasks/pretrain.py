@@ -33,6 +33,9 @@ def get_args(argv=None):
     p = argparse.ArgumentParser()
     add_common_args(p)
     p.add_argument("--corpus_tsv", type=str, default=None)
+    p.add_argument("--dataset_yaml", type=str, default=None,
+                   help="multi-corpus yaml manifest (reference "
+                        "--data_dir+yaml contract)")
     p.add_argument("--feature_tsv", type=str, default=None)
     p.add_argument("--id2phrase", type=str, default=None)
     p.add_argument("--tag2id", type=str, default=None)
@@ -111,12 +114,18 @@ def main(argv=None):
                        qa_answer_size=args.qa_answer_size)
     tcfg = tensorize_cfg(args)
     phrase_vocab_size = cfg.vocab_size - cfg.only_word_size
-    dataset = PretrainDataset(
-        args.corpus_tsv, FeatureStore(args.feature_tsv,
-                                      feature_dim=args.img_feature_dim),
-        tokenizer, sg2id=sg2id, cfg=tcfg, tag2id=wp_tag2id,
-        phrase_vocab_size=phrase_vocab_size, seed=args.seed,
-        mask_prob=args.mask_prob, mask_visual=True)
+    if args.dataset_yaml:
+        from ..data.datasets import MultiCorpusPretrainDataset
+        dataset = MultiCorpusPretrainDataset.from_yaml(
+            args.dataset_yaml, tokenizer, cfg=tcfg, seed=args.seed,
+            mask_prob=args.mask_prob)
+    else:
+        dataset = PretrainDataset(
+            args.corpus_tsv, FeatureStore(args.feature_tsv,
+                                          feature_dim=args.img_feature_dim),
+            tokenizer, sg2id=sg2id, cfg=tcfg, tag2id=wp_tag2id,
+            phrase_vocab_size=phrase_vocab_size, seed=args.seed,
+            mask_prob=args.mask_prob, mask_visual=True)
     logger.info(f"corpus: {len(dataset)} examples")
 
     model = BiPretrainModel(cfg)

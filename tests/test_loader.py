@@ -1,0 +1,100 @@
+"""Loader determinism/resume + multi-corpus dataset tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mvp_pytorch_tpu.data.loader import BatchSampler, EpochShuffler, \
+    PrefetchLoader
+from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+
+
+def test_epoch_shuffler_is_permutation_and_deterministic():
+    s1 = EpochShuffler(10, seed=3)
+    s2 = EpochShuffler(10, seed=3)
+    e0 = [s1.index(i) for i in range(10)]
+    assert sorted(e0) == list(range(10))
+    assert e0 == [s2.index(i) for i in range(10)]
+    e1 = [s1.index(10 + i) for i in range(10)]
+    assert sorted(e1) == list(range(10)) and e1 != e0
+    # different seed -> different order
+    assert [EpochShuffler(10, seed=4).index(i) for i in range(10)] != e0
+
+
+def test_batch_sampler_resume_is_o1():
+    s = BatchSampler(100, 8, seed=0)
+    # batch at step 57 must be identical whether or not we iterated there
+    direct = s.batch_at(57)
+    it = s.iter_from(0)
+    for step, epoch, idx in it:
+        if step == 57:
+            np.testing.assert_array_equal(idx, direct)
+            break
+    # fresh sampler resuming at 57 agrees
+    s2 = BatchSampler(100, 8, seed=0)
+    step, epoch, idx = next(s2.iter_from(57))
+    assert step == 57
+    np.testing.assert_array_equal(idx, direct)
+
+
+def test_prefetch_loader_ordering_and_content():
+    s = BatchSampler(50, 4, seed=1)
+
+    def fetch(idx):
+        return {"idx": np.asarray(idx)}
+
+    loader = PrefetchLoader(fetch, s, start_step=3, num_threads=3)
+    got = []
+    for step, batch in loader:
+        got.append((step, batch["idx"]))
+        if len(got) == 6:
+            break
+    loader.close()
+    for i, (step, idx) in enumerate(got):
+        assert step == 3 + i
+        np.testing.assert_array_equal(idx, s.batch_at(step))
+
+
+def test_prefetch_loader_propagates_errors():
+    s = BatchSampler(10, 2, seed=0)
+
+    def fetch(idx):
+        raise ValueError("boom")
+
+    loader = PrefetchLoader(fetch, s, num_threads=2)
+    with pytest.raises(ValueError, match="boom"):
+        next(iter(loader))
+    loader.close()
+
+
+def test_multi_corpus_dataset(tmp_path):
+    import yaml
+    from mvp_pytorch_tpu.data.datasets import MultiCorpusPretrainDataset
+    p1 = make_synthetic_root(str(tmp_path / "c1"), n_images=4, seed=0)
+    p2 = make_synthetic_root(str(tmp_path / "c2"), n_images=6, seed=1)
+    spec = {
+        "corpora": [
+            {"name": "c1", "corpus_tsv": p1["corpus"],
+             "feature_tsv": p1["features"]},
+            {"name": "c2", "corpus_tsv": p2["corpus"],
+             "feature_tsv": p2["features"]},
+        ],
+        "id2phrase": p1["id2phrase"],
+        "tag2id": p1["tag2id"],
+        "phrase_vocab_size": 20,
+    }
+    ypath = str(tmp_path / "corpora.yaml")
+    with open(ypath, "w") as f:
+        yaml.safe_dump(spec, f)
+    tok = BertTokenizer(p1["vocab"])
+    ds = MultiCorpusPretrainDataset.from_yaml(ypath, tok)
+    n1, n2 = 4 * 5, 6 * 5
+    assert len(ds) == n1 + n2
+    ex_first = ds[0]
+    ex_second_corpus = ds[n1]          # first row of corpus 2
+    assert ex_first["input_ids_a"].shape == ex_second_corpus["input_ids_a"].shape
+    batch = ds.fetch(np.asarray([0, n1, len(ds) - 1]))
+    assert batch["input_ids_a"].shape[0] == 3

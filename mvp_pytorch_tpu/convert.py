@@ -86,7 +86,24 @@ def _map_layer_suffix(suffix: str):
 
 def convert_state_dict(sd: Dict[str, np.ndarray],
                        strict: bool = False) -> Dict[str, Any]:
-    """torch state dict -> flax params tree (nested dicts)."""
+    """torch state dict -> flax params tree (nested dicts).
+
+    Tied LM decoders are dropped (our heads tie functionally); if a
+    checkpoint's decoder does NOT match the embedding slice (e.g. a model
+    saved without tie_weights), we warn — such checkpoints relied on the
+    decoder weights as stored, which a functionally-tied head cannot
+    represent."""
+    emb = sd.get("bert.embeddings.word_embeddings.weight")
+    for dec_key in ("cls.predictions.decoder.weight", "half_mlm.decoder.weight"):
+        dec = sd.get(dec_key)
+        if dec is not None and emb is not None:
+            n = dec.shape[0]
+            if not np.allclose(dec, emb[:n], atol=1e-5):
+                print(f"convert WARNING: {dec_key} is not tied to the "
+                      f"embedding slice (max diff "
+                      f"{np.abs(dec - emb[:n]).max():.4f}); the converted "
+                      f"model ties functionally and will use the embedding "
+                      f"rows")
     params: Dict[str, Any] = {}
     skipped = []
     for key, val in sd.items():

@@ -27,7 +27,9 @@ from ..ops.attention import dot_product_attention, mask_to_bias
 from .config import ModelConfig
 
 ACT2FN = {
-    "gelu": nn.gelu,
+    # exact erf gelu — the reference's gelu (modeling_bert.py:142-148);
+    # flax's default is the tanh approximation, which breaks checkpoint parity
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "swish": nn.swish,
     "gelu_new": lambda x: nn.gelu(x, approximate=True),

@@ -157,8 +157,27 @@ def main():
     results = [run_once() for _ in range(3)]
     dt = min(r[0] for r in results)
     n_pairs = results[0][1]
-
     pairs_per_sec = n_pairs / dt
+
+    # secondary BASELINE metric: p50 single-pair MLM-style latency (full
+    # 3-encoder forward on one example — the InferencePipeline device step)
+    @jax.jit
+    def _one_pair(v, ca, cm, ct, ib, mb, tb, f):
+        return model.apply(v, ca, cm, ct, ib, mb, tb, f, max_tag_length=T,
+                           method=RetrievalModel.score)
+
+    one = (caps["input_ids_a"][:1], caps["attention_mask_a"][:1],
+           caps["token_type_ids_a"][:1], imgs["input_ids_b"][:1],
+           imgs["attention_mask_b"][:1], imgs["token_type_ids_b"][:1],
+           imgs["img_feats"][:1])
+    float(_one_pair(variables, *one).sum())
+    lats = []
+    for _ in range(20):
+        t0 = time.time()
+        float(_one_pair(variables, *one).sum())
+        lats.append(time.time() - t0)
+    p50_ms = sorted(lats)[len(lats) // 2] * 1000
+
     print(json.dumps({
         "metric": "flickr30k_two_stage_retrieval_scoring",
         "value": round(pairs_per_sec, 1),
@@ -166,6 +185,7 @@ def main():
         "vs_baseline": round(pairs_per_sec / 5000.0, 3),
         "detail": {"n_fine_pairs": n_pairs, "wall_s": round(dt, 2),
                    "n_cap": N_CAP, "n_img": N_IMG,
+                   "p50_single_pair_ms": round(p50_ms, 2),
                    "backend": jax.default_backend()},
     }))
 

@@ -112,6 +112,65 @@ def pallas_attention(q, k, v, bias, interpret: bool = False):
     return out.reshape(b, h, lq, d)
 
 
+# ---------------------------------------------------------------------------
+# Batch-tiled fused attention (v2): one program per batch tile, all heads
+# unrolled inside — scores never leave VMEM, per-op dispatch overhead
+# amortized across the tile. For short sequences (L <= 256).
+# ---------------------------------------------------------------------------
+
+def _fused_attn_v2_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
+                          n_heads):
+    for h in range(n_heads):
+        q = q_ref[:, h].astype(jnp.float32)          # [BT, Lq, D]
+        k = k_ref[:, h].astype(jnp.float32)          # [BT, Lk, D]
+        v = v_ref[:, h]                               # [BT, Lk, D]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [BT, Lq, Lk]
+        s = s + bias_ref[:, 0].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def pallas_attention_v2(q, k, v, bias, block_b: int = 8,
+                        interpret: bool = False):
+    """q,k,v: [B, H, L, D]; bias: [B, 1, 1, Lk] (2D masks only)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bt = min(block_b, b)
+    assert b % bt == 0, (b, bt)
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, lq, lk))
+    scale = d ** -0.5
+
+    return pl.pallas_call(
+        functools.partial(_fused_attn_v2_kernel, scale=scale, n_heads=h),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, h, lq, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, h, lk, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, h, lk, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, lq, lk), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, h, lq, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
 # custom VJP: Pallas forward, XLA backward (recompute probs — sequences are
 # short so recompute is cheaper than saving the [B,H,Lq,Lk] score tensor).
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -149,11 +208,12 @@ _pallas_attention_ad.defvjp(_attn_fwd, _attn_bwd)
 def dot_product_attention(q, k, v, bias=None, *, impl: str = "auto"):
     """Dispatch: 'auto' | 'xla' | 'pallas' | 'pallas_interpret' (tests).
 
-    Measured on TPU v5e at MVPTR shapes (B=1000, L=125, H=12, D=64), the
-    XLA path runs the 6-layer fusion stack in 126 ms vs 176 ms for the
-    per-(batch, head) Pallas kernel — at ~128-token sequences XLA's fused
-    attention wins, so 'auto' resolves to XLA everywhere. The Pallas kernel
-    stays as an opt-in for future batch-tiled variants.
+    Measured on TPU v5e at MVPTR shapes (B=1000, H=12, L=128, D=64), the
+    attention op alone: XLA 32 ms, batch-tiled Pallas v2 35 ms, per-(b,h)
+    Pallas v1 42 ms — XLA's fused attention wins at these short-sequence
+    shapes, so 'auto' resolves to XLA. 'pallas' dispatches the v1 kernel
+    (custom VJP, arbitrary bias); the batch-tiled inference-only v2 is
+    callable directly as pallas_attention_v2.
     """
     if impl == "auto":
         impl = "xla"
@@ -161,4 +221,7 @@ def dot_product_attention(q, k, v, bias=None, *, impl: str = "auto"):
         return xla_attention(q, k, v, bias)
     if bias is None:
         bias = jnp.zeros((q.shape[0], 1, 1, k.shape[2]), jnp.float32)
+    # 'pallas' uses the v1 kernel (it has a custom VJP and accepts arbitrary
+    # bias shapes); pallas_attention_v2 is the inference-only batch-tiled
+    # variant, callable directly.
     return _pallas_attention_ad(q, k, v, bias, impl == "pallas_interpret")

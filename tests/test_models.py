@@ -251,3 +251,16 @@ def test_bf16_forward(cfg):
     out = model.apply(variables, **batch, max_tag_length=MAX_TAG)
     assert out.sequence_output.dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(out.sim_mat, dtype=np.float32)))
+
+
+def test_pallas_attention_v2_matches_xla():
+    from mvp_pytorch_tpu.ops.attention import pallas_attention_v2, xla_attention
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(4, 2, 16, 8), jnp.float32)
+    k = jnp.asarray(r.randn(4, 2, 16, 8), jnp.float32)
+    v = jnp.asarray(r.randn(4, 2, 16, 8), jnp.float32)
+    bias = jnp.asarray((r.rand(4, 1, 1, 16) > 0.2) * 0.0
+                       + (r.rand(4, 1, 1, 16) <= 0.2) * -10000.0, jnp.float32)
+    want = xla_attention(q, k, v, bias)
+    got = pallas_attention_v2(q, k, v, bias, block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -163,3 +163,70 @@ def test_mlm_head_parity(ref_model_and_inputs):
                           jnp.asarray(hidden), table)
     np.testing.assert_allclose(np.asarray(got_half), ref_half.numpy(),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_retrieval_model_conversion_parity(ref_model_and_inputs):
+    """Converted BiImageBertForRetrieval (classifier + logit_scale) must
+    reproduce the torch forward_fine ITM logits."""
+    import torch
+    sys.path.insert(0, REF)
+    from oscar.modeling.modeling_vlbert import BiImageBertForRetrieval
+    from transformers.pytorch_transformers.modeling_bert import BertConfig
+
+    torch.manual_seed(1)
+    cfg = BertConfig(vocab_size_or_config_json_file=131, hidden_size=32,
+                     num_hidden_layers=4, num_attention_heads=4,
+                     intermediate_size=37, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    cfg.torchscript = True
+    cfg.img_feature_dim = 22
+    cfg.img_feature_type = "faster_r-cnn"
+    cfg.only_word_size = 99
+    cfg.use_img_layernorm = False
+    cfg.loss_type = "sfmx"
+    cfg.num_labels = 2
+    cfg.classifier = "linear"
+    cfg.cls_hidden_scale = 2
+    ref = BiImageBertForRetrieval(cfg)
+    ref.eval()
+    ref.forward_mod = "fine"
+
+    _, inputs = ref_model_and_inputs
+    t = {k: torch.tensor(v) for k, v in inputs.items()}
+    with torch.no_grad():
+        ref_logits = ref(input_ids_a=t["input_ids_a"],
+                         attention_mask_a=t["attention_mask_a"],
+                         token_type_ids_a=t["token_type_ids_a"],
+                         input_ids_b=t["input_ids_b"],
+                         attention_mask_b=t["attention_mask_b"],
+                         token_type_ids_b=t["token_type_ids_b"],
+                         img_feats=t["img_feats"],
+                         max_tag_length=MAX_TAG).numpy()
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.tasks import RetrievalModel
+    import jax.numpy as jnp
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+    mcfg = ModelConfig(vocab_size=131, only_word_size=99, hidden_size=32,
+                       num_hidden_layers=4, num_attention_heads=4,
+                       intermediate_size=37, max_position_embeddings=64,
+                       img_feature_dim=22, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0,
+                       classifier="linear", num_labels=2)
+    model = RetrievalModel(mcfg)
+    got = model.apply({"params": params},
+                      jnp.asarray(inputs["input_ids_a"]),
+                      jnp.asarray(inputs["attention_mask_a"]),
+                      jnp.asarray(inputs["token_type_ids_a"]),
+                      jnp.asarray(inputs["input_ids_b"]),
+                      jnp.asarray(inputs["attention_mask_b"]),
+                      jnp.asarray(inputs["token_type_ids_b"]),
+                      jnp.asarray(inputs["img_feats"]),
+                      max_tag_length=MAX_TAG, method=RetrievalModel.score)
+    np.testing.assert_allclose(np.asarray(got), ref_logits, atol=5e-4,
+                               rtol=1e-3)

@@ -238,11 +238,18 @@ class PretrainDataset:
 
 class VQADataset:
     """jsonl: {"question_id", "image_id", "question", "labels": [ans ids],
-    "scores": [soft scores], "phrases": [...]}; answers via label2ans json."""
+    "scores": [soft scores], "phrases": [...]}; answers via label2ans json.
+
+    label_mode 'soft' emits the [num_answers] soft-score vector (VQA bce);
+    'int' emits the argmax answer id (GQA-style CE — reference GQAProcessor
+    path in run_vqa)."""
 
     def __init__(self, jsonl_path: str, features: FeatureStore, tokenizer,
                  num_answers: int, sg2id: Optional[Dict[tuple, int]] = None,
-                 cfg: TensorizeConfig = TensorizeConfig()):
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 label_mode: str = "soft"):
+        assert label_mode in ("soft", "int")
+        self.label_mode = label_mode
         self.items = []
         with open(jsonl_path) as f:
             for line in f:
@@ -266,7 +273,10 @@ class VQADataset:
         target = np.zeros(self.num_answers, np.float32)
         for l, s in zip(item.get("labels", []), item.get("scores", [])):
             target[int(l)] = float(s)
-        ex["label"] = target
+        if self.label_mode == "int":
+            ex["label"] = np.int32(target.argmax())
+        else:
+            ex["label"] = target
         ex["question_id"] = np.int64(item.get("question_id", index))
         return ex
 

@@ -103,10 +103,12 @@ def main(argv=None):
     tcfg = tensorize_cfg(args)
     features = FeatureStore(args.feature_tsv,
                             feature_dim=args.img_feature_dim)
+    # sfmx loss = GQA-style integer labels; bce/kl = VQA soft scores
+    label_mode = "int" if args.loss_type == "sfmx" else "soft"
     dataset = VQADataset(args.train_jsonl, features, tokenizer, n_ans,
-                         sg2id=sg2id, cfg=tcfg)
+                         sg2id=sg2id, cfg=tcfg, label_mode=label_mode)
     eval_dataset = (VQADataset(args.eval_jsonl, features, tokenizer, n_ans,
-                               sg2id=sg2id, cfg=tcfg)
+                               sg2id=sg2id, cfg=tcfg, label_mode=label_mode)
                     if args.eval_jsonl else dataset)
 
     model = VQAModel(cfg)
@@ -139,7 +141,10 @@ def main(argv=None):
             return None
         logits, targets, _ = evaluate(args, model, {"params": p},
                                       eval_dataset, mt)
-        acc = vqa_accuracy(logits, targets)
+        if targets.ndim == 1:   # GQA int labels: exact-match accuracy
+            acc = float((logits.argmax(1) == targets).mean())
+        else:
+            acc = vqa_accuracy(logits, targets)
         logger.info(f"step {step}: vqa accuracy = {acc:.4f}")
         return {"vqa_accuracy": acc}
 

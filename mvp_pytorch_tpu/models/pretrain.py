@@ -15,6 +15,12 @@ TPU-native re-design: dynamic `masked_select` patterns become fixed-shape
 masked-position gathers (ops/masked.py); the WRA span loops become batched
 span-gather + einsum with validity masks; all stochastic choices (hard-negative
 sampling, WRA top-3 pick, negative-example choice) thread PRNG keys.
+
+Sharding semantics (SURVEY.md §7 hard part 2): under the data-parallel mesh
+the similarity matrix / in-batch negative pool spans the GLOBAL batch — the
+loss is jitted over sharded inputs and XLA inserts the gathers. The reference
+mines within each process's local batch (DDP); the global pool is strictly a
+superset (more and harder negatives at the same global batch size).
 """
 
 from __future__ import annotations

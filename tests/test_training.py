@@ -156,3 +156,34 @@ def test_warmup_linear_schedule():
     np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
     np.testing.assert_allclose(float(s(55)), 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-6)
+
+
+def test_training_with_dropout_rngs(devices):
+    """Training with nonzero dropout requires the dropout rng end to end
+    (gap found during verification: unit tests all used dropout=0)."""
+    from mvp_pytorch_tpu.models import BiPretrainModel, tiny_config
+    cfg = tiny_config(hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1)
+    model = BiPretrainModel(cfg)
+    batch = make_pretrain_batch(cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    rngs = {"hardneg": jax.random.PRNGKey(1), "wra": jax.random.PRNGKey(2),
+            "dropout": jax.random.PRNGKey(3)}
+    variables = model.init({"params": jax.random.PRNGKey(0), **rngs}, **jb,
+                           max_tag_length=MAX_TAG)
+
+    def loss_fn(params, b, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        out = model.apply({"params": params}, **b, max_tag_length=MAX_TAG,
+                          deterministic=False,
+                          rngs={"hardneg": k1, "wra": k2, "dropout": k3})
+        return out.total_loss, {}
+
+    mesh = make_mesh(devices)
+    tx = make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+    trainer = Trainer(loss_fn, tx, mesh)
+    state = trainer.init_state(variables["params"], jax.random.PRNGKey(7))
+    state, m1 = trainer.step(state, batch)
+    state, m2 = trainer.step(state, batch)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # dropout + different fold_in rng: consecutive losses differ
+    assert float(m1["loss"]) != float(m2["loss"])

@@ -93,11 +93,12 @@ class BiEncoder(nn.Module):
     # ------------------------------------------------------------------
 
     def encode_text(self, input_ids_a, attention_mask_a=None,
-                    token_type_ids_a=None, *, deterministic=True):
+                    token_type_ids_a=None, position_ids_a=None, *,
+                    deterministic=True):
         """Text stream: [CLS] words phrases [SEP] -> (seq [B,La,H], global [B,H])."""
         if attention_mask_a is None:
             attention_mask_a = jnp.ones_like(input_ids_a)
-        emb = self.embeddings(input_ids_a, token_type_ids_a,
+        emb = self.embeddings(input_ids_a, token_type_ids_a, position_ids_a,
                               deterministic=deterministic)
         bias = mask_to_bias(attention_mask_a)
         seq, _ = self.txt_encoder(emb, bias, deterministic=deterministic)
@@ -105,13 +106,13 @@ class BiEncoder(nn.Module):
         return seq, glob
 
     def embed_image_stream(self, input_ids_b, token_type_ids_b, img_feats,
-                           *, deterministic=True):
+                           position_ids_b=None, *, deterministic=True):
         """[CLS] tags [SEP] token embeddings ++ projected region features.
 
         Region features get no position embeddings, optional LayerNorm, and
         dropout (reference modeling_vlbert.py:498-509).
         """
-        tok = self.embeddings(input_ids_b, token_type_ids_b,
+        tok = self.embeddings(input_ids_b, token_type_ids_b, position_ids_b,
                               deterministic=deterministic)
         img = self.img_embedding(img_feats)
         if self.config.use_img_layernorm:
@@ -120,8 +121,8 @@ class BiEncoder(nn.Module):
         return jnp.concatenate([tok, img.astype(tok.dtype)], axis=1)
 
     def encode_image(self, input_ids_b, attention_mask_b=None,
-                     token_type_ids_b=None, img_feats=None, *,
-                     deterministic=True):
+                     token_type_ids_b=None, img_feats=None,
+                     position_ids_b=None, *, deterministic=True):
         """Vision stream -> (seq [B,T+R,H], global [B,H]).
 
         attention_mask_b covers tags+regions: [B, T+R].
@@ -131,6 +132,7 @@ class BiEncoder(nn.Module):
                 (input_ids_b.shape[0],
                  input_ids_b.shape[1] + img_feats.shape[1]), jnp.int32)
         emb = self.embed_image_stream(input_ids_b, token_type_ids_b, img_feats,
+                                      position_ids_b,
                                       deterministic=deterministic)
         bias = mask_to_bias(attention_mask_b)
         seq, _ = self.vis_encoder(emb, bias, deterministic=deterministic)
@@ -156,7 +158,8 @@ class BiEncoder(nn.Module):
     def __call__(self, input_ids_a, attention_mask_a=None,
                  token_type_ids_a=None, input_ids_b=None,
                  attention_mask_b=None, token_type_ids_b=None,
-                 img_feats=None, *, max_tag_length: Optional[int] = None,
+                 img_feats=None, position_ids_a=None, position_ids_b=None,
+                 *, max_tag_length: Optional[int] = None,
                  use_b: bool = False, encode_hn: bool = False,
                  hn_mod: str = "hard", logit=None,
                  phrase_layer: Optional[int] = None,
@@ -170,11 +173,11 @@ class BiEncoder(nn.Module):
                  input_ids_b.shape[1] + img_feats.shape[1]), jnp.int32)
 
         txt_seq, global_txt = self.encode_text(
-            input_ids_a, attention_mask_a, token_type_ids_a,
+            input_ids_a, attention_mask_a, token_type_ids_a, position_ids_a,
             deterministic=deterministic)
         vis_seq, global_img = self.encode_image(
             input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
-            deterministic=deterministic)
+            position_ids_b, deterministic=deterministic)
 
         # strip tag positions (or just CLS when use_b) before fusion
         # (reference modeling_vlbert.py:515-520)

@@ -230,3 +230,62 @@ def test_retrieval_model_conversion_parity(ref_model_and_inputs):
                       max_tag_length=MAX_TAG, method=RetrievalModel.score)
     np.testing.assert_allclose(np.asarray(got), ref_logits, atol=5e-4,
                                rtol=1e-3)
+
+
+def test_single_stream_captioning_conversion_parity(ref_model_and_inputs):
+    """Single-stream BertImgModel conversion: the captioning backbone's
+    encoder uses plain `bert.encoder.layer.N` names."""
+    import torch
+    sys.path.insert(0, REF)
+    from oscar.modeling.modeling_vlbert import BertImgModel
+    from transformers.pytorch_transformers.modeling_bert import BertConfig
+
+    torch.manual_seed(2)
+    cfg = BertConfig(vocab_size_or_config_json_file=131, hidden_size=32,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=37, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    cfg.torchscript = True
+    cfg.img_feature_dim = 22
+    cfg.img_feature_type = "faster_r-cnn"
+    cfg.use_img_layernorm = False
+    cfg.tie_weights = False
+    cfg.label_smoothing = 0.1
+    cfg.drop_worst_ratio = 0.0
+    cfg.drop_worst_after = 0
+    cfg.loss_type = "sfmx"
+    ref = BertImgModel(cfg)
+    ref.eval()
+
+    rs = np.random.RandomState(3)
+    ids = rs.randint(0, 131, (2, 10)).astype(np.int64)
+    feats = rs.randn(2, 4, 22).astype(np.float32)
+    mask = np.ones((2, 14), np.int64)
+    seg = np.zeros((2, 10), np.int64)
+    with torch.no_grad():
+        out = ref(torch.tensor(ids), img_feats=torch.tensor(feats),
+                  attention_mask=torch.tensor(mask),
+                  token_type_ids=torch.tensor(seg))
+        seq = out[0]
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.img_bert import ImgBertModel
+    import jax.numpy as jnp
+
+    sd = {"bert." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+    mcfg = ModelConfig(vocab_size=131, only_word_size=131, hidden_size=32,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       intermediate_size=37, max_position_embeddings=64,
+                       img_feature_dim=22, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    model = ImgBertModel(mcfg)
+    got_seq, _ = model.apply({"params": params["bert"]}, jnp.asarray(ids),
+                             jnp.asarray(mask), jnp.asarray(seg),
+                             img_feats=jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(got_seq), seq.numpy(), atol=5e-4,
+                               rtol=1e-3)

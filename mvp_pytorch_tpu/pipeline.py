@@ -160,6 +160,53 @@ class InferencePipeline:
 
     # ------------------------------------------------------------------
 
+    def inference_batch(self, pairs, batch_size: int = 16):
+        """Batched serving: pairs = [(img_path, text), ...]. Pads the last
+        batch for static shapes; returns a list of per-pair results
+        (capability the reference pipeline lacks — it is batch-1 only)."""
+        from .data.tensorize import collate
+        import jax
+
+        if not hasattr(self, "_jit_fwd_batch"):
+            self._jit_fwd_batch = jax.jit(
+                lambda params, b: self.model.apply(
+                    {"params": params},
+                    input_ids_a=b["input_ids_a"],
+                    attention_mask_a=b["input_mask_a"],
+                    token_type_ids_a=b["segment_ids_a"],
+                    input_ids_b=b["input_ids_b"],
+                    attention_mask_b=b["input_mask_b"],
+                    token_type_ids_b=b["segment_ids_b"],
+                    img_feats=b["img_feat"],
+                    max_tag_length=self.tcfg.max_tag_length))
+
+        exs = []
+        for img_path, text in pairs:
+            feat, tags = self.preprocess_img(img_path)
+            exs.append(self.tensorize_example(
+                text, feat, " ".join(tags), self.phrase_extract(text)))
+        results = []
+        for i in range(0, len(exs), batch_size):
+            chunk = exs[i:i + batch_size]
+            n = len(chunk)
+            while len(chunk) < batch_size and exs:
+                chunk = chunk + [chunk[-1]]
+            batch = {k: jnp.asarray(v) for k, v in collate(chunk).items()}
+            out = self._jit_fwd_batch(self.params, batch)
+            if self.model_name == "mlm":
+                scores = np.asarray(out)[:n]
+                for j in range(n):
+                    ids = np.asarray(chunk[j]["input_ids_a"])
+                    mp = ids == self.tokenizer.vocab["[MASK]"]
+                    pred = scores[j][mp].argmax(-1)
+                    results.append(self.tokenizer.convert_ids_to_tokens(
+                        [int(p) for p in pred]))
+            else:
+                for j in range(n):
+                    results.append({k: np.asarray(v)[j]
+                                    for k, v in out.items()})
+        return results
+
     def inference(self, img_path: str, text: str):
         img_feat, od_tags = self.preprocess_img(img_path)
         text_b = " ".join(od_tags)

@@ -98,3 +98,40 @@ def test_multi_corpus_dataset(tmp_path):
     assert ex_first["input_ids_a"].shape == ex_second_corpus["input_ids_a"].shape
     batch = ds.fetch(np.asarray([0, n1, len(ds) - 1]))
     assert batch["input_ids_a"].shape[0] == 3
+
+
+def test_driver_resume_consumes_same_batches(tmp_path):
+    """Kill-and-resume must consume exactly the batches a straight run
+    would (the reference's IterationBasedBatchSampler resume contract)."""
+    from mvp_pytorch_tpu.data.loader import BatchSampler, PrefetchLoader
+
+    s = BatchSampler(40, 4, seed=9)
+
+    def fetch(idx):
+        return {"idx": np.asarray(idx)}
+
+    straight = []
+    loader = PrefetchLoader(fetch, s, start_step=0, num_threads=2)
+    for step, batch in loader:
+        straight.append(batch["idx"])
+        if len(straight) == 10:
+            break
+    loader.close()
+
+    resumed = []
+    l1 = PrefetchLoader(fetch, BatchSampler(40, 4, seed=9), start_step=0,
+                        num_threads=2)
+    for step, batch in l1:
+        resumed.append(batch["idx"])
+        if len(resumed) == 4:   # "crash" after 4 steps
+            break
+    l1.close()
+    l2 = PrefetchLoader(fetch, BatchSampler(40, 4, seed=9), start_step=4,
+                        num_threads=2)
+    for step, batch in l2:
+        resumed.append(batch["idx"])
+        if len(resumed) == 10:
+            break
+    l2.close()
+    for a, b in zip(straight, resumed):
+        np.testing.assert_array_equal(a, b)

@@ -74,3 +74,21 @@ def test_pipeline_rejects_bad_model_name(model_dir):
     d, paths = model_dir
     with pytest.raises(AssertionError):
         InferencePipeline("nope", d)
+
+
+def test_batched_inference(model_dir):
+    d, paths = model_dir
+    store = FeatureStore(paths["features"])
+    pipe = InferencePipeline("mlm", d, object_detector=store,
+                             id2phrase=paths["id2phrase"],
+                             max_seq_length=30, max_img_seq_length=50,
+                             max_tag_length=20, max_phrases=5)
+    pairs = [("img_0001", "two [MASK] are playing"),
+             ("img_0002", "a [MASK] rides a horse"),
+             ("img_0003", "the [MASK] is red")]
+    res = pipe.inference_batch(pairs, batch_size=2)
+    assert len(res) == 3
+    assert all(len(r) == 1 for r in res)   # one [MASK] each
+    # batch results match single-pair results
+    single = pipe.inference("img_0001", "two [MASK] are playing")
+    assert res[0][0] in single

@@ -154,7 +154,7 @@ def main():
                               # through the axon tunnel)
         return time.time() - t0, n_pairs
 
-    results = [run_once() for _ in range(3)]
+    results = [run_once() for _ in range(4)]
     dt = min(r[0] for r in results)
     n_pairs = results[0][1]
     pairs_per_sec = n_pairs / dt

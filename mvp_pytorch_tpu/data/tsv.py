@@ -75,6 +75,30 @@ class TSVFile:
         return self.seek(idx)
 
 
+def tsv_concat(sources: Sequence[str], out_path: str) -> None:
+    """Concatenate TSVs (reference tsv_file_ops concat helper)."""
+    def rows():
+        for src in sources:
+            t = TSVFile(src)
+            for i in range(len(t)):
+                yield t.seek(i)
+    tsv_writer(rows(), out_path)
+
+
+def tsv_reorder(src: str, order: Sequence[int], out_path: str) -> None:
+    """Write rows of `src` in the given index order (reorder helper)."""
+    t = TSVFile(src)
+    tsv_writer((t.seek(i) for i in order), out_path)
+
+
+def tsv_delete(src: str, drop: Sequence[int], out_path: str) -> None:
+    """Write `src` without the dropped row indices (delete helper)."""
+    t = TSVFile(src)
+    dropset = set(int(i) for i in drop)
+    tsv_writer((t.seek(i) for i in range(len(t)) if i not in dropset),
+               out_path)
+
+
 def tsv_writer(rows: Iterable[Sequence], tsv_path: str) -> None:
     """Atomic write: tmp file + rename, with .lineidx emitted alongside
     (reference tsv_file_ops.py:12-24)."""

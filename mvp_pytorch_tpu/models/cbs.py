@@ -172,6 +172,16 @@ class ConstraintFilter:
         return out
 
 
+def constraints_from_features(feature_store, image_id, tokenizer,
+                              cfilter: "ConstraintFilter",
+                              max_constraints: int = 3) -> List[List[int]]:
+    """Candidate constraints for an image from its detected tags
+    (the reference's ConstraintBoxesReader role: reads per-image detections
+    and feeds the filter; our detections live in the FeatureStore)."""
+    _, tags = feature_store.get(image_id)
+    return cfilter(tags, max_constraints=max_constraints)
+
+
 def select_best_beam_with_constraints(sequences: np.ndarray,
                                       logprobs: np.ndarray,
                                       nsat: np.ndarray,

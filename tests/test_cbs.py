@@ -76,3 +76,19 @@ def test_cbs_two_constraints():
     best, _ = select_best_beam_with_constraints(
         np.asarray(seqs), np.asarray(logps), nsat, min_constraints=2)
     assert (best[0] == 7).any() and (best[0] == 8).any(), best
+
+
+def test_constraints_from_features(tmp_path):
+    from mvp_pytorch_tpu.data.datasets import FeatureStore
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+    from mvp_pytorch_tpu.models.cbs import (ConstraintFilter,
+                                            constraints_from_features)
+    paths = make_synthetic_root(str(tmp_path / "s"), n_images=2)
+    tok = BertTokenizer(paths["vocab"])
+    store = FeatureStore(paths["features"])
+    cons = constraints_from_features(store, "img_0000", tok,
+                                     ConstraintFilter(tok))
+    assert isinstance(cons, list)
+    for c in cons:
+        assert all(isinstance(i, int) for i in c)

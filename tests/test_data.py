@@ -169,3 +169,23 @@ def test_tsv_roundtrip(tmp_path):
     os.remove(str(tmp_path / "feats.lineidx"))
     t2 = TSVFile(p)
     assert t2.seek(5)[0] == "img_5"
+
+
+def test_tsv_ops_helpers(tmp_path):
+    from mvp_pytorch_tpu.data.tsv import (TSVFile, tsv_concat, tsv_delete,
+                                          tsv_reorder, tsv_writer)
+    a = str(tmp_path / "a.tsv")
+    b = str(tmp_path / "b.tsv")
+    tsv_writer([["a0", "x"], ["a1", "y"]], a)
+    tsv_writer([["b0", "z"]], b)
+    cat = str(tmp_path / "cat.tsv")
+    tsv_concat([a, b], cat)
+    t = TSVFile(cat)
+    assert len(t) == 3 and t.seek(2) == ["b0", "z"]
+    ro = str(tmp_path / "ro.tsv")
+    tsv_reorder(cat, [2, 0, 1], ro)
+    assert TSVFile(ro).seek(0) == ["b0", "z"]
+    de = str(tmp_path / "de.tsv")
+    tsv_delete(cat, [1], de)
+    td = TSVFile(de)
+    assert len(td) == 2 and td.seek(1) == ["b0", "z"]

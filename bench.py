@@ -38,7 +38,8 @@ def main():
     LA = 75           # 70 text + 5 phrase slots
     T, R = 20, 50     # tags, regions
     K_I2T, K_T2I = 20, 10   # rerank candidates (num_captions_per_img_val-style)
-    EB, SB = 500, 3500      # encode batch, score batch (70000 = 20 batches)
+    import os as _os
+    EB, SB = 500, int(_os.environ.get("BENCH_SB", 1000))
 
     import os
     cfg = ModelConfig(vocab_size=86051, only_word_size=30522,

@@ -116,12 +116,19 @@ def main(argv=None):
 
     pipes = build_pipelines(args)
     # warm the jitted forwards so the first request is not the compile
-    for pipe in pipes.values():
-        try:
-            first = next(iter(pipe.sg2id), None)
-            _ = first  # phrase map optional
-        except Exception:
-            pass
+    # (only possible with the precomputed-features backend: any stored
+    # image id works as a dummy)
+    if args.feature_tsv:
+        from ..data.datasets import FeatureStore
+        store = FeatureStore(args.feature_tsv,
+                             feature_dim=args.img_feature_dim)
+        first_img = store.keys()[0]
+        for mode, pipe in pipes.items():
+            try:
+                pipe.inference(first_img, "warmup [MASK]")
+                print(f"warmed {mode}")
+            except Exception as e:
+                print(f"warmup {mode} skipped: {e}")
     lock = threading.Lock()   # device calls serialized; HTTP IO threaded
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(pipes, lock))

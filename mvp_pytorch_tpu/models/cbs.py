@@ -103,35 +103,48 @@ def constrained_beam_search(logits_fn, fsm: jax.Array, bos_token_id: int,
     # only state 0 / beam 0 is live initially
     logp = jnp.full((b, s, k), NEG_INF)
     logp = logp.at[:, 0, 0].set(0.0)
+    finished = jnp.zeros((b, s, k), bool)
     trans_bias = jnp.where(fsm, 0.0, NEG_INF)        # [B, S_src, S_dst, V]
+    # finished beams: only candidate is self-loop (dst == src) emitting PAD
+    # with 0 added logprob, so an early EOS neither accumulates score nor
+    # changes FSM state (reference keeps finished hypotheses per state)
+    self_loop = jnp.where(jnp.eye(s, dtype=bool)[None, :, :, None, None],
+                          0.0, NEG_INF)             # [1, src, dst, 1, 1]
+    pad_only = jnp.where(jnp.arange(v) == pad_token_id, 0.0, NEG_INF
+                         )[None, None, None, None, :]  # [...,V]
 
     def step(carry, t):
-        tokens, logp = carry
+        tokens, logp, finished = carry
         flat = tokens.reshape(b * s * k, max_len)
         lg = logits_fn(flat)[:, t, :].astype(jnp.float32)
         lp_tok = jax.nn.log_softmax(lg, -1).reshape(b, s, k, v)
-        # EOS keeps finished beams in place: treat EOS as self-loop by
-        # boosting it only when already emitted (handled by pad after EOS)
         # candidate scores into each destination state:
         # [B, s_src, K, V] + trans [B, s_src, s_dst, V]
-        cand = (logp[..., None] + lp_tok)[:, :, None, :, :] \
+        base = logp[:, :, None, :, None]             # [B, src, 1, K, 1]
+        alive_cand = base + lp_tok[:, :, None, :, :] \
             + trans_bias[:, :, :, None, :]           # [B, src, dst, K, V]
+        fin_cand = base + self_loop + pad_only
+        fin_e = finished[:, :, None, :, None]        # [B, src, 1, K, 1]
+        cand = jnp.where(fin_e, fin_cand, alive_cand)
         cand = jnp.swapaxes(cand, 1, 2)              # [B, dst, src, K, V]
         flat_cand = cand.reshape(b, s, s * k * v)
         top_lp, top_idx = jax.lax.top_k(flat_cand, k)     # [B, dst, K]
         src = top_idx // (k * v)
         beam = (top_idx // v) % k
         tok = top_idx % v
-        # gather source beam buffers
+        # gather source beam buffers + finished flags
         src_beam = (src * k + beam).reshape(b, s * k)     # [B, S*K]
         flat_tokens = tokens.reshape(b, s * k, max_len)
         gathered = jax.vmap(lambda ft, ix: ft[ix])(flat_tokens, src_beam)
         new_tokens = gathered.reshape(b, s, k, max_len)
         new_tokens = new_tokens.at[..., t].set(tok)
-        return (new_tokens, top_lp), None
+        fin_src = jax.vmap(lambda f, ix: f[ix])(
+            finished.reshape(b, s * k), src_beam).reshape(b, s, k)
+        new_finished = fin_src | (tok == eos_token_id)
+        return (new_tokens, top_lp, new_finished), None
 
-    (tokens, logp), _ = jax.lax.scan(step, (tokens, logp),
-                                     jnp.arange(1, max_len))
+    (tokens, logp, _), _ = jax.lax.scan(step, (tokens, logp, finished),
+                                        jnp.arange(1, max_len))
     return tokens, logp
 
 

@@ -95,15 +95,17 @@ def generate(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
             nxt = jax.random.categorical(sub, logits)
         else:
             nxt = jnp.argmax(logits, axis=-1)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        step_logp = jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
         nxt = jnp.where(finished, pad_token_id, nxt)
-        step_logp = jnp.where(finished, 0.0, step_logp)
         if forced_prefix is not None:
             pl = forced_prefix.shape[1]
             forced = jnp.where(t < pl,
                                forced_prefix[:, jnp.minimum(t, pl - 1)], nxt)
             nxt = jnp.where((t < pl) & (forced >= 0), forced, nxt)
+        # logprob of the token ACTUALLY written (incl. forced-prefix
+        # substitutions), not the freely chosen one
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        step_logp = jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
+        step_logp = jnp.where(finished, 0.0, step_logp)
         tokens = tokens.at[:, t].set(nxt)
         finished = finished | (nxt == eos_token_id)
         return (tokens, finished, rng), (step_logp, finished)

@@ -198,9 +198,16 @@ def make_seq2seq_mask(l_cap: int, ctx_mask: jax.Array) -> jax.Array:
 
 
 def captioning_loss(logits, targets, weights, *, label_smoothing: float = 0.1,
-                    drop_worst_ratio: float = 0.0):
+                    drop_worst_ratio: float = 0.0, apply_drop=None):
     """Label-smoothed KL over masked caption positions with optional
-    drop-worst curriculum (reference BertCaptioningLoss :1537-1563)."""
+    drop-worst curriculum (reference BertCaptioningLoss :1537-1563).
+
+    Drop-worst selects the largest-loss fraction among MASKED positions only
+    (the reference gathers masked positions before topk); unmasked (zero
+    weight) positions never count toward the kept set or the denominator.
+    `apply_drop` (scalar bool, optional) gates the curriculum — the
+    reference's drop_worst_after iteration threshold.
+    """
     v = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     eps = label_smoothing
@@ -213,14 +220,23 @@ def captioning_loss(logits, targets, weights, *, label_smoothing: float = 0.1,
     per = (1.0 - eps) * nll + (eps / (v - 1)) * (smooth - nll)
     per = per * weights
     flat = per.reshape(-1)
-    wflat = weights.reshape(-1)
-    if drop_worst_ratio > 0:
-        k = int(flat.shape[0] * (1 - drop_worst_ratio))
-        flat_sel = -jax.lax.top_k(-flat, k)[0]   # smallest k losses
-        # weight-aware denom: approximate with count of nonzero in selection
-        denom = jnp.maximum(jnp.sum(flat_sel > 0), 1)
-        return jnp.sum(flat_sel) / denom
-    return jnp.sum(flat) / jnp.maximum(jnp.sum(wflat), 1.0)
+    wflat = weights.reshape(-1).astype(jnp.float32)
+    plain = jnp.sum(flat) / jnp.maximum(jnp.sum(wflat), 1.0)
+    if drop_worst_ratio <= 0:
+        return plain
+    # rank masked losses ascending (unmasked -> +inf, never kept); keep the
+    # smallest ceil(n_masked * (1 - ratio)) of them — dynamic count, fixed
+    # shapes (double-argsort rank trick).
+    n_masked = jnp.sum(wflat)
+    keep_count = jnp.ceil(n_masked * (1.0 - drop_worst_ratio))
+    cand = jnp.where(wflat > 0, flat, jnp.inf)
+    ranks = jnp.argsort(jnp.argsort(cand))
+    keep = (ranks < keep_count) & (wflat > 0)
+    dropped = (jnp.sum(jnp.where(keep, flat, 0.0))
+               / jnp.maximum(jnp.sum(keep), 1))
+    if apply_drop is None:
+        return dropped
+    return jnp.where(apply_drop, dropped, plain)
 
 
 class CaptioningModel(nn.Module):
@@ -229,6 +245,7 @@ class CaptioningModel(nn.Module):
     config: ModelConfig
     label_smoothing: float = 0.1
     drop_worst_ratio: float = 0.0
+    drop_worst_after: int = 0
 
     def setup(self):
         cfg = self.config
@@ -242,10 +259,12 @@ class CaptioningModel(nn.Module):
 
     def __call__(self, input_ids, ctx_ids, ctx_mask, token_type_ids,
                  ctx_token_type_ids, img_feats, masked_pos=None,
-                 masked_ids=None, *, deterministic: bool = False):
+                 masked_ids=None, *, deterministic: bool = False,
+                 step=None):
         """Training: input_ids = caption with [MASK]s; ctx_ids = od tags;
         ctx covers tags + regions. masked_pos [B, L_cap] 0/1, masked_ids
-        [B, L_cap] target ids (0 where unmasked)."""
+        [B, L_cap] target ids (0 where unmasked). `step` (scalar, optional)
+        gates drop-worst via drop_worst_after (reference iteration gate)."""
         l_cap = input_ids.shape[1]
         full_ids = jnp.concatenate([input_ids, ctx_ids], axis=1)
         full_seg = jnp.concatenate([token_type_ids, ctx_token_type_ids],
@@ -257,9 +276,13 @@ class CaptioningModel(nn.Module):
         if masked_pos is None:
             return logits
         w = masked_pos.astype(jnp.float32)
+        apply_drop = None
+        if self.drop_worst_after > 0 and step is not None:
+            apply_drop = step >= self.drop_worst_after
         loss = captioning_loss(logits, masked_ids, w,
                                label_smoothing=self.label_smoothing,
-                               drop_worst_ratio=self.drop_worst_ratio)
+                               drop_worst_ratio=self.drop_worst_ratio,
+                               apply_drop=apply_drop)
         return loss, logits
 
     def decode_logits(self, caption_ids, ctx_ids, ctx_mask, token_type_ids,

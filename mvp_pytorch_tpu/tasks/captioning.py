@@ -41,6 +41,9 @@ def get_args(argv=None):
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--label_smoothing", type=float, default=0.1)
     p.add_argument("--drop_worst_ratio", type=float, default=0.0)
+    p.add_argument("--drop_worst_after", type=int, default=0,
+                   help="apply drop-worst only after this step "
+                        "(reference --drop_worst_after curriculum gate)")
     p.add_argument("--mask_caption_prob", type=float, default=0.15)
     p.add_argument("--scst", action="store_true",
                    help="self-critical fine-tuning after cross-entropy")
@@ -108,11 +111,19 @@ class CaptionDataset:
         masked_pos = np.zeros(self.max_cap, np.int32)
         masked_ids = np.zeros(self.max_cap, np.int32)
         out_ids = list(ids) + [0] * (self.max_cap - len(ids))
+
+        def mask_at(i):
+            masked_pos[i] = 1
+            masked_ids[i] = out_ids[i]
+            out_ids[i] = self.tok.vocab["[MASK]"]
+
+        # random pass first; only if NOTHING got masked, mask one random
+        # position (reference semantics — never systematically mask pos 1)
         for i in range(1, len(ids) - 1):
-            if rng.random() < self.mask_prob or not masked_pos.any():
-                masked_pos[i] = 1
-                masked_ids[i] = out_ids[i]
-                out_ids[i] = self.tok.vocab["[MASK]"]
+            if rng.random() < self.mask_prob:
+                mask_at(i)
+        if not masked_pos.any() and len(ids) > 2:
+            mask_at(rng.randrange(1, len(ids) - 1))
         ids_b, ctx_mask, feats = self.context(img)
         return dict(
             caption_ids=np.asarray(out_ids, np.int32),
@@ -151,7 +162,8 @@ def main(argv=None):
                              mask_prob=args.mask_caption_prob, seed=args.seed)
 
     model = CaptioningModel(cfg, label_smoothing=args.label_smoothing,
-                            drop_worst_ratio=args.drop_worst_ratio)
+                            drop_worst_ratio=args.drop_worst_ratio,
+                            drop_worst_after=args.drop_worst_after)
 
     def model_args(batch):
         b = batch["caption_ids"].shape[0]
@@ -172,9 +184,10 @@ def main(argv=None):
 
     params = load_params_or_init(args, model, init_fn)
 
-    def loss_fn(p, batch, rng):
+    def loss_fn(p, batch, rng, step):
         loss, _ = model.apply({"params": p}, **model_args(batch),
-                              deterministic=False, rngs={"dropout": rng})
+                              deterministic=False, step=step,
+                              rngs={"dropout": rng})
         return loss, {}
 
     def decode_captions(p, n_eval=None):

@@ -42,7 +42,18 @@ class Trainer:
     def __init__(self, loss_fn: Callable, optimizer: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, *, zero_sharding: bool = True,
                  grad_accum: int = 1):
-        self.loss_fn = loss_fn
+        import inspect
+        # optional extended contract: loss_fn(params, batch, rng, step)
+        # (used e.g. by captioning's drop_worst_after curriculum gate)
+        try:
+            self._loss_wants_step = (
+                "step" in inspect.signature(loss_fn).parameters)
+        except (TypeError, ValueError):
+            self._loss_wants_step = False
+        if self._loss_wants_step:
+            self.loss_fn = loss_fn
+        else:
+            self.loss_fn = lambda p, b, r, step: loss_fn(p, b, r)
         self.tx = optimizer
         self.mesh = mesh if mesh is not None else make_mesh()
         self.zero_sharding = zero_sharding
@@ -93,14 +104,16 @@ class Trainer:
 
             if self.grad_accum == 1:
                 (loss, metrics), grads = jax.value_and_grad(
-                    self.loss_fn, has_aux=True)(state.params, batch, rng)
+                    self.loss_fn, has_aux=True)(state.params, batch, rng,
+                                                state.step)
             else:
                 # micro-batch scan over the leading-split batch
                 def micro(carry, mb):
                     acc_grads, acc_loss, acc_metrics, i = carry
                     r = jax.random.fold_in(rng, i)
                     (l, m), g = jax.value_and_grad(
-                        self.loss_fn, has_aux=True)(state.params, mb, r)
+                        self.loss_fn, has_aux=True)(state.params, mb, r,
+                                                    state.step)
                     acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, g)
                     acc_metrics = jax.tree_util.tree_map(
                         jnp.add, acc_metrics, m)
@@ -112,7 +125,8 @@ class Trainer:
                                         *x.shape[1:]), batch)
                 zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
                 m_shape = jax.eval_shape(
-                    lambda p, b, r: self.loss_fn(p, b, r)[1], state.params,
+                    lambda p, b, r: self.loss_fn(p, b, r, state.step)[1],
+                    state.params,
                     jax.tree_util.tree_map(lambda x: x[0], split), rng)
                 zero_m = jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), m_shape)

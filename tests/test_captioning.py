@@ -124,6 +124,47 @@ def test_captioning_loss_drop_worst():
     assert float(dropped) <= float(full) + 1e-6
 
 
+def test_captioning_loss_drop_worst_sparse_mask():
+    """Drop-worst must select among MASKED positions only: with ~15% of
+    positions masked and ratio 0.2, the loss must be nonzero and equal the
+    mean of the smallest 80% of the masked losses (the round-1 bug returned
+    identically 0 here because zero-weight positions were the smallest)."""
+    rs = np.random.RandomState(2)
+    logits = jnp.asarray(rs.randn(4, 20, 10), jnp.float32)
+    tgt = jnp.asarray(rs.randint(0, 10, (4, 20)))
+    w = np.zeros((4, 20), np.float32)
+    # 3 masked positions per row (15%)
+    for b in range(4):
+        w[b, rs.choice(20, 3, replace=False)] = 1.0
+    w = jnp.asarray(w)
+    loss = captioning_loss(logits, tgt, w, label_smoothing=0.0,
+                           drop_worst_ratio=0.2)
+    assert float(loss) > 0.0
+    # manual oracle: per-position nll over masked slots
+    logp = np.asarray(jax.nn.log_softmax(np.asarray(logits), -1))
+    nll = -np.take_along_axis(logp, np.asarray(tgt)[..., None], -1)[..., 0]
+    masked = nll[np.asarray(w) > 0]                 # 12 values
+    keep = int(np.ceil(len(masked) * 0.8))          # 10 smallest
+    expect = np.sort(masked)[:keep].mean()
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+
+
+def test_captioning_loss_drop_worst_after_gate():
+    rs = np.random.RandomState(3)
+    logits = jnp.asarray(rs.randn(2, 8, 10), jnp.float32)
+    tgt = jnp.asarray(rs.randint(0, 10, (2, 8)))
+    w = jnp.ones((2, 8))
+    plain = captioning_loss(logits, tgt, w, label_smoothing=0.1)
+    gated_off = captioning_loss(logits, tgt, w, label_smoothing=0.1,
+                                drop_worst_ratio=0.25,
+                                apply_drop=jnp.asarray(False))
+    gated_on = captioning_loss(logits, tgt, w, label_smoothing=0.1,
+                               drop_worst_ratio=0.25,
+                               apply_drop=jnp.asarray(True))
+    np.testing.assert_allclose(float(gated_off), float(plain), rtol=1e-6)
+    assert float(gated_on) < float(plain)
+
+
 def mock_logits_fn(script):
     """logits_fn where position t deterministically prefers script[t]."""
     V = 16
@@ -152,6 +193,45 @@ def test_generate_min_len_blocks_eos():
                    batch_size=1, max_len=8, min_len=4)
     seq = np.asarray(out.sequences)[0]
     assert seq[1] != EOS and seq[2] != EOS and seq[3] != EOS
+
+
+def test_generate_forced_prefix_logprobs():
+    """logprobs must score the token actually written (the forced one),
+    not the freely argmaxed token (round-1 ADVICE low finding)."""
+    script = [0, 7, 8, 9, EOS, 9, 9, 9]
+    # indexed by absolute position (0 = BOS, never written): force 1..2
+    forced = jnp.asarray([[-1, 11, 12]])
+    out = generate(mock_logits_fn(script), BOS, EOS, PAD, MASK,
+                   batch_size=1, max_len=8, forced_prefix=forced)
+    seq = np.asarray(out.sequences)[0]
+    assert seq[1] == 11 and seq[2] == 12
+    # mock logits: forced tokens have logit -5 vs 5 for the scripted one
+    logits = np.full(16, -5.0)
+    logits[7] = 5.0
+    lp = logits - np.log(np.exp(logits).sum())
+    np.testing.assert_allclose(float(out.logprobs[0, 1]), lp[11], rtol=1e-5)
+
+
+def test_caption_dataset_masking_not_systematic(tmp_path):
+    """Position 1 must not be masked in every example (round-1 ADVICE
+    medium finding: the fallback clause fired at i=1 unconditionally)."""
+    from mvp_pytorch_tpu.data.datasets import FeatureStore
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+    from mvp_pytorch_tpu.tasks.captioning import CaptionDataset
+    paths = make_synthetic_root(str(tmp_path / "s"), n_images=8)
+    tok = BertTokenizer(paths["vocab"])
+    ds = CaptionDataset(paths["captions"], FeatureStore(paths["features"]),
+                        tok, max_cap=20, max_tag=12, mask_prob=0.15, seed=0)
+    pos1 = 0
+    any_masked = 0
+    n = min(len(ds), 64)
+    for i in range(n):
+        ex = ds[i]
+        pos1 += int(ex["masked_pos"][1])
+        any_masked += int(ex["masked_pos"].any())
+    assert any_masked == n                  # always at least one mask
+    assert pos1 < n * 0.8, f"position 1 masked in {pos1}/{n} examples"
 
 
 def test_generate_sampling_topk1_equals_greedy():

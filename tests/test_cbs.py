@@ -78,6 +78,33 @@ def test_cbs_two_constraints():
     assert (best[0] == 7).any() and (best[0] == 8).any(), best
 
 
+def test_cbs_finished_beam_keeps_score():
+    """A beam that emits EOS early must stop accumulating logprob (PAD
+    self-loop) and keep its FSM state — the round-1 bug kept extending
+    finished beams with negative logprobs, penalizing early finishers."""
+    # model: prefers 7 then EOS; after that every token is very unlikely
+    script = [{} for _ in range(8)]
+    script[1] = {7: 6.0}
+    script[2] = {EOS: 6.0}
+    for t in range(3, 8):
+        script[t] = {5: -1.0}   # everything cheap-ish but nonzero cost
+    fsm_np, nsat = build_fsm([[7]], V, max_states=2)
+    fsm = jnp.asarray(fsm_np[None])
+    seqs, logps = constrained_beam_search(
+        scripted_logits(script), fsm, BOS, EOS, PAD, MASK,
+        max_len=8, num_beams=2)
+    seqs, logps = np.asarray(seqs), np.asarray(logps)
+    best, score = select_best_beam_with_constraints(seqs, logps, nsat, 1)
+    # best satisfied beam is BOS 7 EOS PAD PAD...
+    assert (best[0][:3] == [BOS, 7, EOS]).all(), best
+    assert (best[0][3:] == PAD).all(), best
+    # its score equals logp(7) + logp(EOS) alone: recompute via the script
+    lg = np.asarray(scripted_logits(script)(jnp.asarray(best)))
+    lp = np.log(np.exp(lg) / np.exp(lg).sum(-1, keepdims=True))
+    expect = lp[0, 1, 7] + lp[0, 2, EOS]
+    np.testing.assert_allclose(score[0], expect, atol=1e-5)
+
+
 def test_constraints_from_features(tmp_path):
     from mvp_pytorch_tpu.data.datasets import FeatureStore
     from mvp_pytorch_tpu.data.synthetic import make_synthetic_root

@@ -30,7 +30,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .tensorize import (PretrainExample, TensorizeConfig, collate,
-                        convert_example_to_features, tensorize_example)
+                        convert_example_to_features,
+                        convert_qa_example_to_features, tensorize_example)
 from .tsv import TSVFile
 
 VE_LABELS = {"contradiction": 0, "neutral": 1, "entailment": 2}
@@ -189,15 +190,28 @@ class RetrievalDataset:
 
 class PretrainDataset:
     """Corpus TSV rows: [image_id, caption, json phrases(optional),
-    qa_answer(optional)] + FeatureStore regions/tags. Masking happens at
-    fetch time with a per-(seed, index, epoch) rng for determinism."""
+    qa_answer_id(optional), qa_answer_text(optional)] + FeatureStore
+    regions/tags. Masking happens at fetch time with a per-(seed, index,
+    epoch) rng for determinism.
+
+    QA-contrastive support (reference oscar_datasets_ml2/oscar_tsv4.py):
+    rows with a non-empty 5th column are QA pairs (caption = question,
+    col 5 = answer text). With `qa_pairs=True`, each QA row keeps its true
+    answer with prob 0.5 (qa_is_next=0) or swaps in a random answer from
+    the QA pool (qa_is_next=1; reference get_random_qa :539-557); non-QA
+    rows emit qa_is_next=-1 (ignored by the loss). `only_qa`/`only_cap`
+    filter the corpus (:145-147); `exclude_ids` drops rows whose image id
+    is in the set (the Flickr test-id exclusion, :154-162)."""
 
     def __init__(self, corpus_tsv: str, features: FeatureStore, tokenizer,
                  sg2id: Optional[Dict[tuple, int]] = None,
                  cfg: TensorizeConfig = TensorizeConfig(),
                  tag2id: Optional[Dict[str, int]] = None,
                  phrase_vocab_size: int = 0, seed: int = 0,
-                 mask_prob: float = 0.15, mask_visual: bool = True):
+                 mask_prob: float = 0.15, mask_visual: bool = True,
+                 qa_pairs: bool = False, only_qa: bool = False,
+                 only_cap: bool = False,
+                 exclude_ids: Optional[set] = None):
         self.tsv = TSVFile(corpus_tsv)
         self.features = features
         self.tokenizer = tokenizer
@@ -209,24 +223,68 @@ class PretrainDataset:
         self.mask_prob = mask_prob
         self.mask_visual = mask_visual
         self.epoch = 0
+        self.qa_pairs = qa_pairs
+        self._index: Optional[List[int]] = None   # row filter (None = all)
+        self._qa_answers: List[str] = []          # negative-sampling pool
+        if qa_pairs or only_qa or only_cap or exclude_ids:
+            assert not (only_qa and only_cap)
+            keep, n_excluded = [], 0
+            for i in range(len(self.tsv)):
+                row = self.tsv.seek(i)
+                is_qa = len(row) > 4 and bool(row[4])
+                if exclude_ids and row[0] in exclude_ids:
+                    n_excluded += 1
+                    continue
+                if (only_qa and not is_qa) or (only_cap and is_qa):
+                    continue
+                keep.append(i)
+                if is_qa:
+                    self._qa_answers.append(row[4])
+            self._index = keep
+            self.n_excluded = n_excluded
 
     def __len__(self):
-        return len(self.tsv)
+        return len(self._index) if self._index is not None else len(self.tsv)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        row = self.tsv.seek(index)
+        row_id = self._index[index] if self._index is not None else index
+        row = self.tsv.seek(row_id)
         image_id, caption = row[0], row[1]
         phrases = json.loads(row[2]) if len(row) > 2 and row[2] else []
         qa_ans = int(row[3]) if len(row) > 3 and row[3] else -1
+        qa_answer_text = row[4] if len(row) > 4 and row[4] else None
         feats, tags = self.features.get(image_id)
         tokens_a = self.tokenizer.tokenize(caption)
         tokens_b = self.tokenizer.tokenize(" ".join(tags))
+        rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
+
+        if self.qa_pairs and qa_answer_text is not None:
+            # 50/50 true pair vs random-answer swap (reference random_sent
+            # QA branch, oscar_tsv4.py:428-440)
+            qa_is_next = 0
+            if rng.random() > 0.5 and len(self._qa_answers) > 1:
+                swapped = self._qa_answers[
+                    rng.randrange(len(self._qa_answers))]
+                if swapped != qa_answer_text:
+                    qa_answer_text = swapped
+                    qa_is_next = 1
+            ex = PretrainExample(
+                tokens_a=tokens_a, tokens_b=tokens_b, img_feat=feats,
+                od_tags=[t.lower() for t in tags],
+                phrase_nodes=phrases_to_ids(phrases, self.sg2id),
+                qa_ans=qa_ans,
+                qa_answer_tokens=self.tokenizer.tokenize(qa_answer_text),
+                qa_is_next=qa_is_next, guid=row_id)
+            return convert_qa_example_to_features(
+                ex, self.tokenizer, cfg=self.cfg, tag2id=self.tag2id,
+                phrase_vocab_size=self.phrase_vocab_size, rng=rng,
+                mask_prob=self.mask_prob, mask_visual=self.mask_visual)
+
         ex = PretrainExample(
             tokens_a=tokens_a, tokens_b=tokens_b, img_feat=feats,
             od_tags=[t.lower() for t in tags],
             phrase_nodes=phrases_to_ids(phrases, self.sg2id),
-            qa_ans=qa_ans, guid=index)
-        rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
+            qa_ans=qa_ans, guid=row_id)
         return convert_example_to_features(
             ex, self.tokenizer, cfg=self.cfg, tag2id=self.tag2id,
             phrase_vocab_size=self.phrase_vocab_size, rng=rng,
@@ -397,7 +455,9 @@ class MultiCorpusPretrainDataset:
 
     @classmethod
     def from_yaml(cls, yaml_path: str, tokenizer, cfg=None, seed: int = 0,
-                  mask_prob: float = 0.15, mask_visual: bool = True):
+                  mask_prob: float = 0.15, mask_visual: bool = True,
+                  qa_pairs: bool = False, only_qa: bool = False,
+                  only_cap: bool = False):
         from ..utils.misc import load_from_yaml_file
         from .tensorize import TensorizeConfig
         spec = load_from_yaml_file(yaml_path)
@@ -410,6 +470,12 @@ class MultiCorpusPretrainDataset:
                 raw = json.load(f)
             tag2id = {t: tokenizer.vocab.get(t, 1) for t in raw}
         pvs = int(spec.get("phrase_vocab_size", 0))
+        # yaml key fk_test_id: newline-separated image ids excluded from
+        # every corpus (reference Flickr30k test exclusion, ml2 :50,154-162)
+        exclude_ids = None
+        if spec.get("fk_test_id"):
+            with open(spec["fk_test_id"]) as f:
+                exclude_ids = {ln.strip() for ln in f if ln.strip()}
         datasets = []
         for c in spec["corpora"]:
             feats = c["feature_tsv"]
@@ -419,7 +485,9 @@ class MultiCorpusPretrainDataset:
                     c["corpus_tsv"], FeatureStore(chunk), tokenizer,
                     sg2id=sg2id, cfg=cfg, tag2id=tag2id,
                     phrase_vocab_size=pvs, seed=seed, mask_prob=mask_prob,
-                    mask_visual=mask_visual))
+                    mask_visual=mask_visual, qa_pairs=qa_pairs,
+                    only_qa=only_qa, only_cap=only_cap,
+                    exclude_ids=exclude_ids))
         return cls(datasets)
 
     def __len__(self):

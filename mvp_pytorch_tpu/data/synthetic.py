@@ -12,7 +12,7 @@ import base64
 import json
 import os
 import random
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -42,8 +42,10 @@ def random_caption(rng: random.Random, n: int = 6) -> str:
 
 def write_features(directory: str, image_ids: List[str],
                    rng: np.random.RandomState, feature_dim: int = 2054,
-                   max_regions: int = 10) -> str:
-    """predictions.tsv + imageid2idx.json with valid box geometry."""
+                   max_regions: int = 10,
+                   tags_out: Optional[Dict[str, List[str]]] = None) -> str:
+    """predictions.tsv + imageid2idx.json with valid box geometry.
+    If tags_out is given, it is filled with {image_id: [tags]}."""
     os.makedirs(directory, exist_ok=True)
 
     def rows():
@@ -57,6 +59,8 @@ def write_features(directory: str, image_ids: List[str],
             geo = np.concatenate([x1, y1, x2, y2, x2 - x1, y2 - y1], 1)
             feats = np.concatenate([roi, geo.astype(np.float32)], 1)
             tags = [TAGS[rng.randint(len(TAGS))] for _ in range(n)]
+            if tags_out is not None:
+                tags_out[img] = tags
             yield [img, json.dumps({
                 "feature": base64.b64encode(feats.tobytes()).decode(),
                 "predictions": tags})]
@@ -81,8 +85,10 @@ def make_synthetic_root(root: str, n_images: int = 12,
     paths = {"root": root}
     paths["vocab"] = os.path.join(root, "vocab.txt")
     vocab_list = write_vocab(paths["vocab"])
+    img_tags: Dict[str, List[str]] = {}
     paths["features"] = write_features(os.path.join(root, "features"),
-                                       image_ids, nprng, feature_dim)
+                                       image_ids, nprng, feature_dim,
+                                       tags_out=img_tags)
 
     # phrase vocab: ids appended after the wordpiece vocab
     vocab_size = len(vocab_list)
@@ -102,12 +108,29 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["captions"], "w") as f:
         json.dump(caps, f)
 
-    # pretrain corpus tsv: [image_id, caption, phrases_json, qa_ans]
-    rows = [[img, random_caption(rng), json.dumps(some_phrases()),
-             rng.randrange(n_answers)]
-            for img in image_ids for _ in range(caps_per_img)]
+    # pretrain corpus tsv:
+    # [image_id, caption, phrases_json, qa_ans_int, qa_answer_text]
+    # every other row is a QA pair (question + true answer = a tag of the
+    # image, so the QA-contrastive task is learnable from the visual stream)
+    rows = []
+    for img in image_ids:
+        for j in range(caps_per_img):
+            if j % 2 == 1:
+                ans = rng.choice(img_tags[img])
+                rows.append([img, "the picture shows a",
+                             json.dumps(some_phrases()),
+                             rng.randrange(n_answers), ans])
+            else:
+                rows.append([img, random_caption(rng),
+                             json.dumps(some_phrases()),
+                             rng.randrange(n_answers), ""])
     paths["corpus"] = os.path.join(root, "corpus.tsv")
     tsv_writer(rows, paths["corpus"])
+
+    # fk-test-style exclusion list (a couple of image ids)
+    paths["exclude_ids"] = os.path.join(root, "exclude_ids.txt")
+    with open(paths["exclude_ids"], "w") as f:
+        f.write("\n".join(image_ids[:2]) + "\n")
 
     # vqa jsonl + label2ans
     paths["vqa"] = os.path.join(root, "vqa.jsonl")

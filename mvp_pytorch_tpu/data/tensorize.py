@@ -123,7 +123,20 @@ class PretrainExample:
     qa_ans: int = -1
     is_next: int = 0
     is_img_match: int = 0
+    qa_answer_tokens: Optional[List[str]] = None  # QA-pair answer (tokenized)
+    qa_is_next: int = -1                # 0 true QA pair, 1 swapped, -1 not QA
     guid: int = -1
+
+
+def _truncate_seq_pair(tokens_a: List[str], tokens_b: List[str],
+                       max_length: int) -> None:
+    """Pop from the longer sequence until the pair fits (reference
+    oscar_datasets_ml2/oscar_tsv4.py:1370-1383)."""
+    while len(tokens_a) + len(tokens_b) > max_length:
+        if len(tokens_a) > len(tokens_b):
+            tokens_a.pop()
+        else:
+            tokens_b.pop()
 
 
 def convert_example_to_features(example: PretrainExample, tokenizer, *,
@@ -227,6 +240,125 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
         is_next=np.int32(example.is_next),
         is_img_match=np.int32(example.is_img_match),
         qa_ans=np.int32(example.qa_ans),
+        qa_is_next=np.int32(example.qa_is_next),
+        phrase_index=np.asarray(phrase_index, np.int32),
+        image_index=np.asarray(image_index, np.int32),
+    )
+
+
+def convert_qa_example_to_features(example: PretrainExample, tokenizer, *,
+                                   cfg: TensorizeConfig = TensorizeConfig(),
+                                   tag2id: Optional[Dict[str, int]] = None,
+                                   phrase_vocab_size: int = 0,
+                                   rng: Optional[random.Random] = None,
+                                   mask_prob: float = 0.15,
+                                   mask_visual: bool = False
+                                   ) -> Dict[str, np.ndarray]:
+    """QA-pair tensorization (reference oscar_datasets_ml2/oscar_tsv4.py
+    :1160-1366 convert_qa_example_to_features): stream A carries
+    `[CLS] question phrases [SEP] answer [SEP]` with the answer tokens in
+    segment 1, MLM masking over question AND answer, and `qa_is_next`
+    (0 true pair / 1 swapped answer) feeding the qa_seq_relation head.
+    Same fixed-shape output schema as convert_example_to_features."""
+    rng = rng or random.Random()
+    tokens_a = list(example.tokens_a)
+    tokens_ans = list(example.qa_answer_tokens or [])
+    tokens_b = list(example.tokens_b)
+    phrase_nodes = list(example.phrase_nodes or [])
+
+    if len(tokens_b) > cfg.max_tag_length - 2:
+        tokens_b = tokens_b[: cfg.max_tag_length - 2]
+    # [CLS], [SEP], [SEP] => budget max_seq_length - 3 for question+answer
+    _truncate_seq_pair(tokens_a, tokens_ans, cfg.max_seq_length - 3)
+
+    tokens_a, t1_label = random_word(tokens_a, tokenizer.vocab, rng,
+                                     mask_prob=mask_prob)
+    tokens_ans, ans_label = random_word(tokens_ans, tokenizer.vocab, rng,
+                                        mask_prob=mask_prob)
+    tokens_b, t2_label = random_word(tokens_b, tokenizer.vocab, rng,
+                                     mask_prob=mask_prob)
+
+    limit = (cfg.max_phrases + cfg.max_seq_length - 3
+             - len(tokens_a) - len(tokens_ans))
+    if len(phrase_nodes) >= limit:
+        phrase_nodes = phrase_nodes[:limit]
+    phrase_nodes, _ = random_phrases(
+        phrase_nodes, t1_label, example.phrase_mask_map, tokenizer.vocab,
+        len(tokenizer.vocab), phrase_vocab_size, rng, mask_prob=mask_prob)
+    phrase_label = [-1] * len(phrase_nodes)   # parity: not predicted
+
+    img_feat = np.array(example.img_feat, np.float32, copy=True)
+    vis_label: List[int] = []
+    if mask_visual and tag2id is not None:
+        img_feat, vis_label, _ = random_visual(
+            img_feat, example.od_tags, tag2id, rng, mask_prob=mask_prob)
+
+    lm_label_ids_a = ([-1] + t1_label + phrase_label + [-1]
+                      + ans_label + [-1])
+    lm_label_ids_b = [-1] + t2_label + [-1]
+
+    seq_tokens_a = [tokenizer.cls_token] + tokens_a
+    input_ids_a = tokenizer.convert_tokens_to_ids(seq_tokens_a)
+    phrase_start = len(input_ids_a)
+    input_ids_a += phrase_nodes
+    phrase_index = [phrase_start, phrase_start + len(phrase_nodes)]
+    input_ids_a.append(tokenizer.vocab[tokenizer.sep_token])
+    segment_ids_a = [cfg.seq_a_segment_id] * len(input_ids_a)
+    # answer tokens ride in segment 1; both SEPs keep segment 0
+    # (reference :1275-1282)
+    input_ids_a += tokenizer.convert_tokens_to_ids(tokens_ans)
+    segment_ids_a += [cfg.seq_b_segment_id] * len(tokens_ans)
+    input_ids_a.append(tokenizer.vocab[tokenizer.sep_token])
+    segment_ids_a.append(cfg.seq_a_segment_id)
+    input_mask_a = [1] * len(input_ids_a)
+
+    seq_tokens_b = [tokenizer.cls_token] + tokens_b + [tokenizer.sep_token]
+    input_ids_b = tokenizer.convert_tokens_to_ids(seq_tokens_b)
+    segment_ids_b = [cfg.seq_b_segment_id] * len(input_ids_b)
+    input_mask_b = [1] * len(input_ids_b)
+
+    total_a = cfg.seq_a_total
+    while len(input_ids_a) < total_a:
+        input_ids_a.append(0)
+        input_mask_a.append(0)
+        segment_ids_a.append(cfg.seq_a_segment_id)
+        lm_label_ids_a.append(-1)
+    while len(input_ids_b) < cfg.max_tag_length:
+        input_ids_b.append(0)
+        input_mask_b.append(0)
+        segment_ids_b.append(cfg.seq_b_segment_id)
+        lm_label_ids_b.append(-1)
+    assert len(input_ids_a) == total_a
+    assert len(lm_label_ids_a) == total_a
+
+    img_feat_len = min(img_feat.shape[0], cfg.max_img_seq_length)
+    image_index = [total_a, total_a + img_feat_len]
+    if img_feat.shape[0] > cfg.max_img_seq_length:
+        img_feat = img_feat[: cfg.max_img_seq_length]
+        input_mask_b += [1] * cfg.max_img_seq_length
+    else:
+        pad = cfg.max_img_seq_length - img_feat.shape[0]
+        input_mask_b += [1] * img_feat.shape[0] + [0] * pad
+        img_feat = np.concatenate(
+            [img_feat, np.zeros((pad, img_feat.shape[1]), img_feat.dtype)], 0)
+
+    vis_label = vis_label[:cfg.max_img_seq_length]
+    lm_label_ids_b += vis_label + [-1] * (cfg.max_img_seq_length - len(vis_label))
+
+    return dict(
+        input_ids_a=np.asarray(input_ids_a, np.int32),
+        input_mask_a=np.asarray(input_mask_a, np.int32),
+        segment_ids_a=np.asarray(segment_ids_a, np.int32),
+        lm_label_ids_a=np.asarray(lm_label_ids_a, np.int32),
+        input_ids_b=np.asarray(input_ids_b, np.int32),
+        input_mask_b=np.asarray(input_mask_b, np.int32),
+        segment_ids_b=np.asarray(segment_ids_b, np.int32),
+        lm_label_ids_b=np.asarray(lm_label_ids_b, np.int32),
+        img_feat=np.asarray(img_feat, np.float32),
+        is_next=np.int32(example.is_next),
+        is_img_match=np.int32(example.is_img_match),
+        qa_ans=np.int32(example.qa_ans),
+        qa_is_next=np.int32(example.qa_is_next),
         phrase_index=np.asarray(phrase_index, np.int32),
         image_index=np.asarray(image_index, np.int32),
     )

@@ -213,9 +213,14 @@ class BiPretrainModel(nn.Module):
             qa_loss = cross_entropy(qa_logits, qa_ans)
             total = total + qa_loss
         if qa_is_next is not None:
+            # ignore_index=-1: non-QA rows in a mixed batch contribute
+            # nothing (reference CrossEntropyLoss(ignore_index=-1),
+            # modeling_vlbert_pretrain.py:2803,2841)
             qa_rel_logits = self.qa_seq_relation(
                 out.pooled_output).astype(jnp.float32)
-            qa_rel_loss = cross_entropy(qa_rel_logits, qa_is_next)
+            qa_rel_loss = masked_cross_entropy(
+                qa_rel_logits, qa_is_next,
+                (qa_is_next >= 0).astype(jnp.float32))
             total = total + qa_rel_loss
             qa_loss = qa_rel_loss if qa_loss is None else qa_loss + qa_rel_loss
 

@@ -48,6 +48,19 @@ def get_args(argv=None):
     p.add_argument("--mask_prob", type=float, default=0.15)
     p.add_argument("--use_qa", action="store_true")
     p.add_argument("--qa_answer_size", type=int, default=0)
+    # QA-pair contrastive pretraining (reference run_pretrain_ml_qa.py +
+    # oscar_datasets_ml2: qa_is_next sampling, --only_qa/--only_cap filters,
+    # Flickr test-id exclusion)
+    p.add_argument("--use_qa_pairs", action="store_true",
+                   help="train the qa_seq_relation head on QA rows "
+                        "(corpus col 5 = answer text)")
+    p.add_argument("--only_qa", action="store_true",
+                   help="keep only QA-pair corpus rows")
+    p.add_argument("--only_cap", action="store_true",
+                   help="keep only caption (non-QA) corpus rows")
+    p.add_argument("--exclude_ids_file", type=str, default=None,
+                   help="newline-separated image ids to drop (reference "
+                        "--no_fk_test + fk_test_id yaml key)")
     p.add_argument("--max_pred_a", type=int, default=20)
     p.add_argument("--max_pred_b", type=int, default=10)
     # extra uni-modal stream (reference make_full_data_loader_ds +
@@ -114,18 +127,25 @@ def main(argv=None):
                        qa_answer_size=args.qa_answer_size)
     tcfg = tensorize_cfg(args)
     phrase_vocab_size = cfg.vocab_size - cfg.only_word_size
+    exclude_ids = None
+    if args.exclude_ids_file:
+        with open(args.exclude_ids_file) as f:
+            exclude_ids = {ln.strip() for ln in f if ln.strip()}
     if args.dataset_yaml:
         from ..data.datasets import MultiCorpusPretrainDataset
         dataset = MultiCorpusPretrainDataset.from_yaml(
             args.dataset_yaml, tokenizer, cfg=tcfg, seed=args.seed,
-            mask_prob=args.mask_prob)
+            mask_prob=args.mask_prob, qa_pairs=args.use_qa_pairs,
+            only_qa=args.only_qa, only_cap=args.only_cap)
     else:
         dataset = PretrainDataset(
             args.corpus_tsv, FeatureStore(args.feature_tsv,
                                           feature_dim=args.img_feature_dim),
             tokenizer, sg2id=sg2id, cfg=tcfg, tag2id=wp_tag2id,
             phrase_vocab_size=phrase_vocab_size, seed=args.seed,
-            mask_prob=args.mask_prob, mask_visual=True)
+            mask_prob=args.mask_prob, mask_visual=True,
+            qa_pairs=args.use_qa_pairs, only_qa=args.only_qa,
+            only_cap=args.only_cap, exclude_ids=exclude_ids)
     logger.info(f"corpus: {len(dataset)} examples")
 
     model = BiPretrainModel(cfg)
@@ -146,6 +166,8 @@ def main(argv=None):
             image_index=batch["image_index"])
         if args.use_qa:
             kw["qa_ans"] = batch["qa_ans"]
+        if args.use_qa_pairs:
+            kw["qa_is_next"] = batch["qa_is_next"]
         return kw
 
     extra_dataset = None
@@ -190,6 +212,7 @@ def main(argv=None):
             kw.pop("phrase_index")
             kw.pop("image_index")
             kw.pop("qa_ans", None)
+            kw.pop("qa_is_next", None)
         return model.apply(
             {"params": p}, **kw, max_tag_length=mt,
             hn_mod=args.hn_mod, phrase_mod=args.phrase_mod,

@@ -396,17 +396,31 @@ class REDataset:
     """Referring expressions: records {"image_id", "expression", "gt_box":
     [x1,y1,x2,y2], "phrases"}; region boxes come from the feature geometry
     (last 6 dims are [x1,y1,x2,y2,w,h] normalized) so labels are per-region
-    IoUs vs the gt box (reference run_re.py:46-186)."""
+    IoUs vs the gt box (reference run_re.py:46-186).
+
+    External detections (reference --det_json, run_re.py:142-186): det_json
+    maps {image_id: [[x1,y1,x2,y2], ...]} (same normalized-xyxy convention
+    as gt_box). Each example then also carries `det_label` ([max_det] IoU of
+    each detection vs the gt box, -1 padded) and `iou_mat`
+    ([max_img_seq_length, max_det] IoU of each feature region vs each
+    detection) for re_score_det1/2 scoring."""
 
     def __init__(self, data_json: str, features: FeatureStore, tokenizer,
                  sg2id: Optional[Dict[tuple, int]] = None,
-                 cfg: TensorizeConfig = TensorizeConfig()):
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 det_json: Optional[str] = None, max_det: int = 20):
         with open(data_json) as f:
             self.items = json.load(f)
         self.features = features
         self.tokenizer = tokenizer
         self.sg2id = sg2id
         self.cfg = cfg
+        self.det_boxes = None
+        self.max_det = max_det
+        if det_json:
+            with open(det_json) as f:
+                self.det_boxes = {str(k): np.asarray(v, np.float32)
+                                  for k, v in json.load(f).items()}
 
     def __len__(self):
         return len(self.items)
@@ -423,6 +437,17 @@ class REDataset:
         labels = np.full(self.cfg.max_img_seq_length, -1.0, np.float32)
         labels[:n] = ious
         ex["label"] = labels
+        if self.det_boxes is not None:
+            dets = self.det_boxes[str(item["image_id"])][: self.max_det]
+            nd = dets.shape[0]
+            det_label = np.full(self.max_det, -1.0, np.float32)
+            det_label[:nd] = compute_iou(item["gt_box"], dets)
+            iou_mat = np.zeros((self.cfg.max_img_seq_length, self.max_det),
+                               np.float32)
+            for j in range(nd):
+                iou_mat[:n, j] = compute_iou(dets[j], boxes)
+            ex["det_label"] = det_label
+            ex["iou_mat"] = iou_mat
         return ex
 
     def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
@@ -567,8 +592,41 @@ class TextOnlyDataset:
 
 def re_score(logits: np.ndarray, labels: np.ndarray,
              iou_threshold: float = 0.5) -> float:
-    """argmax-region IoU>=0.5 accuracy (reference run_re.py:389-423)."""
+    """argmax-region IoU>=0.5 accuracy (reference run_re.py:389-394)."""
     masked = np.where(labels >= 0, logits, -np.inf)
     pick = masked.argmax(axis=1)
     picked_iou = labels[np.arange(labels.shape[0]), pick]
     return float(np.mean(picked_iou >= iou_threshold))
+
+
+def re_score_det1(logits: np.ndarray, labels: np.ndarray,
+                  det_labels: np.ndarray, iou_mats: np.ndarray,
+                  iou_threshold: float = 0.5) -> float:
+    """Detection-grounded scoring, variant 1 (reference run_re.py:396-409):
+    pick the best-scored feature region, snap it to the detection with max
+    IoU overlap, score that detection's IoU vs the gt box.
+
+    logits/labels: [B, R]; det_labels: [B, D] (-1 padded);
+    iou_mats: [B, R, D]."""
+    masked = np.where(labels >= 0, logits, -np.inf)
+    pred_pos = masked.argmax(axis=1)                          # [B]
+    b = np.arange(logits.shape[0])
+    overlap = np.where(det_labels[:, None, :] >= 0,
+                       iou_mats, -np.inf)[b, pred_pos]        # [B, D]
+    det_pos = overlap.argmax(axis=1)
+    return float(np.mean(det_labels[b, det_pos] >= iou_threshold))
+
+
+def re_score_det2(logits: np.ndarray, labels: np.ndarray,
+                  det_labels: np.ndarray, iou_mats: np.ndarray,
+                  iou_threshold: float = 0.5) -> float:
+    """Detection-grounded scoring, variant 2 (reference run_re.py:412-421):
+    project region scores onto detections through the IoU matrix
+    (det_logits = logits @ iou_mat over valid regions), pick the argmax
+    detection."""
+    valid = (labels >= 0).astype(np.float32)                  # [B, R]
+    det_logits = np.einsum("br,brd->bd", logits * valid, iou_mats)
+    det_logits = np.where(det_labels >= 0, det_logits, -np.inf)
+    det_pos = det_logits.argmax(axis=1)
+    b = np.arange(logits.shape[0])
+    return float(np.mean(det_labels[b, det_pos] >= iou_threshold))

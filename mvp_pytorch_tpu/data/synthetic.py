@@ -169,6 +169,25 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["re"], "w") as f:
         json.dump(re_items, f)
 
+    # external detections for the RE --det_json path: per image, one
+    # detection near the gt box (high IoU) + distractors
+    re_dets = {}
+    for item in re_items:
+        gt = item["gt_box"]
+        w, h = gt[2] - gt[0], gt[3] - gt[1]
+        near = [gt[0] + 0.05 * w, gt[1] + 0.05 * h,
+                gt[2] - 0.05 * w, gt[3] - 0.05 * h]
+        distract = []
+        for _ in range(3):
+            x1, y1 = rng.uniform(0, 0.5), rng.uniform(0, 0.5)
+            distract.append([x1, y1, x1 + rng.uniform(0.1, 0.4),
+                             y1 + rng.uniform(0.1, 0.4)])
+        dets = distract[:1] + [near] + distract[1:]
+        re_dets[item["image_id"]] = dets
+    paths["re_dets"] = os.path.join(root, "re_dets.json")
+    with open(paths["re_dets"], "w") as f:
+        json.dump(re_dets, f)
+
     # NLVR2 jsonl: statement + two images
     paths["nlvr"] = os.path.join(root, "nlvr.jsonl")
     with open(paths["nlvr"], "w") as f:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import (FeatureStore, REDataset, load_phrase_vocab,
-                             re_score)
+                             re_score, re_score_det1, re_score_det2)
 from ..data.synthetic import make_synthetic_root
 from ..data.tokenization import BertTokenizer
 from ..models.tasks import REModel
@@ -35,6 +35,11 @@ def get_args(argv=None):
     p.add_argument("--id2phrase", type=str, default=None)
     p.add_argument("--loss_mod", type=int, default=1, choices=[1, 2, 3])
     p.add_argument("--phrase_layer", type=int, default=None)
+    p.add_argument("--det_json", type=str, default=None,
+                   help="external detections {image_id: [[x1,y1,x2,y2]...]} "
+                        "(normalized xyxy); adds re_score_det1/2 eval "
+                        "(reference run_re.py:142-186,396-421)")
+    p.add_argument("--max_det", type=int, default=20)
     return p.parse_args(argv)
 
 
@@ -49,7 +54,8 @@ def evaluate(args, model, variables, dataset, mt):
                            phrase_layer=args.phrase_layer)
 
     bs = args.eval_batch_size
-    logits, labels = [], []
+    use_det = dataset.det_boxes is not None
+    logits, labels, det_labels, iou_mats = [], [], [], []
     idx = np.arange(len(dataset))
     for i in range(0, len(idx), bs):
         chunk = idx[i:i + bs]
@@ -57,12 +63,27 @@ def evaluate(args, model, variables, dataset, mt):
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
                                                      bs - len(chunk))])
         batch = dataset.fetch(chunk)
+        model_batch = {k: v for k, v in batch.items()
+                       if k not in ("det_label", "iou_mat")}
         out = np.asarray(fwd(variables,
-                             jax.tree_util.tree_map(jnp.asarray, batch)))
+                             jax.tree_util.tree_map(jnp.asarray, model_batch)))
         n = min(bs, len(idx) - i)
         logits.append(out[:n])
         labels.append(batch["label"][:n])
-    return re_score(np.concatenate(logits), np.concatenate(labels))
+        if use_det:
+            det_labels.append(batch["det_label"][:n])
+            iou_mats.append(batch["iou_mat"][:n])
+    logits = np.concatenate(logits)
+    labels = np.concatenate(labels)
+    scores = {"re_accuracy": re_score(logits, labels)}
+    if use_det:
+        det_labels = np.concatenate(det_labels)
+        iou_mats = np.concatenate(iou_mats)
+        scores["re_accuracy_det1"] = re_score_det1(logits, labels,
+                                                   det_labels, iou_mats)
+        scores["re_accuracy_det2"] = re_score_det2(logits, labels,
+                                                   det_labels, iou_mats)
+    return scores
 
 
 def main(argv=None):
@@ -75,6 +96,8 @@ def main(argv=None):
         args.train_json = args.eval_json = paths["re"]
         args.feature_tsv = paths["features"]
         args.id2phrase = paths["id2phrase"]
+        if args.det_json:   # exercise the det path with synthetic detections
+            args.det_json = paths["re_dets"]
         vocab = paths["vocab"]
     else:
         vocab = os.path.join(args.model_name_or_path or args.data_dir,
@@ -89,7 +112,8 @@ def main(argv=None):
     dataset = REDataset(args.train_json, features, tokenizer, sg2id=sg2id,
                         cfg=tcfg)
     eval_dataset = (REDataset(args.eval_json, features, tokenizer,
-                              sg2id=sg2id, cfg=tcfg)
+                              sg2id=sg2id, cfg=tcfg, det_json=args.det_json,
+                              max_det=args.max_det)
                     if args.eval_json else dataset)
 
     model = REModel(cfg)
@@ -122,9 +146,10 @@ def main(argv=None):
     def eval_hook(step, p):
         if not args.do_eval:
             return None
-        acc = evaluate(args, model, {"params": p}, eval_dataset, mt)
-        logger.info(f"step {step}: re accuracy (IoU>=0.5) = {acc:.4f}")
-        return {"re_accuracy": acc}
+        scores = evaluate(args, model, {"params": p}, eval_dataset, mt)
+        logger.info(f"step {step}: " + "  ".join(
+            f"{k}={v:.4f}" for k, v in scores.items()))
+        return scores
 
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)

@@ -186,12 +186,19 @@ class StreamEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, *, return_at_layer: Optional[int] = None,
-                 history_states=None, deterministic: bool = True):
+                 history_states=None, deterministic: bool = True,
+                 collect_states: bool = False):
         """`bias` may be a single additive bias or a LIST of per-layer biases
         (the reference's "stage attention" mask lists,
-        modeling_vlbert.py:140-156,265-276)."""
+        modeling_vlbert.py:140-156,265-276).
+
+        With `collect_states=True` additionally returns the per-layer INPUT
+        hidden states (what `history_states` expects on a later call) — the
+        KV-cache building block for incremental decoding (the reference
+        caches layer inputs, modeling_vlbert.py:63-69)."""
         cfg = self.config
         mid = None
+        states = []
         layer_cls = TransformerLayer
         if cfg.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=())
@@ -199,10 +206,14 @@ class StreamEncoder(nn.Module):
         for i in range(self.num_layers):
             hist = None if history_states is None else history_states[i]
             b = bias[i] if per_layer else bias
+            if collect_states:
+                states.append(hidden)
             hidden = layer_cls(cfg, name=f"layer_{i}")(
                 hidden, b, history_state=hist, deterministic=deterministic)
             if return_at_layer is not None and i == return_at_layer:
                 mid = hidden
+        if collect_states:
+            return hidden, mid, states
         return hidden, mid
 
 

@@ -24,7 +24,8 @@ import numpy as np
 from ..data.datasets import FeatureStore
 from ..data.synthetic import make_synthetic_root
 from ..data.tokenization import BertTokenizer
-from ..models.generation import beam_search, generate
+from ..models.generation import (beam_search, beam_search_cached, generate,
+                                 generate_cached)
 from ..models.img_bert import CaptioningModel
 from ..utils.cider import CiderScorer
 from ..utils.logger import setup_logger
@@ -39,6 +40,10 @@ def get_args(argv=None):
     p.add_argument("--feature_tsv", type=str, default=None)
     p.add_argument("--max_gen_length", type=int, default=20)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--decode_mode", type=str, default="cached",
+                   choices=["cached", "recompute"],
+                   help="cached = KV-cache incremental decode (reference "
+                        "past reuse); recompute = full-prefix per step")
     p.add_argument("--label_smoothing", type=float, default=0.1)
     p.add_argument("--drop_worst_ratio", type=float, default=0.0)
     p.add_argument("--drop_worst_after", type=int, default=0,
@@ -209,11 +214,38 @@ def main(argv=None):
                 jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
                 jnp.repeat(feats, reps, 0), deterministic=True)
 
+        def cached_fns(reps):
+            rb = jnp.repeat(ids_b, reps, 0)
+            rm = jnp.repeat(ctx_mask, reps, 0)
+            rf = jnp.repeat(feats, reps, 0)
+            seg = jnp.ones_like(rb)
+            mask_id = tokenizer.vocab["[MASK]"]
+
+            def prefill():
+                return model.apply({"params": p}, rb, rm, seg, rf, max_cap,
+                                   method=model.prefill)
+
+            def step(cache, t, prev):
+                return model.apply({"params": p}, cache, t, prev, rm,
+                                   max_cap, mask_id,
+                                   method=model.decode_step)
+            return prefill, step
+
         tk = tokenizer.vocab
         if args.num_beams > 1:
-            seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
-                                  tk["[PAD]"], tk["[MASK]"], n, max_cap,
-                                  args.num_beams)
+            if args.decode_mode == "cached":
+                prefill, dstep = cached_fns(args.num_beams)
+                seqs, _ = beam_search_cached(
+                    prefill, dstep, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
+                    n, max_cap, args.num_beams)
+            else:
+                seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
+                                      tk["[PAD]"], tk["[MASK]"], n, max_cap,
+                                      args.num_beams)
+        elif args.decode_mode == "cached":
+            prefill, dstep = cached_fns(1)
+            seqs = generate_cached(prefill, dstep, tk["[CLS]"], tk["[SEP]"],
+                                   tk["[PAD]"], n, max_cap).sequences
         else:
             seqs = generate(logits_fn, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
                             tk["[MASK]"], n, max_cap).sequences

@@ -268,6 +268,91 @@ def test_repetition_penalty_and_filtering():
     assert a[3] < -1e8 and a[0] > -1e8 and a[1] > -1e8
 
 
+def _caption_model_and_vars(cfg):
+    model = CaptioningModel(cfg)
+    ctx = ctx_batch(cfg)
+    cap_ids = jnp.full((B, LC), MASK, jnp.int32).at[:, 0].set(BOS)
+    seg = jnp.zeros((B, LC), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), cap_ids, **ctx,
+                   token_type_ids=seg, deterministic=True)
+    return model, v, ctx
+
+
+def test_cached_decode_step_matches_full_forward(cfg):
+    """decode_step logits at position t must equal the full seq2seq forward's
+    logits at t for the same committed prefix (exact KV-cache parity)."""
+    from mvp_pytorch_tpu.models.generation import generate_cached
+    model, v, ctx = _caption_model_and_vars(cfg)
+    r = np.random.RandomState(7)
+    # a fixed committed prefix: BOS w1 w2 w3, rest MASK
+    prefix = r.randint(5, cfg.only_word_size, (B, LC)).astype(np.int32)
+    prefix[:, 0] = BOS
+    seg = jnp.zeros((B, LC), jnp.int32)
+
+    for t in [1, 3, LC - 1]:
+        buf = np.full((B, LC), MASK, np.int32)
+        buf[:, :t] = prefix[:, :t]
+        full = model.apply(v, jnp.asarray(buf), ctx["ctx_ids"],
+                           ctx["ctx_mask"], seg, ctx["ctx_token_type_ids"],
+                           ctx["img_feats"], deterministic=True)
+        want = np.asarray(full[:, t])
+
+        cache = model.apply(v, ctx["ctx_ids"], ctx["ctx_mask"],
+                            ctx["ctx_token_type_ids"], ctx["img_feats"], LC,
+                            method=model.prefill)
+        # replay the prefix through decode_step
+        got = None
+        for s in range(1, t + 1):
+            got, cache = model.apply(v, cache, jnp.asarray(s),
+                                     jnp.asarray(prefix[:, s - 1]),
+                                     ctx["ctx_mask"], LC, MASK,
+                                     method=model.decode_step)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_cached_generate_matches_recompute(cfg):
+    from mvp_pytorch_tpu.models.generation import (beam_search_cached,
+                                                   generate_cached)
+    model, v, ctx = _caption_model_and_vars(cfg)
+    seg_for = lambda n: jnp.zeros((n, LC), jnp.int32)
+
+    def logits_fn(tokens):
+        reps = tokens.shape[0] // B
+        return model.apply(
+            v, tokens, jnp.repeat(ctx["ctx_ids"], reps, 0),
+            jnp.repeat(ctx["ctx_mask"], reps, 0), seg_for(tokens.shape[0]),
+            jnp.repeat(ctx["ctx_token_type_ids"], reps, 0),
+            jnp.repeat(ctx["img_feats"], reps, 0), deterministic=True)
+
+    def cached_fns(reps):
+        rb = jnp.repeat(ctx["ctx_ids"], reps, 0)
+        rm = jnp.repeat(ctx["ctx_mask"], reps, 0)
+        rs = jnp.repeat(ctx["ctx_token_type_ids"], reps, 0)
+        rf = jnp.repeat(ctx["img_feats"], reps, 0)
+        prefill = lambda: model.apply(v, rb, rm, rs, rf, LC,
+                                      method=model.prefill)
+        step = lambda cache, t, prev: model.apply(
+            v, cache, t, prev, rm, LC, MASK, method=model.decode_step)
+        return prefill, step
+
+    base = generate(logits_fn, BOS, EOS, PAD, MASK, B, LC)
+    prefill, step = cached_fns(1)
+    cached = generate_cached(prefill, step, BOS, EOS, PAD, B, LC)
+    np.testing.assert_array_equal(np.asarray(base.sequences),
+                                  np.asarray(cached.sequences))
+    np.testing.assert_allclose(np.asarray(base.logprobs),
+                               np.asarray(cached.logprobs), atol=2e-4)
+
+    k = 2
+    bseqs, bscores = beam_search(logits_fn, BOS, EOS, PAD, MASK, B, LC, k)
+    prefill, step = cached_fns(k)
+    cseqs, cscores = beam_search_cached(prefill, step, BOS, EOS, PAD,
+                                        B, LC, k)
+    np.testing.assert_array_equal(np.asarray(bseqs), np.asarray(cseqs))
+    np.testing.assert_allclose(np.asarray(bscores), np.asarray(cscores),
+                               atol=2e-4)
+
+
 def test_generate_with_real_model(cfg):
     ctx = ctx_batch(cfg)
     seg = jnp.zeros((B, LC), jnp.int32)

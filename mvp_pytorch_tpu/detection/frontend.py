@@ -1,0 +1,142 @@
+"""Raw-image -> 2054-d region-feature frontend (zero torch).
+
+Drop-in for the reference's TorchScript OD stage
+(`oscar/modeling/modeling_pipeline.py:66-88`, `tools/img_feat_extract.py`):
+callable(img_path) -> (features [N, 2054] float32, tags [N str]) where
+features = [2048-d RoI feature ; x1 y1 x2 y2 w h normalized].
+
+Preprocessing: resize longest side to the canvas, pad bottom/right (static
+shape for XLA), pixel scale to [-1, 1]. Boxes come back normalized by the
+RESIZED (unpadded) image extent — identical geometry semantics to the
+reference tool (img_feat_extract.py:96-110).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .detector import DetectorConfig, JaxDetector
+
+WEIGHTS_NAME = "detector.msgpack"
+CONFIG_NAME = "detector_config.json"
+
+
+def preprocess_image(img, canvas: int) -> Tuple[np.ndarray, int, int]:
+    """PIL image -> ([canvas, canvas, 3] float32 in [-1, 1], new_w, new_h)."""
+    w, h = img.size
+    scale = canvas / max(w, h)
+    nw, nh = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+    img = img.resize((nw, nh))
+    x = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    out = np.zeros((canvas, canvas, 3), np.float32)
+    out[:nh, :nw] = x
+    return (out - 0.5) / 0.5, nw, nh
+
+
+def default_label_map(num_classes: int) -> Dict[int, str]:
+    return {i: f"class_{i}" for i in range(num_classes)}
+
+
+def load_label_map(path: str) -> Dict[int, str]:
+    """VG-SGG-dicts contract: {"label_to_idx": {name: idx}}
+    (reference tools/img_feat_extract.py label map)."""
+    with open(path) as f:
+        d = json.load(f)
+    if "label_to_idx" in d:
+        return {int(v): k for k, v in d["label_to_idx"].items()}
+    return {int(k): v for k, v in d.items()}
+
+
+def save_detector(out_dir: str, config: DetectorConfig, params) -> None:
+    from flax import serialization
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, CONFIG_NAME), "w") as f:
+        json.dump(config.to_dict(), f, indent=1)
+    with open(os.path.join(out_dir, WEIGHTS_NAME), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+
+def load_detector(ckpt_dir: str) -> Tuple[DetectorConfig, dict]:
+    from flax import serialization
+    with open(os.path.join(ckpt_dir, CONFIG_NAME)) as f:
+        config = DetectorConfig.from_dict(json.load(f))
+    model = JaxDetector(config)
+    canvas = config.canvas
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, canvas, canvas, 3))))
+    target = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    with open(os.path.join(ckpt_dir, WEIGHTS_NAME), "rb") as f:
+        variables = serialization.from_bytes(target, f.read())
+    return config, variables["params"]
+
+
+class JaxDetectionFrontend:
+    """The callable OD backend (pipeline contract: img_path -> (feats, tags)).
+
+    `ckpt_dir` loads trained weights; without one the detector is random-
+    init (architecture/contract/latency are exercised; tags are then
+    placeholder classes — the reference's quality comes from weights we
+    cannot redistribute)."""
+
+    def __init__(self, ckpt_dir: Optional[str] = None,
+                 config: Optional[DetectorConfig] = None,
+                 label_map: Optional[str] = None, seed: int = 0):
+        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, WEIGHTS_NAME)):
+            self.config, self.params = load_detector(ckpt_dir)
+        else:
+            self.config = config or DetectorConfig()
+            model = JaxDetector(self.config)
+            c = self.config.canvas
+            self.params = jax.jit(lambda: model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, c, c, 3))))()["params"]
+        self.model = JaxDetector(self.config)
+        if label_map and os.path.exists(label_map):
+            self.labels = load_label_map(label_map)
+        else:
+            self.labels = default_label_map(self.config.num_classes)
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x))
+
+    def detect(self, images: np.ndarray):
+        """[B, canvas, canvas, 3] -> DetectorOutput (device arrays)."""
+        return self._fwd(self.params, jnp.asarray(images))
+
+    def __call__(self, img_path: str) -> Tuple[np.ndarray, List[str]]:
+        from PIL import Image
+        img = Image.open(img_path)
+        x, nw, nh = preprocess_image(img, self.config.canvas)
+        out = self.detect(x[None])
+        boxes = np.asarray(out.boxes[0])
+        feats = np.asarray(out.feats[0])
+        valid = np.asarray(out.valid[0])
+        cls = np.asarray(out.class_ids[0])
+        n = int(valid.sum())
+        order = np.argsort(~valid)          # valid rows first, stable
+        boxes, feats, cls = boxes[order][:n], feats[order][:n], cls[order][:n]
+        # clip to the unpadded extent, normalize (reference tool :96-110)
+        boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0, nw) / nw
+        boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]], 0, nh) / nh
+        w = (boxes[:, 2] - boxes[:, 0])[:, None]
+        h = (boxes[:, 3] - boxes[:, 1])[:, None]
+        full = np.concatenate([feats, boxes, w, h], axis=1)
+        tags = [self.labels.get(int(c), "object") for c in cls]
+        return full.astype(np.float32), tags
+
+
+def load_frontend(spec: str, label_map: Optional[str] = None
+                  ) -> Callable:
+    """Factory for pipeline string specs: 'jax' (random-init) or
+    'jax:<ckpt_dir>'."""
+    if spec == "jax":
+        return JaxDetectionFrontend(label_map=label_map)
+    assert spec.startswith("jax:"), spec
+    return JaxDetectionFrontend(ckpt_dir=spec[4:], label_map=label_map)

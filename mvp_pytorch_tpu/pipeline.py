@@ -9,8 +9,9 @@ SPICE parser path, id2phrase, max_* lengths) with:
 
 Object detection backends (the reference hard-codes a TorchScript VinVL
 artifact; we keep the 2054-d contract and accept any of):
-  - 'torchscript': torch.jit.load of the same artifact (torch CPU is fine
-    for a preprocessing stage; the accelerator path stays JAX),
+  - 'jax' or 'jax:<ckpt_dir>': the TPU-native detection front-end
+    (mvp_pytorch_tpu.detection — zero torch on the raw-image path),
+  - a path to a TorchScript artifact: torch.jit.load compatibility backend,
   - 'precomputed': a FeatureStore lookup by image id/path,
   - any callable img_path -> (features [N,2054], tags).
 """
@@ -66,8 +67,15 @@ class InferencePipeline:
             store = object_detector
             self._od = lambda p: store.get(os.path.basename(p))
         elif isinstance(object_detector, str):
-            self._od = self._make_torchscript_od(object_detector,
-                                                 od_config_dir)
+            if object_detector == "jax" or object_detector.startswith("jax:"):
+                from .detection import load_frontend
+                lm = os.path.join(od_config_dir,
+                                  "VG-SGG-dicts-vgoi6-clipped.json")
+                self._od = load_frontend(
+                    object_detector, lm if os.path.exists(lm) else None)
+            else:
+                self._od = self._make_torchscript_od(object_detector,
+                                                     od_config_dir)
 
         # --- SPICE phrase parser ---
         self.parser_path = parser_path

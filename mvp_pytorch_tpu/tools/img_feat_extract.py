@@ -1,14 +1,16 @@
 """Region-feature extraction CLI.
 
-Parity target: reference `tools/img_feat_extract.py` — run the (TorchScript)
-object detector over an image directory and write the framework's feature
+Parity target: reference `tools/img_feat_extract.py` — run the object
+detector over an image directory and write the framework's feature
 contract: `predictions.tsv` rows [image_name, json{"feature": base64 float32
 [N, 2054], "predictions": tags}] + `imageid2idx.json` (+ .lineidx).
 
-Usage:
-  python -m mvp_pytorch_tpu.tools.img_feat_extract \
-      --vinvl_od_path od_model.pt --image_dir imgs/ --target_dir out/ \
-      --od_config_dir tools_tpu/configs/
+Backends:
+  - TPU-native (default): the JAX detection front-end, zero torch
+      python -m mvp_pytorch_tpu.tools.img_feat_extract \
+          --image_dir imgs/ --target_dir out/ [--od_ckpt ckpt_dir]
+  - TorchScript compatibility (the reference's artifact):
+      ... --vinvl_od_path od_model.pt --od_config_dir tools_tpu/configs/
 """
 
 from __future__ import annotations
@@ -23,16 +25,27 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--vinvl_od_path", type=str, required=True)
     p.add_argument("--image_dir", type=str, required=True)
     p.add_argument("--target_dir", type=str, required=True)
+    p.add_argument("--vinvl_od_path", type=str, default=None,
+                   help="TorchScript artifact (compatibility backend); "
+                        "omit for the TPU-native JAX detector")
+    p.add_argument("--od_ckpt", type=str, default=None,
+                   help="JAX detector checkpoint dir (frontend.save_detector)")
+    p.add_argument("--label_map", type=str, default=None,
+                   help="VG-SGG-dicts json for tag names")
     p.add_argument("--od_config_dir", type=str, default="tools_tpu/configs/")
     args = p.parse_args(argv)
 
     from ..data.tsv import tsv_writer
-    from ..pipeline import InferencePipeline
-    od = InferencePipeline._make_torchscript_od(args.vinvl_od_path,
-                                                args.od_config_dir)
+    if args.vinvl_od_path:
+        from ..pipeline import InferencePipeline
+        od = InferencePipeline._make_torchscript_od(args.vinvl_od_path,
+                                                    args.od_config_dir)
+    else:
+        from ..detection import JaxDetectionFrontend
+        od = JaxDetectionFrontend(ckpt_dir=args.od_ckpt,
+                                  label_map=args.label_map)
     images = sorted(
         f for f in os.listdir(args.image_dir)
         if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))

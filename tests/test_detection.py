@@ -1,0 +1,220 @@
+"""TPU-native detection front-end tests: RoI-align/NMS oracles, detector
+forward contract, trainability on synthetic boxes, 2054-d frontend
+contract, torch-free import, and pipeline integration."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvp_pytorch_tpu.detection import (DetectorConfig, JaxDetector,
+                                       JaxDetectionFrontend, batched_nms,
+                                       box_iou, roi_align, save_detector)
+from mvp_pytorch_tpu.detection.nms import nms
+
+TINY = DetectorConfig(canvas=64, num_classes=6, pre_nms_topk=32,
+                      max_regions=8, stage_channels=(64, 64, 64),
+                      stage_blocks=(1, 1, 1), head_channels=64,
+                      feat_dim=128)
+
+
+# -- ops ----------------------------------------------------------------
+
+def test_box_iou_oracle():
+    a = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.]])
+    got = np.asarray(box_iou(a, a))
+    np.testing.assert_allclose(got[0, 0], 1.0)
+    # inter 25, union 175
+    np.testing.assert_allclose(got[0, 1], 25.0 / 175.0, rtol=1e-6)
+
+
+def test_nms_oracle():
+    boxes = jnp.asarray([[0., 0., 10., 10.],    # score .9
+                         [1., 1., 11., 11.],    # overlaps 0 heavily
+                         [20., 20., 30., 30.],  # separate
+                         [21., 21., 31., 31.]])  # overlaps 2
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    idx, valid = nms(boxes, scores, max_out=4, iou_threshold=0.5)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert idx[valid].tolist() == [0, 2]
+    # score threshold kills everything
+    _, v2 = nms(boxes, scores, max_out=4, iou_threshold=0.5,
+                score_threshold=0.95)
+    assert not np.asarray(v2).any()
+    # batched wrapper
+    bi, bv = batched_nms(boxes[None], scores[None], 4)
+    np.testing.assert_array_equal(np.asarray(bi)[0], idx)
+
+
+def _roi_align_oracle(fmap, box, p, s, scale):
+    """Literal per-sample loop oracle."""
+    h, w, c = fmap.shape
+    x1, y1, x2, y2 = np.asarray(box, np.float64) * scale
+    bw = max(x2 - x1, 1.0)
+    bh = max(y2 - y1, 1.0)
+    out = np.zeros((p, p, c))
+    for i in range(p):
+        for j in range(p):
+            acc = np.zeros(c)
+            for ky in range(s):
+                for kx in range(s):
+                    y = y1 + (i + (ky + 0.5) / s) * bh / p
+                    x = x1 + (j + (kx + 0.5) / s) * bw / p
+                    y = min(max(y, 0.0), h - 1.0)
+                    x = min(max(x, 0.0), w - 1.0)
+                    y0, x0 = int(np.floor(y)), int(np.floor(x))
+                    y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                    wy, wx = y - y0, x - x0
+                    acc += ((1 - wy) * (1 - wx) * fmap[y0, x0]
+                            + (1 - wy) * wx * fmap[y0, x1i]
+                            + wy * (1 - wx) * fmap[y1i, x0]
+                            + wy * wx * fmap[y1i, x1i])
+            out[i, j] = acc / (s * s)
+    return out
+
+
+def test_roi_align_matches_oracle():
+    rs = np.random.RandomState(0)
+    fmap = rs.randn(12, 16, 3).astype(np.float32)
+    boxes = np.asarray([[8., 16., 120., 88.],     # image coords, scale 1/8
+                        [0., 0., 40., 40.],
+                        [100., 60., 128., 96.]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(boxes),
+                               output_size=4, spatial_scale=1 / 8.,
+                               sampling_ratio=2))
+    for i, b in enumerate(boxes):
+        want = _roi_align_oracle(fmap, b, 4, 2, 1 / 8.)
+        np.testing.assert_allclose(got[i], want, atol=1e-4)
+
+
+# -- detector -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def det():
+    model = JaxDetector(TINY)
+    x = jnp.zeros((2, TINY.canvas, TINY.canvas, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    return model, params
+
+
+def test_detector_forward_contract(det):
+    model, params = det
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, TINY.canvas, TINY.canvas, 3), jnp.float32)
+    out = model.apply({"params": params}, x)
+    n = TINY.max_regions
+    assert out.boxes.shape == (2, n, 4)
+    assert out.feats.shape == (2, n, TINY.feat_dim)
+    assert out.class_logits.shape == (2, n, TINY.num_classes)
+    assert out.valid.shape == (2, n)
+    b = np.asarray(out.boxes)
+    assert (b >= 0).all() and (b <= TINY.canvas).all()
+    # invalid slots zeroed
+    v = np.asarray(out.valid)
+    f = np.asarray(out.feats)
+    assert (f[~v] == 0).all()
+    # deterministic
+    out2 = model.apply({"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(out.boxes),
+                                  np.asarray(out2.boxes))
+
+
+def test_detector_learns_synthetic_boxes():
+    """60 training steps on colored rectangles: loss drops and the top
+    detection overlaps a gt box (the stage is genuinely trainable)."""
+    from mvp_pytorch_tpu.detection.synthetic_boxes import (make_batch,
+                                                           train_detector)
+    cfg, params, hist = train_detector(steps=60, batch=4, seed=0)
+    assert hist[-1] < hist[0] * 0.7, (hist[0], hist[-1])
+    model = JaxDetector(cfg)
+    data = make_batch(np.random.RandomState(99), 4, cfg.canvas)
+    out = model.apply({"params": params}, jnp.asarray(data["images"]))
+    ious = []
+    for b in range(4):
+        best = np.asarray(out.boxes[b][np.asarray(out.scores[b]).argmax()])
+        gt = data["gt_boxes"][b][data["gt_valid"][b]]
+        m = np.asarray(box_iou(jnp.asarray(best[None]), jnp.asarray(gt)))
+        ious.append(m.max())
+    assert np.mean(ious) > 0.25, ious
+
+
+# -- frontend + pipeline --------------------------------------------------
+
+def test_frontend_contract(tmp_path):
+    from PIL import Image
+    rs = np.random.RandomState(0)
+    img = Image.fromarray(
+        (rs.rand(96, 128, 3) * 255).astype(np.uint8))   # non-square
+    path = str(tmp_path / "img.jpg")
+    img.save(path)
+    fe = JaxDetectionFrontend(config=TINY)
+    feats, tags = fe(path)
+    assert feats.ndim == 2 and feats.shape[1] == TINY.feat_dim + 6
+    assert len(tags) == feats.shape[0]
+    geo = feats[:, -6:]
+    assert (geo[:, :4] >= 0).all() and (geo[:, :4] <= 1).all()
+    np.testing.assert_allclose(geo[:, 4], geo[:, 2] - geo[:, 0], atol=1e-6)
+    np.testing.assert_allclose(geo[:, 5], geo[:, 3] - geo[:, 1], atol=1e-6)
+    # checkpoint round-trip keeps outputs identical
+    d = str(tmp_path / "ckpt")
+    save_detector(d, fe.config, {"params": fe.params})
+    fe2 = JaxDetectionFrontend(ckpt_dir=d)
+    feats2, _ = fe2(path)
+    np.testing.assert_allclose(feats, feats2, atol=1e-5)
+
+
+def test_detection_import_is_torch_free():
+    code = ("import sys; import mvp_pytorch_tpu.detection; "
+            "import mvp_pytorch_tpu.pipeline; "
+            "assert 'torch' not in sys.modules, 'torch leaked'")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                       env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_pipeline_with_jax_od(tmp_path):
+    """InferencePipeline('mlm') end to end from a jpg with the JAX OD
+    backend — the raw-image path with zero torch (VERDICT r1 item 1)."""
+    from PIL import Image
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+    from mvp_pytorch_tpu.models import tiny_config
+    from mvp_pytorch_tpu.models.tasks import MLMModel
+    from mvp_pytorch_tpu.pipeline import InferencePipeline
+    from mvp_pytorch_tpu.training.checkpoint import save_pretrained
+
+    paths = make_synthetic_root(str(tmp_path / "s"), n_images=2)
+    tok = BertTokenizer(paths["vocab"])
+    cfg = tiny_config(vocab_size=len(tok.vocab) + 20,
+                      only_word_size=len(tok.vocab),
+                      img_feature_dim=TINY.feat_dim + 6)
+    model = MLMModel(cfg)
+    ex_ids = jnp.zeros((1, 10), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids_a=ex_ids,
+        attention_mask_a=jnp.ones((1, 10), jnp.int32),
+        token_type_ids_a=jnp.zeros((1, 10), jnp.int32),
+        input_ids_b=ex_ids, attention_mask_b=jnp.ones((1, 15), jnp.int32),
+        token_type_ids_b=jnp.ones((1, 10), jnp.int32),
+        img_feats=jnp.zeros((1, 5, TINY.feat_dim + 6)),
+        max_tag_length=10)["params"]
+    mdir = str(tmp_path / "model")
+    save_pretrained(mdir, params, cfg)
+    tok.save_pretrained(mdir)
+
+    rs = np.random.RandomState(0)
+    img_path = str(tmp_path / "test.jpg")
+    Image.fromarray((rs.rand(64, 80, 3) * 255).astype(np.uint8)).save(
+        img_path)
+
+    pipe = InferencePipeline("mlm", mdir,
+                             object_detector=JaxDetectionFrontend(
+                                 config=TINY),
+                             max_img_seq_length=TINY.max_regions)
+    res = pipe.inference(img_path, "two [MASK] are playing")
+    assert "recovered [MASK] tokens" in res

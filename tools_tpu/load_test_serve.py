@@ -1,0 +1,149 @@
+"""Concurrent load test for the serving endpoint (VERDICT r1 weak #5).
+
+Starts the server in-process against a synthetic model + features, fires
+concurrent single-pair /v1/mlm requests from T client threads, and reports
+throughput + p50/p99 latency plus the server's batching stats — with
+micro-batching on vs off (max_batch=1).
+
+    python tools_tpu/load_test_serve.py [--requests 200] [--threads 16] \
+        [--platform cpu|tpu] [--hidden 32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(args, tmp):
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+    from mvp_pytorch_tpu.models import MLMModel, ModelConfig
+    from mvp_pytorch_tpu.training.checkpoint import save_pretrained
+
+    paths = make_synthetic_root(os.path.join(tmp, "synth"))
+    tok = BertTokenizer(paths["vocab"])
+    cfg = ModelConfig(vocab_size=tok.vocab_size + 20,
+                      only_word_size=tok.vocab_size,
+                      hidden_size=args.hidden,
+                      num_hidden_layers=args.layers,
+                      num_attention_heads=4,
+                      intermediate_size=args.hidden * 4,
+                      max_position_embeddings=128, img_feature_dim=2054,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0,
+                      dtype="bfloat16" if args.platform == "tpu"
+                      else "float32")
+    model = MLMModel(cfg)
+    ex = dict(input_ids_a=jnp.zeros((1, 35), jnp.int32),
+              attention_mask_a=jnp.ones((1, 35), jnp.int32),
+              token_type_ids_a=jnp.zeros((1, 35), jnp.int32),
+              input_ids_b=jnp.zeros((1, 20), jnp.int32),
+              attention_mask_b=jnp.ones((1, 70), jnp.int32),
+              token_type_ids_b=jnp.ones((1, 20), jnp.int32),
+              img_feats=jnp.zeros((1, 50, 2054)))
+    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
+                                   max_tag_length=20))()
+    mdir = os.path.join(tmp, "model")
+    save_pretrained(mdir, v["params"], cfg)
+    tok.save_pretrained(mdir)
+    return mdir, paths
+
+
+def run_load(base, n, threads):
+    lat = []
+    lock = threading.Lock()
+    idx = [0]
+    errors = []
+
+    def worker():
+        while True:
+            with lock:
+                if idx[0] >= n:
+                    return
+                i = idx[0]
+                idx[0] += 1
+            t0 = time.perf_counter()
+            try:
+                req = urllib.request.Request(
+                    f"{base}/v1/mlm",
+                    data=json.dumps({"image": f"img_{i % 8:04d}",
+                                     "text": "two [MASK] are playing"}
+                                    ).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    json.loads(r.read())
+            except Exception as e:  # noqa: BLE001
+                errors.append(str(e))
+                continue
+            with lock:
+                lat.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=worker) for _ in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat.sort()
+    return dict(requests=len(lat), errors=len(errors), wall_s=round(wall, 2),
+                rps=round(len(lat) / wall, 1),
+                p50_ms=round(lat[len(lat) // 2] * 1e3, 1),
+                p99_ms=round(lat[int(len(lat) * 0.99) - 1] * 1e3, 1))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--requests", type=int, default=200)
+    p.add_argument("--threads", type=int, default=16)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
+    p.add_argument("--hidden", type=int, default=32)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--batch_wait_ms", type=float, default=5.0)
+    args = p.parse_args()
+
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    mdir, paths = build(args, tmp)
+
+    from mvp_pytorch_tpu.tasks import serve
+
+    sargs = argparse.Namespace(
+        model_dir=mdir, modes="mlm", feature_tsv=paths["features"],
+        od_model=None, id2phrase=paths["id2phrase"], img_feature_dim=2054,
+        max_seq_length=30, max_img_seq_length=50, max_tag_length=20,
+        max_phrases=5)
+    pipes = serve.build_pipelines(sargs)
+    pipes["mlm"].inference("img_0000", "warm [MASK]")
+    out = {}
+    for label, mb in [("batched", args.max_batch), ("unbatched", 1)]:
+        lock = threading.Lock()
+        batchers = serve.make_batchers(pipes, lock, max_batch=mb,
+                                       wait_ms=args.batch_wait_ms)
+        pipes["mlm"].inference_batch(
+            [("img_0000", "warm [MASK]")] * mb, batch_size=mb)
+        httpd = serve.ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve.make_handler(pipes, batchers, lock))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        res = run_load(base, args.requests, args.threads)
+        res["batches"] = batchers["mlm"].stats["batches"]
+        res["max_batch_seen"] = batchers["mlm"].stats["max_batch_seen"]
+        out[label] = res
+        httpd.shutdown()
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

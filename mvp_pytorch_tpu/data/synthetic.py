@@ -43,9 +43,10 @@ def random_caption(rng: random.Random, n: int = 6) -> str:
 def write_features(directory: str, image_ids: List[str],
                    rng: np.random.RandomState, feature_dim: int = 2054,
                    max_regions: int = 10,
-                   tags_out: Optional[Dict[str, List[str]]] = None) -> str:
+                   tags_out: Optional[Dict[str, List[str]]] = None,
+                   boxes_out: Optional[Dict[str, np.ndarray]] = None) -> str:
     """predictions.tsv + imageid2idx.json with valid box geometry.
-    If tags_out is given, it is filled with {image_id: [tags]}."""
+    If tags_out/boxes_out are given, they are filled per image."""
     os.makedirs(directory, exist_ok=True)
 
     def rows():
@@ -61,6 +62,8 @@ def write_features(directory: str, image_ids: List[str],
             tags = [TAGS[rng.randint(len(TAGS))] for _ in range(n)]
             if tags_out is not None:
                 tags_out[img] = tags
+            if boxes_out is not None:
+                boxes_out[img] = geo[:, :4].astype(np.float32)
             yield [img, json.dumps({
                 "feature": base64.b64encode(feats.tobytes()).decode(),
                 "predictions": tags})]
@@ -86,9 +89,11 @@ def make_synthetic_root(root: str, n_images: int = 12,
     paths["vocab"] = os.path.join(root, "vocab.txt")
     vocab_list = write_vocab(paths["vocab"])
     img_tags: Dict[str, List[str]] = {}
+    img_boxes: Dict[str, np.ndarray] = {}
     paths["features"] = write_features(os.path.join(root, "features"),
                                        image_ids, nprng, feature_dim,
-                                       tags_out=img_tags)
+                                       tags_out=img_tags,
+                                       boxes_out=img_boxes)
 
     # phrase vocab: ids appended after the wordpiece vocab
     vocab_size = len(vocab_list)
@@ -132,38 +137,54 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["exclude_ids"], "w") as f:
         f.write("\n".join(image_ids[:2]) + "\n")
 
-    # vqa jsonl + label2ans
+    # vqa jsonl + label2ans — LEARNABLE rule: the answer is determined by
+    # the image's first detected tag (visible to the model via stream B),
+    # so accuracy above chance is achievable (train-to-converge smokes)
     paths["vqa"] = os.path.join(root, "vqa.jsonl")
     with open(paths["vqa"], "w") as f:
         for qid, img in enumerate(image_ids * 2):
+            ans = TAGS.index(img_tags[img][0]) % n_answers
             f.write(json.dumps({
                 "question_id": qid, "image_id": img,
-                "question": random_caption(rng, 5) + " ?",
-                "labels": [rng.randrange(n_answers)], "scores": [1.0],
+                "question": "what is the first thing here ?",
+                "labels": [ans], "scores": [1.0],
                 "phrases": some_phrases()}) + "\n")
     paths["label2ans"] = os.path.join(root, "label2ans.json")
     with open(paths["label2ans"], "w") as f:
         json.dump([f"answer_{i}" for i in range(n_answers)], f)
 
-    # SNLI-VE jsonl
+    # SNLI-VE jsonl — LEARNABLE rule: entailment mentions a tag present in
+    # the image, contradiction mentions an absent tag, neutral mentions no
+    # tag at all (cross-modal string matching through the tag stream)
     paths["ve"] = os.path.join(root, "ve.jsonl")
     labels = ["contradiction", "neutral", "entailment"]
+    non_tag_words = [w for w in WORDS if w not in TAGS]
     with open(paths["ve"], "w") as f:
-        for i, img in enumerate(image_ids * 2):
+        for i, img in enumerate(image_ids * 3):
+            lab = labels[i % 3]
+            if lab == "entailment":
+                word = rng.choice(img_tags[img])
+            elif lab == "contradiction":
+                absent = [t for t in TAGS if t not in img_tags[img]]
+                word = rng.choice(absent or ["nothing"])
+            else:
+                word = rng.choice(non_tag_words)
+            sent = f"there is a {word} here"
             f.write(json.dumps({
                 "pairID": f"p{i}", "Flickr30K_ID": img,
-                "sentence2": random_caption(rng, 5),
-                "gold_label": labels[rng.randrange(3)],
+                "sentence2": sent, "gold_label": lab,
                 "phrases": some_phrases()}) + "\n")
 
-    # RE json
+    # RE json — LEARNABLE rule: the referred region is the LARGEST region
+    # of the image (recoverable from the geometry dims of the features)
     re_items = []
     for img in image_ids:
-        x1, y1 = rng.uniform(0, 0.4), rng.uniform(0, 0.4)
+        boxes = img_boxes[img]
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        gt = boxes[int(areas.argmax())]
         re_items.append({"image_id": img,
-                         "expression": random_caption(rng, 4),
-                         "gt_box": [x1, y1, x1 + rng.uniform(0.2, 0.5),
-                                    y1 + rng.uniform(0.2, 0.5)],
+                         "expression": "the biggest one",
+                         "gt_box": [float(v) for v in gt],
                          "phrases": some_phrases()})
     paths["re"] = os.path.join(root, "re.json")
     with open(paths["re"], "w") as f:

@@ -1,0 +1,46 @@
+"""Train-to-converge quality smokes (VERDICT r1 item 10): each task driver
+trains a tiny model on a LEARNABLE synthetic rule and must beat chance by a
+clear margin — behavioral tests, not just "the driver runs".
+
+Rules (data/synthetic.py): VQA answer = image's first detected tag;
+VE label = hypothesis mentions a present tag (entail) / absent tag
+(contradict) / no tag (neutral); RE referent = the largest region."""
+
+import json
+
+import pytest
+
+
+def _run(module, extra, out):
+    args = ["--output_dir", out, "--synthetic", "--tiny",
+            "--train_batch_size", "8", "--eval_batch_size", "8",
+            "--do_train", "--do_eval", "--dtype", "float32",
+            "--platform", "cpu", "--learning_rate", "3e-4"] + extra
+    module.main(args)
+    with open(f"{out}/eval_logs.json") as f:
+        return json.load(f)[-1]
+
+
+def test_vqa_learns_above_chance(tmp_path):
+    from mvp_pytorch_tpu.tasks import vqa
+    res = _run(vqa, ["--max_steps", "200", "--ckpt_period", "200",
+                     "--loss_type", "sfmx"], str(tmp_path / "vqa"))
+    # 7 answer classes -> chance ~0.14 (first-tag rule is deterministic)
+    assert res["vqa_accuracy"] > 0.5, res
+
+
+def test_ve_learns_above_chance(tmp_path):
+    from mvp_pytorch_tpu.tasks import ve
+    res = _run(ve, ["--max_steps", "250", "--ckpt_period", "250"],
+               str(tmp_path / "ve"))
+    # 3 classes -> chance ~0.33
+    assert res["ve_accuracy"] > 0.55, res
+
+
+def test_re_learns_above_chance(tmp_path):
+    from mvp_pytorch_tpu.tasks import re_task
+    res = _run(re_task, ["--max_steps", "200", "--ckpt_period", "200",
+                         "--loss_mod", "3"], str(tmp_path / "re"))
+    # ~6.5 regions/image -> argmax chance ~0.15 (largest-region rule is
+    # recoverable from the geometry dims)
+    assert res["re_accuracy"] > 0.5, res

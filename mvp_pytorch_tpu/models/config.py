@@ -59,7 +59,7 @@ class ModelConfig:
 
     # --- TPU-native knobs (new; no reference equivalent) ---
     dtype: str = "float32"               # computation dtype: float32 | bfloat16
-    attention_impl: str = "auto"         # auto | xla | pallas
+    attention_impl: str = "auto"         # auto | xla (pallas retired, see ops/attention.py)
     remat: bool = False                  # jax.checkpoint each encoder layer
 
     def __post_init__(self):

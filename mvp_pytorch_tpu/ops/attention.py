@@ -1,18 +1,33 @@
-"""Attention kernels.
+"""Attention ops.
 
 MVPTR sequences are short (≤ ~165 fused tokens, SURVEY.md §5 "Long-context"),
-so the TPU-native design keeps attention as one fused region that XLA maps
-onto the MXU, with an optional Pallas fused-softmax-attention kernel for the
-hot fusion-encoder path. Masking is additive-bias style, matching the
-reference's BERT semantics ((1-mask)*-10000, reference
-`oscar/modeling/modeling_vlbert.py:441-463`).
+so attention is one fused XLA region mapped onto the MXU. Masking is
+additive-bias style, matching the reference's BERT semantics
+((1-mask)*-10000, reference `oscar/modeling/modeling_vlbert.py:441-463`).
+
+Hand-written Pallas kernels were built and RETIRED after honest A/B on the
+real v5e chip at the rerank hot shapes (B=1000, H=12, L=128, D=64, bf16),
+attention op alone, best-of-N:
+
+  | impl                                   | round 1 | round 2 |
+  |----------------------------------------|---------|---------|
+  | XLA, fp32 score traffic (r1 default)   | 32 ms   | 36.9 ms |
+  | XLA, bf16 score traffic (NOW default)  |   —     | 32.6 ms |
+  | Pallas v1: one (b,h) program each      | 42 ms   | (18x worse at B=1000) |
+  | Pallas v2: batch-tiled, heads unrolled | 35 ms   |   —     |
+  | Pallas v3: batch-tiled, heads batched  |   —     | 36.9 ms (bt=2), 40.8 (bt=4) |
+  | jax.nn.dot_product_attention           |   —     | 34.7 ms |
+
+At these short-sequence shapes XLA's fused attention + epilogue fusion wins;
+the real lever was halving the materialized score/prob HBM traffic (bf16),
+which XLA expresses directly. The kernels' git history: round-1 tree
+(ops/attention.py v1/v2) and the v3 experiment in round 2.
 
 All entry points are shape-static and jit/pjit-safe.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -38,7 +53,7 @@ def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   bias: Optional[jax.Array] = None,
                   *, precision=None) -> jax.Array:
-    """Plain XLA attention. q,k,v: [B, H, L, D]; bias broadcastable to
+    """Fused XLA attention. q,k,v: [B, H, L, D]; bias broadcastable to
     [B, H, Lq, Lk].
 
     fp32 inputs: scores/softmax fully in fp32 (parity path). bf16 inputs:
@@ -67,176 +82,12 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
 
 
-# ---------------------------------------------------------------------------
-# Pallas fused attention (TPU). One (batch, head) program per grid cell; the
-# whole (short) sequence fits VMEM, so the kernel fuses QK^T + bias + softmax
-# + PV into a single VMEM-resident pass — no HBM round-trip for the scores.
-# ---------------------------------------------------------------------------
-
-def _fused_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)          # [Lq, D]
-    k = k_ref[0].astype(jnp.float32)          # [Lk, D]
-    v = v_ref[0]                               # [Lk, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [Lq, Lk]
-    s = s + bias_ref[0].astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_attention(q, k, v, bias, interpret: bool = False):
-    """Fused attention Pallas kernel.
-
-    q: [B, H, Lq, D]; k, v: [B, H, Lk, D]; bias: [B, 1|H, 1|Lq, Lk].
-    Grid over (B*H); each program computes one head's full attention in VMEM.
-    Sequence lengths here are ≤ a few hundred so Lq*Lk scores always fit.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, lq, lk))
-
-    def reshape_bh(x):
-        return x.reshape(b * h, *x.shape[2:])
-
-    qf, kf, vf, biasf = map(reshape_bh, (q, k, v, bias))
-    scale = d ** -0.5
-
-    out = pl.pallas_call(
-        functools.partial(_fused_attn_kernel, scale=scale),
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, lk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, biasf)
-    return out.reshape(b, h, lq, d)
-
-
-# ---------------------------------------------------------------------------
-# Batch-tiled fused attention (v2): one program per batch tile, all heads
-# unrolled inside — scores never leave VMEM, per-op dispatch overhead
-# amortized across the tile. For short sequences (L <= 256).
-# ---------------------------------------------------------------------------
-
-def _fused_attn_v2_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
-                          n_heads):
-    for h in range(n_heads):
-        q = q_ref[:, h].astype(jnp.float32)          # [BT, Lq, D]
-        k = k_ref[:, h].astype(jnp.float32)          # [BT, Lk, D]
-        v = v_ref[:, h]                               # [BT, Lk, D]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # [BT, Lq, Lk]
-        s = s + bias_ref[:, 0].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[:, h] = o.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def pallas_attention_v2(q, k, v, bias, block_b: int = 8,
-                        interpret: bool = False):
-    """q,k,v: [B, H, L, D]; bias: [B, 1, 1, Lk] (2D masks only)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
-    bt = min(block_b, b)
-    assert b % bt == 0, (b, bt)
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, 1, lq, lk))
-    scale = d ** -0.5
-
-    return pl.pallas_call(
-        functools.partial(_fused_attn_v2_kernel, scale=scale, n_heads=h),
-        grid=(b // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, h, lq, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, h, lk, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, h, lk, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, lq, lk), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, h, lq, d), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias)
-
-
-# custom VJP: Pallas forward, XLA backward (recompute probs — sequences are
-# short so recompute is cheaper than saving the [B,H,Lq,Lk] score tensor).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _pallas_attention_ad(q, k, v, bias, interpret):
-    return pallas_attention(q, k, v, bias, interpret=interpret)
-
-
-def _attn_fwd(q, k, v, bias, interpret):
-    return pallas_attention(q, k, v, bias, interpret=interpret), (q, k, v, bias)
-
-
-def _attn_bwd(interpret, res, g):
-    q, k, v, bias = res
-    scale = q.shape[-1] ** -0.5
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
-    scores = scores + bias.astype(jnp.float32)
-    p = jax.nn.softmax(scores, axis=-1)                       # [B,H,Lq,Lk]
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
-    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", dsoft, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", dsoft, q.astype(jnp.float32)) * scale
-    dbias = jnp.sum(dsoft, axis=tuple(
-        i for i, (bs, gs) in enumerate(zip(bias.shape, dsoft.shape))
-        if bs != gs), keepdims=True).reshape(bias.shape)
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype))
-
-
-_pallas_attention_ad.defvjp(_attn_fwd, _attn_bwd)
-
-
 def dot_product_attention(q, k, v, bias=None, *, impl: str = "auto"):
-    """Dispatch: 'auto' | 'xla' | 'pallas' | 'pallas_interpret' (tests).
-
-    Measured on TPU v5e at MVPTR shapes (B=1000, H=12, L=128, D=64), the
-    attention op alone: XLA 32 ms, batch-tiled Pallas v2 35 ms, per-(b,h)
-    Pallas v1 42 ms — XLA's fused attention wins at these short-sequence
-    shapes, so 'auto' resolves to XLA. 'pallas' dispatches the v1 kernel
-    (custom VJP, arbitrary bias); the batch-tiled inference-only v2 is
-    callable directly as pallas_attention_v2.
-    """
-    if impl == "auto":
-        impl = "xla"
-    if impl == "xla":
+    """Dispatch. 'auto' resolves to the XLA path (see the module docstring
+    for the measured A/B that retired the Pallas kernels)."""
+    if impl in ("auto", "xla"):
         return xla_attention(q, k, v, bias)
-    if bias is None:
-        bias = jnp.zeros((q.shape[0], 1, 1, k.shape[2]), jnp.float32)
-    # 'pallas' uses the v1 kernel (it has a custom VJP and accepts arbitrary
-    # bias shapes); pallas_attention_v2 is the inference-only batch-tiled
-    # variant, callable directly.
-    return _pallas_attention_ad(q, k, v, bias, impl == "pallas_interpret")
+    raise ValueError(
+        f"unknown attention impl {impl!r}: the Pallas kernels were retired "
+        "after losing the on-chip A/B (see ops/attention.py docstring); "
+        "use 'auto' or 'xla'")

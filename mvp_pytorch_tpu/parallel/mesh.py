@@ -59,6 +59,54 @@ def shard_batch(mesh: Mesh, batch):
                                   batch)
 
 
+def tp_param_pspec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for a BERT-family param.
+
+    Column-parallel (output dim over `model`): attention query/key/value
+    projections (heads split across the model axis) and the MLP up-proj;
+    row-parallel (input dim over `model`): the attention output projection
+    and the MLP down-proj — both named `output_dense` in our blocks, and
+    both receive a model-sharded input dim, so one rule covers them. XLA's
+    SPMD partitioner inserts the (reduce-)scatter/all-reduce collectives
+    these shardings imply; no model-code changes are needed.
+
+    Embeddings / LayerNorms / heads stay replicated (the embedding's
+    only_vocab slice makes a vocab-sharded table awkward, and at BERT-base
+    widths the win is in the per-layer matmuls).
+    """
+    ntp = mesh.shape.get(MODEL_AXIS, 1)
+    if ntp <= 1 or not shape:
+        return P()
+    name = path[-1] if path else ""
+    parent = path[-2] if len(path) > 1 else ""
+    col = parent in ("query", "key", "value", "intermediate_dense")
+    row = parent == "output_dense"
+    if name == "kernel" and len(shape) == 2:
+        if col and shape[1] % ntp == 0:
+            return P(None, MODEL_AXIS)
+        if row and shape[0] % ntp == 0:
+            return P(MODEL_AXIS, None)
+    if name == "bias" and len(shape) == 1 and col and shape[0] % ntp == 0:
+        return P(MODEL_AXIS)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
+    """NamedSharding tree for a param pytree: replicated, or TP specs when
+    tensor_parallel and the mesh has a >1 `model` axis."""
+    if not tensor_parallel:
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    def one(kp, leaf):
+        names = tuple(k.key for k in kp
+                      if isinstance(k, jax.tree_util.DictKey))
+        return NamedSharding(mesh,
+                             tp_param_pspec(names, getattr(leaf, "shape", ()),
+                                            mesh))
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def zero_state_spec(param_spec: P, shape: tuple, mesh: Mesh) -> P:
     """ZeRO-2-style optimizer-state partition spec for a parameter.
 

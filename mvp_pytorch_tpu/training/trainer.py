@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated, \
-    zero_state_spec
+from ..parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                             make_mesh, param_shardings, replicated,
+                             zero_state_spec)
 
 
 class TrainState(NamedTuple):
@@ -41,7 +42,7 @@ class TrainState(NamedTuple):
 class Trainer:
     def __init__(self, loss_fn: Callable, optimizer: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, *, zero_sharding: bool = True,
-                 grad_accum: int = 1):
+                 grad_accum: int = 1, tensor_parallel: bool = False):
         import inspect
         # optional extended contract: loss_fn(params, batch, rng, step)
         # (used e.g. by captioning's drop_worst_after curriculum gate)
@@ -57,6 +58,8 @@ class Trainer:
         self.tx = optimizer
         self.mesh = mesh if mesh is not None else make_mesh()
         self.zero_sharding = zero_sharding
+        self.tensor_parallel = (tensor_parallel
+                                and self.mesh.shape.get(MODEL_AXIS, 1) > 1)
         self.grad_accum = max(1, grad_accum)
         self._step_fn = None
         self._state_shardings = None
@@ -66,17 +69,51 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def state_shardings(self, params) -> TrainState:
+        """Parameter shardings (replicated, or Megatron-style TP specs over
+        the `model` axis when tensor_parallel); optimizer state follows the
+        param's TP spec where one exists (with ZeRO data-sharding composed
+        onto a free dim), else plain ZeRO data-sharding."""
         rep = replicated(self.mesh)
-        param_sh = jax.tree_util.tree_map(lambda _: rep, params)
+        param_sh = param_shardings(self.mesh, params, self.tensor_parallel)
+
+        def dict_path(kp):
+            return tuple(k.key for k in kp
+                         if isinstance(k, jax.tree_util.DictKey))
+
+        spec_by_path = {}
+        if self.tensor_parallel:
+            def record(kp, sh):
+                spec_by_path[dict_path(kp)] = sh.spec
+            jax.tree_util.tree_map_with_path(record, param_sh)
+
+        ndata = self.mesh.shape[DATA_AXIS]
+
+        def compose_zero(spec: P, shape) -> P:
+            lst = list(spec) + [None] * (len(shape) - len(spec))
+            for i, dim in enumerate(shape):
+                if lst[i] is None and dim % ndata == 0 and dim >= ndata:
+                    lst[i] = DATA_AXIS
+                    break
+            return P(*lst)
+
         opt_shapes = jax.eval_shape(self.tx.init, params)
 
-        def opt_leaf_sharding(leaf):
-            if not self.zero_sharding or not hasattr(leaf, "shape"):
+        def opt_leaf_sharding(kp, leaf):
+            if not hasattr(leaf, "shape"):
                 return rep
-            spec = zero_state_spec(None, leaf.shape, self.mesh)
-            return NamedSharding(self.mesh, spec)
+            tp = spec_by_path.get(dict_path(kp))
+            if tp is not None and tp != P():
+                # moments mirror the param's TP layout (+ ZeRO if possible)
+                spec = compose_zero(tp, leaf.shape) if self.zero_sharding \
+                    else tp
+                return NamedSharding(self.mesh, spec)
+            if not self.zero_sharding:
+                return rep
+            return NamedSharding(self.mesh,
+                                 zero_state_spec(None, leaf.shape, self.mesh))
 
-        opt_sh = jax.tree_util.tree_map(opt_leaf_sharding, opt_shapes)
+        opt_sh = jax.tree_util.tree_map_with_path(opt_leaf_sharding,
+                                                  opt_shapes)
         return TrainState(step=rep, params=param_sh, opt_state=opt_sh,
                           rng=rep)
 

@@ -63,6 +63,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         choices=["cpu", "tpu"],
                         help="force a JAX platform (cpu gives a virtual mesh)")
     parser.add_argument("--num_cpu_devices", type=int, default=8)
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="size of the tensor-parallel `model` mesh axis "
+                             "(>1 enables Megatron-style param sharding; "
+                             "devices = data * model_parallel)")
 
 
 def apply_platform(args) -> None:
@@ -118,7 +122,8 @@ class TrainLoop:
                  extra_meta: Optional[dict] = None, logger=None):
         self.args = args
         self.logger = logger or setup_logger("train", args.output_dir)
-        self.mesh = make_mesh()
+        mp = max(1, getattr(args, "model_parallel", 1))
+        self.mesh = make_mesh(model=mp)
         total = args.max_steps
         tx = make_optimizer(
             args.learning_rate, warmup_steps=args.warmup_steps,
@@ -126,7 +131,8 @@ class TrainLoop:
             weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm)
         self.trainer = Trainer(loss_fn, tx, self.mesh,
-                               grad_accum=args.gradient_accumulation_steps)
+                               grad_accum=args.gradient_accumulation_steps,
+                               tensor_parallel=mp > 1)
         self.ckpt = CheckpointManager(args.output_dir)
         self.config = config
         self.dataset = dataset

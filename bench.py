@@ -263,12 +263,18 @@ def bench_pretrain_step(batch: int = 48):
 
     params, opt, l = step(params, opt, jax.random.PRNGKey(3))
     float(l)   # force
+    # K steps per sync: dispatches queue asynchronously, so one host
+    # round-trip (~30 ms through the tunnel) amortizes over the window
+    # instead of inflating every step
+    K = 4
     times = []
-    for i in range(6):
+    for i in range(4):
         t0 = time.time()
-        params, opt, l = step(params, opt, jax.random.PRNGKey(4 + i))
+        for j in range(K):
+            params, opt, l = step(params, opt,
+                                  jax.random.PRNGKey(10 + i * K + j))
         float(l)
-        times.append(time.time() - t0)
+        times.append((time.time() - t0) / K)
     best = min(times)
     out = {"train_batch": b, "step_ms": round(best * 1e3, 1),
            "examples_per_sec": round(b / best, 1)}

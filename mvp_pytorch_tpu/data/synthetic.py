@@ -106,8 +106,22 @@ def make_synthetic_root(root: str, n_images: int = 12,
     def some_phrases():
         return [list(rng.choice(phrases)) for _ in range(rng.randint(0, 3))]
 
-    # retrieval captions
-    caps = {img: [{"text": random_caption(rng), "phrases": some_phrases()}
+    # retrieval/captioning captions — LEARNABLE rule: each caption names
+    # two detected tags of its image (captioning learns to describe the
+    # regions) plus two image-unique words (retrieval needs captions that
+    # discriminate between images sharing a tag pair)
+    def image_caption(img):
+        idx = image_ids.index(img)
+        w1 = WORDS[idx % len(WORDS)]
+        w2 = WORDS[(idx * 7 + 3) % len(WORDS)]
+        t = img_tags[img]
+        t0 = t[0]
+        t1 = t[1 % len(t)]
+        return (f"{w1} {w2} {t0} and {t1} "
+                f"{rng.choice(['on', 'in', 'near'])} the "
+                f"{rng.choice(WORDS)}")
+
+    caps = {img: [{"text": image_caption(img), "phrases": some_phrases()}
                   for _ in range(caps_per_img)] for img in image_ids}
     paths["captions"] = os.path.join(root, "captions.json")
     with open(paths["captions"], "w") as f:

@@ -67,6 +67,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="size of the tensor-parallel `model` mesh axis "
                              "(>1 enables Megatron-style param sharding; "
                              "devices = data * model_parallel)")
+    parser.add_argument("--hidden_dropout_prob", type=float, default=None,
+                        help="override config hidden dropout (NOTE: at tiny "
+                             "widths, hidden dropout >=0.05 freezes "
+                             "contrastive training — measured cliff; fine "
+                             "at base width)")
+    parser.add_argument("--attention_dropout_prob", type=float, default=None)
 
 
 def apply_platform(args) -> None:
@@ -100,6 +106,10 @@ def build_config(args, tokenizer, **overrides) -> ModelConfig:
                     num_attention_heads=4, intermediate_size=128,
                     vocab_size=tokenizer.vocab_size + 64,
                     max_position_embeddings=128)
+    if getattr(args, "hidden_dropout_prob", None) is not None:
+        base["hidden_dropout_prob"] = args.hidden_dropout_prob
+    if getattr(args, "attention_dropout_prob", None) is not None:
+        base["attention_probs_dropout_prob"] = args.attention_dropout_prob
     base.update(overrides)
     return ModelConfig(**base)
 

@@ -90,10 +90,16 @@ def tokenize_ascii(nv: NativeVocab, text: str) -> Optional[List[int]]:
 
 
 def b64_decode(data: str) -> Optional[bytes]:
+    """RETIRED from the hot path: stdlib base64.b64decode measured faster
+    (156 vs 232 us per ~60 KB even after fixing this wrapper's original
+    element-wise ctypes slice, which cost 977 us). Kept for the ABI test
+    and as the measurement record."""
     raw = data.encode("ascii")
     cap = (len(raw) // 4 + 1) * 3
-    out = (ctypes.c_uint8 * cap)()
-    n = _LIB.b64_decode(raw, len(raw), out, cap)
+    buf = ctypes.create_string_buffer(cap)
+    n = _LIB.b64_decode(raw, len(raw),
+                        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)),
+                        cap)
     if n < 0:
         return None
-    return bytes(out[:n])
+    return ctypes.string_at(buf, n)

@@ -231,7 +231,8 @@ def bench_pretrain_step(batch: int = 48):
         img_feats=jnp.asarray(rs.randn(b, R, cfg.img_feature_dim),
                               jnp.float32),
         phrase_index=jnp.tile(jnp.asarray([[9, 9 + P]]), (b, 1)),
-        image_index=jnp.tile(jnp.asarray([[80, 80 + R]]), (b, 1)))
+        # fused layout is [stream A (LA incl. phrases) ; regions (R)]
+        image_index=jnp.tile(jnp.asarray([[LA, LA + R]]), (b, 1)))
     rngs = {"params": jax.random.PRNGKey(0),
             "hardneg": jax.random.PRNGKey(1), "wra": jax.random.PRNGKey(2)}
     params = jax.jit(lambda: model.init(

@@ -434,7 +434,11 @@ class REDataset:
         labels[:n] = ious
         ex["label"] = labels
         if self.det_boxes is not None:
-            dets = self.det_boxes[str(item["image_id"])][: self.max_det]
+            # images without detections score as automatic misses
+            # (det_label all -1 is never selected by re_score_det1/2)
+            dets = self.det_boxes.get(
+                str(item["image_id"]),
+                np.zeros((0, 4), np.float32))[: self.max_det]
             nd = dets.shape[0]
             det_label = np.full(self.max_det, -1.0, np.float32)
             det_label[:nd] = compute_iou(item["gt_box"], dets)

@@ -89,7 +89,12 @@ class JaxDetectionFrontend:
     def __init__(self, ckpt_dir: Optional[str] = None,
                  config: Optional[DetectorConfig] = None,
                  label_map: Optional[str] = None, seed: int = 0):
-        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, WEIGHTS_NAME)):
+        if ckpt_dir:
+            wpath = os.path.join(ckpt_dir, WEIGHTS_NAME)
+            if not os.path.exists(wpath):
+                raise FileNotFoundError(
+                    f"detector checkpoint {wpath} not found — refusing to "
+                    "fall back to random weights for an explicit ckpt_dir")
             self.config, self.params = load_detector(ckpt_dir)
         else:
             self.config = config or DetectorConfig()

@@ -188,11 +188,14 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
                        pad_token_id: int, batch_size: int, max_len: int,
                        num_beams: int, *, length_penalty: float = 1.0,
                        repetition_penalty: float = 1.0,
-                       min_len: int = 0) -> Tuple[jax.Array, jax.Array]:
+                       min_len: int = 0,
+                       mask_token_id: Optional[int] = None
+                       ) -> Tuple[jax.Array, jax.Array]:
     """KV-cached beam search. prefill_fn must produce a cache with
     batch_size*num_beams rows (context repeated per beam); the cache rows
     are re-gathered after every beam reorder. Output contract identical to
-    beam_search()."""
+    beam_search(): pass the model's mask_token_id so a [MASK] emission is
+    sanitized to PAD exactly like the recompute path."""
     b, k = batch_size, num_beams
     tokens = jnp.full((b, k, max_len), pad_token_id, jnp.int32)
     tokens = tokens.at[:, :, 0].set(bos_token_id)
@@ -221,7 +224,11 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
         tok_idx = top_idx % v
         cand_tokens = jnp.take_along_axis(tokens, beam_idx[..., None],
                                           axis=1)
-        cand_tokens = cand_tokens.at[:, :, t].set(tok_idx)
+        tok_write = tok_idx
+        if mask_token_id is not None:
+            tok_write = jnp.where(tok_idx == mask_token_id, pad_token_id,
+                                  tok_idx)
+        cand_tokens = cand_tokens.at[:, :, t].set(tok_write)
         is_eos = tok_idx == eos_token_id
 
         lp_score = top_lp / ((t + 1) ** length_penalty)

@@ -237,7 +237,8 @@ def main(argv=None):
                 prefill, dstep = cached_fns(args.num_beams)
                 seqs, _ = beam_search_cached(
                     prefill, dstep, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                    n, max_cap, args.num_beams)
+                    n, max_cap, args.num_beams,
+                    mask_token_id=tk["[MASK]"])
             else:
                 seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
                                       tk["[PAD]"], tk["[MASK]"], n, max_cap,

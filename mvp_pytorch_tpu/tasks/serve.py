@@ -46,10 +46,16 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.wait_s = wait_ms / 1000.0
         self.q: "queue.Queue" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name=f"batcher-{name}")
         self._worker.start()
+
+    @property
+    def stats(self):
+        with self._stats_lock:
+            return dict(self._stats)
 
     def submit(self, item):
         done = threading.Event()
@@ -75,18 +81,32 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             items = [g[0] for g in group]
-            self.stats["requests"] += len(group)
-            self.stats["batches"] += 1
-            self.stats["max_batch_seen"] = max(
-                self.stats["max_batch_seen"], len(group))
+            with self._stats_lock:
+                self._stats["requests"] += len(group)
+                self._stats["batches"] += 1
+                self._stats["max_batch_seen"] = max(
+                    self._stats["max_batch_seen"], len(group))
             try:
                 results = self.infer_batch(items)
+                if len(results) != len(group):
+                    raise RuntimeError(
+                        f"infer_batch returned {len(results)} results for "
+                        f"{len(group)} items")
                 for (_, done, holder), res in zip(group, results):
                     holder["result"] = res
                     done.set()
-            except Exception as e:  # noqa: BLE001 — propagate to callers
-                for _, done, holder in group:
-                    holder["error"] = e
+            except Exception:  # noqa: BLE001 — isolate the failing request
+                # a grouped failure must not poison neighbors: retry each
+                # request individually so only the bad ones error
+                for item, done, holder in group:
+                    try:
+                        res = self.infer_batch([item])
+                        if len(res) != 1:
+                            raise RuntimeError("infer_batch returned "
+                                               f"{len(res)} results for 1")
+                        holder["result"] = res[0]
+                    except Exception as e2:  # noqa: BLE001
+                        holder["error"] = e2
                     done.set()
 
 

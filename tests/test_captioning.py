@@ -347,7 +347,7 @@ def test_cached_generate_matches_recompute(cfg):
     bseqs, bscores = beam_search(logits_fn, BOS, EOS, PAD, MASK, B, LC, k)
     prefill, step = cached_fns(k)
     cseqs, cscores = beam_search_cached(prefill, step, BOS, EOS, PAD,
-                                        B, LC, k)
+                                        B, LC, k, mask_token_id=MASK)
     np.testing.assert_array_equal(np.asarray(bseqs), np.asarray(cseqs))
     np.testing.assert_allclose(np.asarray(bscores), np.asarray(cscores),
                                atol=2e-4)

@@ -75,6 +75,28 @@ def test_re_dataset_det_fields(tmp_path):
     assert acc >= 0.5   # near-gt det is recoverable from the best region
 
 
+def test_re_dataset_missing_det_entry_is_a_miss(tmp_path):
+    """Images absent from det_json score as automatic misses instead of
+    crashing the eval."""
+    paths = make_synthetic_root(str(tmp_path / "s"), n_images=4)
+    tok = BertTokenizer(paths["vocab"])
+    store = FeatureStore(paths["features"])
+    with open(paths["re_dets"]) as f:
+        dets = json.load(f)
+    first = list(dets)[0]
+    del dets[first]
+    pruned = str(tmp_path / "pruned.json")
+    with open(pruned, "w") as f:
+        json.dump(dets, f)
+    ds = REDataset(paths["re"], store, tok, det_json=pruned, max_det=8)
+    batch = ds.fetch(np.arange(len(ds)))
+    miss_rows = (batch["det_label"] < 0).all(axis=1)
+    assert miss_rows.sum() == 1
+    acc_all = re_score_det1(batch["label"], batch["label"],
+                            batch["det_label"], batch["iou_mat"])
+    assert acc_all <= (len(ds) - 1) / len(ds)   # the miss is counted
+
+
 def test_re_driver_det_smoke(tmp_path):
     """Driver end to end with --det_json on the CPU platform."""
     from mvp_pytorch_tpu.tasks import re_task

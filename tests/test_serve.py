@@ -48,6 +48,58 @@ def test_microbatcher_propagates_errors():
         mb.submit("x")
 
 
+def test_microbatcher_isolates_failing_request():
+    """One bad request in a group must not poison its neighbors: the group
+    is retried item-by-item and only the bad one errors."""
+    def infer(items):
+        if any(x == "bad" for x in items):
+            raise ValueError("bad item")
+        return [f"r:{x}" for x in items]
+
+    mb = MicroBatcher(infer, max_batch=8, wait_ms=40)
+    results = {}
+    errors = {}
+
+    def worker(i, item):
+        try:
+            results[i] = mb.submit(item)
+        except Exception as e:  # noqa: BLE001
+            errors[i] = e
+
+    items = ["a", "b", "bad", "c"]
+    threads = [threading.Thread(target=worker, args=(i, it))
+               for i, it in enumerate(items)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert results == {0: "r:a", 1: "r:b", 3: "r:c"}, (results, errors)
+    assert list(errors) == [2] and "bad item" in str(errors[2])
+
+
+def test_microbatcher_short_results_do_not_hang():
+    """infer_batch returning too few results must error, not hang."""
+    def infer(items):
+        return items[:-1] if len(items) > 1 else ["only"]
+
+    mb = MicroBatcher(infer, max_batch=4, wait_ms=30)
+    results = []
+
+    def worker(item):
+        try:
+            results.append(mb.submit(item))
+        except Exception as e:  # noqa: BLE001
+            results.append(e)
+
+    threads = [threading.Thread(target=worker, args=(f"x{i}",))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == 3   # nothing hangs; singles succeed on retry
+
+
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
     import jax.numpy as jnp

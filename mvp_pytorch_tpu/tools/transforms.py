@@ -49,5 +49,50 @@ class VinVLTransform:
         return x
 
 
-def build_transforms(cfg: dict) -> VinVLTransform:
+class TrainTransform(VinVLTransform):
+    """Train-time augmentation: color jitter + random horizontal/vertical
+    flip ahead of the inference transform (reference
+    tools/transform_utils.py:124-155 build_transforms — the reference wires
+    them with zero probabilities for inference; here they are live when the
+    caller passes nonzero knobs)."""
+
+    def __init__(self, cfg: dict, *, flip_horizontal_prob: float = 0.0,
+                 flip_vertical_prob: float = 0.0, brightness: float = 0.0,
+                 contrast: float = 0.0, saturation: float = 0.0,
+                 seed: int = 0):
+        super().__init__(cfg)
+        self.flip_h = flip_horizontal_prob
+        self.flip_v = flip_vertical_prob
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, pil_img) -> np.ndarray:
+        from PIL import Image
+        img = pil_img.convert("RGB")
+        if self.flip_h > 0 and self.rng.rand() < self.flip_h:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.flip_v > 0 and self.rng.rand() < self.flip_v:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+        x = super().__call__(img)                 # CHW, normalized
+        # jitter in normalized space (torchvision-style multiplicative
+        # factors sampled uniformly around 1)
+        def factor(amount):
+            return 1.0 + self.rng.uniform(-amount, amount)
+        if self.brightness > 0:
+            x = x * factor(self.brightness)
+        if self.contrast > 0:
+            mean = x.mean()
+            x = (x - mean) * factor(self.contrast) + mean
+        if self.saturation > 0:
+            gray = x.mean(axis=0, keepdims=True)
+            x = gray + (x - gray) * factor(self.saturation)
+        return x.astype(np.float32)
+
+
+def build_transforms(cfg: dict, *, is_train: bool = False,
+                     **train_knobs) -> VinVLTransform:
+    if is_train:
+        return TrainTransform(cfg, **train_knobs)
     return VinVLTransform(cfg)

@@ -167,6 +167,46 @@ def test_frontend_contract(tmp_path):
     np.testing.assert_allclose(feats, feats2, atol=1e-5)
 
 
+def test_train_transforms(tmp_path):
+    """Train-time flip/jitter transform (reference transform_utils.py
+    build_transforms knobs) vs the deterministic inference transform."""
+    from PIL import Image
+    from mvp_pytorch_tpu.tools.transforms import build_transforms
+    cfg = {"MIN_SIZE_TEST": 32, "MAX_SIZE_TEST": 64, "TO_BGR255": True,
+           "PIXEL_MEAN": [100.0, 100.0, 100.0]}
+    rs = np.random.RandomState(0)
+    img = Image.fromarray((rs.rand(40, 60, 3) * 255).astype(np.uint8))
+    infer = build_transforms(cfg)
+    x1 = infer(img)
+    x2 = infer(img)
+    np.testing.assert_array_equal(x1, x2)        # inference deterministic
+    assert x1.shape[0] == 3
+    train = build_transforms(cfg, is_train=True, flip_horizontal_prob=1.0,
+                             brightness=0.2, seed=0)
+    xt = train(img)
+    assert xt.shape == x1.shape
+    # forced horizontal flip: train output is NOT the plain transform but
+    # correlates with the flipped one
+    flipped = infer(img.transpose(Image.FLIP_LEFT_RIGHT))
+    assert not np.allclose(xt, x1)
+    corr = np.corrcoef(xt.ravel(), flipped.ravel())[0, 1]
+    assert corr > 0.98, corr                      # brightness-only delta
+
+
+def test_detector_train_cli(tmp_path):
+    """Train -> save -> load through the frontend (the jax:<ckpt> path)."""
+    from mvp_pytorch_tpu.detection import train_cli
+    out = str(tmp_path / "ck")
+    train_cli.main(["--out_dir", out, "--steps", "6", "--canvas", "128",
+                    "--platform", "cpu", "--log_every", "0"])
+    fe = JaxDetectionFrontend(ckpt_dir=out)
+    assert fe.config.canvas == 128
+    import json as _json
+    with open(f"{out}/train_history.json") as f:
+        hist = _json.load(f)["loss"]
+    assert len(hist) == 6 and np.isfinite(hist).all()
+
+
 def test_detection_import_is_torch_free():
     code = ("import sys; import mvp_pytorch_tpu.detection; "
             "import mvp_pytorch_tpu.pipeline; "

@@ -158,6 +158,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                 "cls.seq_relationship.": (
                     ["cls_seq_relationship", "seq_relationship"], True),
                 "qa_head.": (["qa_head"], True),
+                # QA-pair contrastive head (BiBertImgForPreTraining2,
+                # reference modeling_vlbert_pretrain.py:2760)
+                "qa_seq_relation.": (["qa_seq_relation"], True),
                 "cls.predictions.decoder.": None,   # tied: dropped
                 "half_mlm.decoder.": None,
             }

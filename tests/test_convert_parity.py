@@ -289,3 +289,46 @@ def test_single_stream_captioning_conversion_parity(ref_model_and_inputs):
                              img_feats=jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(got_seq), seq.numpy(), atol=5e-4,
                                rtol=1e-3)
+
+
+def test_qa_seq_relation_conversion_parity(ref_model_and_inputs):
+    """The QA-pair contrastive head (BiBertImgForPreTraining2
+    qa_seq_relation, reference modeling_vlbert_pretrain.py:2760) must
+    convert and reproduce the torch logits."""
+    import torch
+    sys.path.insert(0, REF)
+    from oscar.modeling.modeling_vlbert_pretrain import \
+        BiBertImgForPreTraining2
+    from transformers.pytorch_transformers.modeling_bert import BertConfig
+
+    torch.manual_seed(2)
+    cfg = BertConfig(vocab_size_or_config_json_file=131, hidden_size=32,
+                     num_hidden_layers=4, num_attention_heads=4,
+                     intermediate_size=37, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    cfg.torchscript = True
+    cfg.img_feature_dim = 22
+    cfg.img_feature_type = "faster_r-cnn"
+    cfg.only_word_size = 99
+    cfg.num_contrast_classes = 2
+    cfg.use_img_layernorm = False
+    ref = BiBertImgForPreTraining2(cfg)
+    ref.eval()
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, skipped = convert_state_dict(sd)
+    assert not [s for s in skipped if "decoder" not in s], skipped
+    assert "qa_seq_relation" in params
+
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+    pooled = np.random.RandomState(5).randn(4, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref.qa_seq_relation(torch.tensor(pooled)).numpy()
+    head = fnn.Dense(2)
+    got = head.apply({"params": params["qa_seq_relation"]},
+                     jnp.asarray(pooled))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

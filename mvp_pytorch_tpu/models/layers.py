@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention, mask_to_bias
+from ..parallel.activation_sharding import shard_seq
 from .config import ModelConfig
 
 def _gelu(x):
@@ -95,7 +96,7 @@ class Embeddings(nn.Module):
              + self.position_embeddings(position_ids)
              + self.token_type_embeddings(token_type_ids))
         x = self.norm(x)
-        return self.dropout(x, deterministic=deterministic)
+        return shard_seq(self.dropout(x, deterministic=deterministic))
 
 
 class SelfAttention(nn.Module):
@@ -158,8 +159,8 @@ class AttentionBlock(nn.Module):
         out = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg), dtype=dt,
                        name="output_dense")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
-                            name="output_norm")(out + hidden)
+        return shard_seq(nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                                      name="output_norm")(out + hidden))
 
 
 class TransformerLayer(nn.Module):
@@ -181,8 +182,8 @@ class TransformerLayer(nn.Module):
         out = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg), dtype=dt,
                        name="output_dense")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
-                            name="output_norm")(out + attn_out)
+        return shard_seq(nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                                      name="output_norm")(out + attn_out))
 
 
 class StreamEncoder(nn.Module):

@@ -1,0 +1,69 @@
+"""Megatron-style sequence-parallel activation shardings.
+
+The reference has no tensor/sequence parallelism at all (SURVEY.md §2.2);
+this module is TPU-native capability on top of the tensor-parallel param
+layout in `mesh.tp_param_pspec`. Plain TP leaves the elementwise regions
+(LayerNorm, dropout, residual adds) replicated over the `model` axis —
+every chip does the full [B, L, H] elementwise work and the row-parallel
+matmul ends in an all-reduce. Sequence parallelism shards those regions
+along the SEQUENCE dim over `model` instead: XLA then lowers the TP
+boundary collectives to reduce-scatter + all-gather pairs (same bytes as
+the all-reduce) while the LayerNorm/dropout/residual FLOPs and activation
+memory drop by the TP degree.
+
+Mechanics: the Trainer enables a trace-time context; `shard_seq(x)` inside
+the model (LayerNorm outputs, embedding output) becomes
+`with_sharding_constraint(x, P(data, model, None))` for [B, L, H]
+activations whose L divides the model-axis size, and a no-op otherwise.
+Pure layout — numerics are unchanged (tests/test_tensor_parallel.py
+asserts the loss trajectory matches plain TP and DP).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+_ctx = threading.local()
+
+
+def current_sharding():
+    return getattr(_ctx, "sharding", None)
+
+
+@contextlib.contextmanager
+def sequence_sharding(mesh: Mesh):
+    """Enable sequence-parallel activation constraints while tracing.
+
+    Active only if the mesh actually has a >1 `model` axis. Nesting
+    restores the previous context on exit (trace-time only; nothing
+    escapes into the compiled computation except the constraints)."""
+    prev = getattr(_ctx, "sharding", None)
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        _ctx.sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+    try:
+        yield
+    finally:
+        _ctx.sharding = prev
+
+
+def shard_seq(x):
+    """Constrain a [B, L, H] activation to (data, model, None) when a
+    sequence-sharding context is active and L is divisible; identity
+    otherwise (so model code can call it unconditionally)."""
+    sh = current_sharding()
+    if sh is None or getattr(x, "ndim", 0) != 3:
+        return x
+    ntp = sh.mesh.shape[MODEL_AXIS]
+    ndata = sh.mesh.shape[DATA_AXIS]
+    if x.shape[1] % ntp != 0 or x.shape[0] % ndata != 0:
+        return x
+    return jax.lax.with_sharding_constraint(x, sh)
+
+
+__all__ = ["sequence_sharding", "shard_seq", "current_sharding"]

@@ -1,0 +1,197 @@
+"""Pipeline parallelism (GPipe schedule) over a `pipe` mesh axis.
+
+The reference has no pipeline parallelism (SURVEY.md §2.2: PP absent) —
+this is TPU-native capability added on the latent mesh design. A layer
+stack is split into S contiguous stages, one per device along `pipe`;
+microbatches stream through the stages, neighbor hand-offs ride ICI via
+`ppermute`, and XLA overlaps the per-stage compute of different
+microbatches (the scaling-book pipelining recipe: scan over ticks,
+rotate activations).
+
+Design notes (tpu-first, not a translation of GPipe-the-paper's code):
+- the schedule is a single `lax.scan` over M + S - 1 ticks inside one
+  `shard_map`; every device runs the same program, selecting its role
+  from `axis_index('pipe')` — no per-stage Python, fully jit-compatible,
+  and differentiable end to end (the backward pass is the reverse
+  pipeline, derived by AD through scan+ppermute).
+- stage inputs/outputs stay microbatch-shaped [mb, ...]; the global batch
+  dim may additionally be sharded over `data` (PP x DP composes).
+- per-microbatch side inputs (attention bias) are NOT rotated with the
+  activations: they are replicated over `pipe` and each stage indexes the
+  one matching its in-flight microbatch (cheap at these sizes and keeps
+  the rotated payload minimal).
+- bubble fraction is the GPipe (S-1)/(M+S-1); pick n_microbatches >> S.
+
+For the 6-layer MVPTR streams PP is overkill (DP+TP+SP cover the model),
+but the machinery is generic: `gpipe_apply` pipelines any
+`apply_layer(params, x, extras) -> x` stack, and
+`pipeline_stream_encoder` adapts it to `models.layers.StreamEncoder`
+parameters (equivalence-tested in tests/test_pipeline_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from .mesh import DATA_AXIS
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                   *, pipe: int, data: int = 1) -> Mesh:
+    """A (data, pipe) mesh. Stage neighbors are adjacent in device order
+    so ppermute hand-offs ride nearest-neighbor ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = data * pipe
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(data, pipe)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+def stack_layer_params(encoder_params: dict, num_layers: int,
+                       prefix: str = "layer_"):
+    """Stack StreamEncoder per-layer param subtrees [{...}] -> leaves with a
+    leading layer dim (the scan-over-layers layout PP shards by stage)."""
+    layers = [encoder_params[f"{prefix}{i}"] for i in range(num_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layer_params(stacked, num_layers: int, prefix: str = "layer_"):
+    """Inverse of stack_layer_params (for checkpoint interop)."""
+    return {f"{prefix}{i}": jax.tree_util.tree_map(lambda x: x[i], stacked)
+            for i in range(num_layers)}
+
+
+def gpipe_apply(apply_layer: Callable[[Any, jax.Array, Any], jax.Array],
+                stacked_params, x: jax.Array, extras=None, *, mesh: Mesh,
+                n_microbatches: int) -> jax.Array:
+    """Run x through the stacked layers, pipelined over `mesh`'s pipe axis.
+
+    apply_layer(layer_params, h, extras_mb) -> h': ONE layer (unstacked
+    leaves). stacked_params: leaves [L, ...] with L % n_stages == 0.
+    x: [B, ...] activations (B % (n_microbatches * data) == 0); extras: a
+    pytree of per-example side inputs with leading dim B (attention bias
+    etc.), or None. Returns [B, ...] outputs, numerically identical to the
+    sequential stack.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if num_layers % n_stages:
+        raise ValueError(f"{num_layers} layers not divisible by "
+                         f"{n_stages} stages")
+    b = x.shape[0]
+    m = n_microbatches
+    if b % (m * n_data):
+        raise ValueError(f"batch {b} not divisible by microbatches {m} "
+                         f"x data {n_data}")
+    if extras is None:
+        extras = ()
+
+    def to_mb(t):
+        return t.reshape(m, b // m, *t.shape[1:])
+
+    x_mb = to_mb(x)
+    extras_mb = jax.tree_util.tree_map(to_mb, extras)
+
+    # leading (microbatch) dim replicated over pipe, batch dim over data
+    def mb_spec(t):
+        return P(None, DATA_AXIS, *([None] * (t.ndim - 2)))
+
+    param_specs = jax.tree_util.tree_map(
+        lambda p: P(PIPE_AXIS, *([None] * (p.ndim - 1))), stacked_params)
+    x_spec = mb_spec(x_mb)
+    extras_specs = jax.tree_util.tree_map(mb_spec, extras_mb)
+
+    def local(params_loc, x_loc, extras_loc):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+
+        def apply_stage(h, m_idx):
+            ex = jax.tree_util.tree_map(
+                lambda e: jax.lax.dynamic_index_in_dim(
+                    e, jnp.clip(m_idx, 0, m - 1), 0, keepdims=False),
+                extras_loc)
+
+            def body(h, p):
+                return apply_layer(p, h, ex), None
+
+            h, _ = jax.lax.scan(body, h, params_loc)
+            return h
+
+        def tick(carry, t):
+            recv, outputs = carry
+            # stage s processes microbatch t - s at tick t
+            x0 = jax.lax.dynamic_index_in_dim(
+                x_loc, jnp.clip(t, 0, m - 1), 0, keepdims=False)
+            h_in = jnp.where(stage == 0, x0, recv)
+            y = apply_stage(h_in, t - stage)
+            out_t = t - (n_stages - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                outputs, y, jnp.clip(out_t, 0, m - 1), 0)
+            write = jnp.logical_and(stage == n_stages - 1, out_t >= 0)
+            outputs = jnp.where(write, upd, outputs)
+            recv = jax.lax.ppermute(
+                y, PIPE_AXIS,
+                [(i, (i + 1) % n_stages) for i in range(n_stages)])
+            return (recv, outputs), None
+
+        init = (jnp.zeros_like(x_loc[0]), jnp.zeros_like(x_loc))
+        (_, outputs), _ = jax.lax.scan(tick, init,
+                                       jnp.arange(m + n_stages - 1))
+        # only the last stage holds real outputs; broadcast them to every
+        # stage (psum of one non-zero contribution) so the result is
+        # replicated over pipe like any post-encoder activation
+        outputs = jnp.where(stage == n_stages - 1, outputs,
+                            jnp.zeros_like(outputs))
+        return jax.lax.psum(outputs, PIPE_AXIS)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(param_specs, x_spec, extras_specs),
+                   out_specs=x_spec, check_rep=False)
+    out = fn(stacked_params, x_mb, extras_mb)
+    return out.reshape(b, *x.shape[1:])
+
+
+def pipeline_stream_encoder(config, encoder_params: dict, hidden: jax.Array,
+                            bias: jax.Array, *, mesh: Mesh,
+                            n_microbatches: int,
+                            num_layers: Optional[int] = None) -> jax.Array:
+    """Pipelined equivalent of `StreamEncoder.apply` (deterministic path,
+    single shared bias, no mid-layer readout / history states).
+
+    encoder_params: the StreamEncoder param dict ({'layer_0': ..., ...});
+    bias: [B, 1, 1, L] additive attention bias (ops.attention.mask_to_bias).
+    """
+    from ..models.layers import TransformerLayer
+
+    if num_layers is None:
+        num_layers = sum(1 for k in encoder_params if k.startswith("layer_"))
+    stacked = stack_layer_params(encoder_params, num_layers)
+    layer = TransformerLayer(config)
+
+    def apply_layer(p, h, ex):
+        return layer.apply({"params": p}, h, ex[0], deterministic=True)
+
+    return gpipe_apply(apply_layer, stacked, hidden, (bias,), mesh=mesh,
+                       n_microbatches=n_microbatches)
+
+
+__all__ = ["PIPE_AXIS", "make_pipe_mesh", "stack_layer_params",
+           "unstack_layer_params", "gpipe_apply", "pipeline_stream_encoder"]

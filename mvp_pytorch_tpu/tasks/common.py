@@ -67,6 +67,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="size of the tensor-parallel `model` mesh axis "
                              "(>1 enables Megatron-style param sharding; "
                              "devices = data * model_parallel)")
+    parser.add_argument("--sequence_parallel", action="store_true",
+                        help="with --model_parallel>1: also shard the "
+                             "LayerNorm/dropout activation regions along "
+                             "SEQUENCE over the model axis (Megatron-SP; "
+                             "pure layout, numerics unchanged)")
     parser.add_argument("--hidden_dropout_prob", type=float, default=None,
                         help="override config hidden dropout (NOTE: at tiny "
                              "widths, hidden dropout >=0.05 freezes "
@@ -142,7 +147,9 @@ class TrainLoop:
             max_grad_norm=args.max_grad_norm)
         self.trainer = Trainer(loss_fn, tx, self.mesh,
                                grad_accum=args.gradient_accumulation_steps,
-                               tensor_parallel=mp > 1)
+                               tensor_parallel=mp > 1,
+                               sequence_parallel=getattr(
+                                   args, "sequence_parallel", False))
         self.ckpt = CheckpointManager(args.output_dir)
         self.config = config
         self.dataset = dataset

@@ -19,6 +19,7 @@ The loss_fn contract: loss_fn(params, batch, rng) -> (loss, metrics_dict).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..parallel.activation_sharding import sequence_sharding
 from ..parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
                              make_mesh, param_shardings, replicated,
                              zero_state_spec)
@@ -42,7 +44,8 @@ class TrainState(NamedTuple):
 class Trainer:
     def __init__(self, loss_fn: Callable, optimizer: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, *, zero_sharding: bool = True,
-                 grad_accum: int = 1, tensor_parallel: bool = False):
+                 grad_accum: int = 1, tensor_parallel: bool = False,
+                 sequence_parallel: bool = False):
         import inspect
         # optional extended contract: loss_fn(params, batch, rng, step)
         # (used e.g. by captioning's drop_worst_after curriculum gate)
@@ -60,6 +63,10 @@ class Trainer:
         self.zero_sharding = zero_sharding
         self.tensor_parallel = (tensor_parallel
                                 and self.mesh.shape.get(MODEL_AXIS, 1) > 1)
+        # Megatron-style sequence parallelism: shard the elementwise regions
+        # (LayerNorm/dropout/residual) along SEQUENCE over the model axis.
+        # Pure layout on top of TP — see parallel/activation_sharding.py.
+        self.sequence_parallel = sequence_parallel and self.tensor_parallel
         self.grad_accum = max(1, grad_accum)
         self._step_fn = None
         self._state_shardings = None
@@ -137,51 +144,13 @@ class Trainer:
         metric_sh = replicated(self.mesh)
 
         def step_fn(state: TrainState, batch):
-            rng = jax.random.fold_in(state.rng, state.step)
-
-            if self.grad_accum == 1:
-                (loss, metrics), grads = jax.value_and_grad(
-                    self.loss_fn, has_aux=True)(state.params, batch, rng,
-                                                state.step)
-            else:
-                # micro-batch scan over the leading-split batch
-                def micro(carry, mb):
-                    acc_grads, acc_loss, acc_metrics, i = carry
-                    r = jax.random.fold_in(rng, i)
-                    (l, m), g = jax.value_and_grad(
-                        self.loss_fn, has_aux=True)(state.params, mb, r,
-                                                    state.step)
-                    acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, g)
-                    acc_metrics = jax.tree_util.tree_map(
-                        jnp.add, acc_metrics, m)
-                    return (acc_grads, acc_loss + l, acc_metrics, i + 1), None
-
-                split = jax.tree_util.tree_map(
-                    lambda x: x.reshape(self.grad_accum,
-                                        x.shape[0] // self.grad_accum,
-                                        *x.shape[1:]), batch)
-                zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-                m_shape = jax.eval_shape(
-                    lambda p, b, r: self.loss_fn(p, b, r, state.step)[1],
-                    state.params,
-                    jax.tree_util.tree_map(lambda x: x[0], split), rng)
-                zero_m = jax.tree_util.tree_map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
-                (grads, loss, metrics, _), _ = jax.lax.scan(
-                    micro, (zero_g, 0.0, zero_m, 0), split)
-                inv = 1.0 / self.grad_accum
-                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-                loss = loss * inv
-                metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
-
-            updates, new_opt = self.tx.update(grads, state.opt_state,
-                                              state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            gnorm = optax.global_norm(grads)
-            metrics = dict(metrics, loss=loss, grad_norm=gnorm)
-            new_state = TrainState(step=state.step + 1, params=new_params,
-                                   opt_state=new_opt, rng=state.rng)
-            return new_state, metrics
+            # step_fn's body runs at TRACE time, so entering the
+            # sequence-sharding context here scopes the activation
+            # constraints to exactly this compiled step.
+            sp = (sequence_sharding(self.mesh) if self.sequence_parallel
+                  else contextlib.nullcontext())
+            with sp:
+                return self._step_body(state, batch)
 
         return jax.jit(
             step_fn,
@@ -189,6 +158,53 @@ class Trainer:
             out_shardings=(sh, metric_sh),
             donate_argnums=(0,),
         )
+
+    def _step_body(self, state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        if self.grad_accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(state.params, batch, rng,
+                                            state.step)
+        else:
+            # micro-batch scan over the leading-split batch
+            def micro(carry, mb):
+                acc_grads, acc_loss, acc_metrics, i = carry
+                r = jax.random.fold_in(rng, i)
+                (l, m), g = jax.value_and_grad(
+                    self.loss_fn, has_aux=True)(state.params, mb, r,
+                                                state.step)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, g)
+                acc_metrics = jax.tree_util.tree_map(
+                    jnp.add, acc_metrics, m)
+                return (acc_grads, acc_loss + l, acc_metrics, i + 1), None
+
+            split = jax.tree_util.tree_map(
+                lambda x: x.reshape(self.grad_accum,
+                                    x.shape[0] // self.grad_accum,
+                                    *x.shape[1:]), batch)
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            m_shape = jax.eval_shape(
+                lambda p, b, r: self.loss_fn(p, b, r, state.step)[1],
+                state.params,
+                jax.tree_util.tree_map(lambda x: x[0], split), rng)
+            zero_m = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+            (grads, loss, metrics, _), _ = jax.lax.scan(
+                micro, (zero_g, 0.0, zero_m, 0), split)
+            inv = 1.0 / self.grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, rng=state.rng)
+        return new_state, metrics
 
     def step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if self._step_fn is None:

@@ -62,6 +62,12 @@ class ModelConfig:
     attention_impl: str = "auto"         # auto | xla (pallas retired, see ops/attention.py)
     remat: bool = False                  # jax.checkpoint each encoder layer
 
+    # --- Mixture-of-Experts FFN (new capability; reference has none) ---
+    moe_experts: int = 0                 # 0 = dense FFN everywhere
+    moe_top_k: int = 2                   # experts per token (normalized gates)
+    moe_capacity_factor: float = 1.25    # expert capacity multiplier
+    moe_every: int = 2                   # every Nth layer's FFN is MoE
+
     def __post_init__(self):
         if self.hidden_size % self.num_attention_heads != 0:
             raise ValueError(

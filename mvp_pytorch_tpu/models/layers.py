@@ -164,9 +164,15 @@ class AttentionBlock(nn.Module):
 
 
 class TransformerLayer(nn.Module):
-    """One post-LN BERT layer: attention block + GELU MLP block."""
+    """One post-LN BERT layer: attention block + GELU MLP block.
+
+    With `use_moe` (set per-layer by StreamEncoder when
+    config.moe_experts > 0) the dense FFN is replaced by an
+    expert-parallel Mixture-of-Experts FFN (ops/moe.py) — capability
+    beyond the reference, which has no MoE."""
 
     config: ModelConfig
+    use_moe: bool = False
 
     @nn.compact
     def __call__(self, hidden, bias, *, history_state=None,
@@ -176,11 +182,16 @@ class TransformerLayer(nn.Module):
         attn_out = AttentionBlock(cfg, name="attention")(
             hidden, bias, history_state=history_state,
             deterministic=deterministic)
-        inter = nn.Dense(cfg.intermediate_size, kernel_init=dense_init(cfg),
-                         dtype=dt, name="intermediate_dense")(attn_out)
-        inter = ACT2FN[cfg.hidden_act](inter)
-        out = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg), dtype=dt,
-                       name="output_dense")(inter)
+        if self.use_moe:
+            from ..ops.moe import MoEMLP
+            out = MoEMLP(cfg, name="moe")(attn_out)
+        else:
+            inter = nn.Dense(cfg.intermediate_size,
+                             kernel_init=dense_init(cfg),
+                             dtype=dt, name="intermediate_dense")(attn_out)
+            inter = ACT2FN[cfg.hidden_act](inter)
+            out = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                           dtype=dt, name="output_dense")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         return shard_seq(nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
                                       name="output_norm")(out + attn_out))
@@ -222,7 +233,9 @@ class StreamEncoder(nn.Module):
             b = bias[i] if per_layer else bias
             if collect_states:
                 states.append(hidden)
-            hidden = layer_cls(cfg, name=f"layer_{i}")(
+            use_moe = (cfg.moe_experts > 0
+                       and (i + 1) % max(cfg.moe_every, 1) == 0)
+            hidden = layer_cls(cfg, use_moe=use_moe, name=f"layer_{i}")(
                 hidden, b, history_state=hist, deterministic=deterministic)
             if return_at_layer is not None and i == return_at_layer:
                 mid = hidden

@@ -1,0 +1,122 @@
+"""Mixture-of-Experts FFN with expert parallelism.
+
+The reference has no MoE (SURVEY.md §2.2: EP absent) — this is TPU-native
+capability on the latent mesh design, completing the dp/tp/sp/pp/ep set.
+The design is the fixed-shape einsum formulation (Switch/GShard lineage)
+because it is what maps onto XLA SPMD:
+
+- routing is a dense [T, E] matmul + top-k (fp32 for a stable softmax);
+- dispatch/combine are one-hot einsum contractions with a STATIC expert
+  capacity C = ceil(top_k * T / E * capacity_factor) — no ragged shapes,
+  no data-dependent control flow; tokens over capacity are dropped
+  (their combine weight is zero, the residual path carries them);
+- expert weights live as stacked [E, H, F]/[E, F, H] tensors; expert
+  parallelism = sharding that leading E dim over the `model` mesh axis
+  (mesh.tp_param_pspec rule) — XLA lowers the [T,·]→[E,C,·] dispatch
+  einsum to the all-to-all, nothing is hand-scheduled;
+- gates of the selected top-k are renormalized to sum to 1 (so with
+  identical experts the block reduces exactly to the dense FFN — the
+  equivalence oracle in tests/test_moe.py).
+
+The load-balance auxiliary loss (mean over experts of
+fraction_dispatched * mean_router_prob, scaled by E, =1 at perfect
+balance) is exposed via flax's "intermediates" collection
+(`sow('intermediates', 'moe_aux_loss', ...)`): training code that enables
+MoE collects it with `mutable=["intermediates"]` and adds
+`moe_aux_weight * (aux - 1)` to the loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class MoEMLP(nn.Module):
+    """Drop-in replacement for the dense FFN in a transformer layer.
+
+    Input/output: [B, L, H]. Config fields used: moe_experts, moe_top_k,
+    moe_capacity_factor, intermediate_size, hidden_act, dtype,
+    initializer_range.
+    """
+
+    config: object
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..models.layers import ACT2FN, dense_init
+
+        cfg = self.config
+        e = cfg.moe_experts
+        k = min(cfg.moe_top_k, e)
+        dt = jnp.dtype(cfg.dtype)
+        b, l, h = x.shape
+        t = b * l
+        f = cfg.intermediate_size
+        cap = int(np.ceil(k * t / e * cfg.moe_capacity_factor))
+        cap = max(cap, 1)
+
+        wi = self.param("wi", dense_init(cfg), (e, h, f))
+        wo = self.param("wo", dense_init(cfg), (e, f, h))
+        router = nn.Dense(e, kernel_init=dense_init(cfg), use_bias=False,
+                          dtype=jnp.float32, name="router")
+
+        xt = x.reshape(t, h)
+        # routing in fp32: softmax over experts, take top-k, renormalize
+        probs = jax.nn.softmax(router(xt.astype(jnp.float32)), axis=-1)
+        gate_vals, expert_idx = jax.lax.top_k(probs, k)          # [T, k]
+        gate_vals = gate_vals / jnp.maximum(
+            gate_vals.sum(-1, keepdims=True), 1e-9)
+
+        # position of each (token, choice) in its expert's buffer:
+        # flatten choices in priority order (all 1st choices, then 2nd...)
+        # so top-1 assignments win capacity over top-2 spillover.
+        flat_idx = expert_idx.T.reshape(-1)                      # [k*T]
+        flat_gate = gate_vals.T.reshape(-1)
+        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.float32)  # [kT, E]
+        pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot        # [kT, E]
+        pos_in_expert = pos.sum(-1).astype(jnp.int32)            # [kT]
+        keep = pos_in_expert < cap
+        flat_gate = jnp.where(keep, flat_gate, 0.0)
+
+        # dispatch/combine one-hots [kT, E, C]
+        disp = (onehot[:, :, None]
+                * jax.nn.one_hot(jnp.clip(pos_in_expert, 0, cap - 1), cap,
+                                 dtype=jnp.float32)[:, None, :])
+        disp = disp * keep[:, None, None].astype(jnp.float32)
+        comb = disp * flat_gate[:, None, None]
+
+        # fold the k choices back onto tokens: [kT,...] -> [k, T, ...] sum
+        disp_t = disp.reshape(k, t, e, cap).sum(0)               # [T, E, C]
+        comb_t = comb.reshape(k, t, e, cap).sum(0)
+
+        # expert compute (the EP hot path: [E, C, ...] shards over `model`)
+        xe = jnp.einsum("tec,th->ech", disp_t.astype(dt), xt.astype(dt))
+        he = ACT2FN[cfg.hidden_act](
+            jnp.einsum("ech,ehf->ecf", xe, wi.astype(dt)))
+        ye = jnp.einsum("ecf,efh->ech", he, wo.astype(dt))
+        out = jnp.einsum("tec,ech->th", comb_t.astype(dt), ye)
+
+        # GShard load-balance aux: E * mean_e(frac_dispatched * mean_prob);
+        # equals 1.0 at perfect balance
+        frac = (jax.nn.one_hot(expert_idx[:, 0], e, dtype=jnp.float32)
+                .mean(0))                                        # top-1 share
+        aux = e * jnp.sum(frac * probs.mean(0))
+        self.sow("intermediates", "moe_aux_loss", aux)
+
+        return out.reshape(b, l, h)
+
+
+def moe_aux_loss(intermediates: dict) -> jax.Array:
+    """Sum the sown load-balance penalties: sum of (aux - 1) over all MoE
+    blocks (0 at perfect balance). Pass the `intermediates` collection
+    returned by `model.apply(..., mutable=["intermediates"])`."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(intermediates):
+        total = total + (leaf - 1.0)
+    return total
+
+
+__all__ = ["MoEMLP", "moe_aux_loss"]

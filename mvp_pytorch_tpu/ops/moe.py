@@ -6,10 +6,13 @@ The design is the fixed-shape einsum formulation (Switch/GShard lineage)
 because it is what maps onto XLA SPMD:
 
 - routing is a dense [T, E] matmul + top-k (fp32 for a stable softmax);
-- dispatch/combine are one-hot einsum contractions with a STATIC expert
-  capacity C = ceil(top_k * T / E * capacity_factor) — no ragged shapes,
-  no data-dependent control flow; tokens over capacity are dropped
-  (their combine weight is zero, the residual path carries them);
+- tokens are processed in GROUPS of `moe_group_size` (GShard-style): the
+  dispatch/combine one-hots are [G, S, E, C] with a STATIC per-group
+  capacity C = ceil(top_k * S / E * capacity_factor), so the dispatch
+  buffer is O(T * top_k * S * cf) instead of the O(T^2)-ish blowup of a
+  single global group — no ragged shapes, no data-dependent control
+  flow; tokens over capacity are dropped (their combine weight is zero,
+  the residual path carries them);
 - expert weights live as stacked [E, H, F]/[E, F, H] tensors; expert
   parallelism = sharding that leading E dim over the `model` mesh axis
   (mesh.tp_param_pspec rule) — XLA lowers the [T,·]→[E,C,·] dispatch
@@ -55,8 +58,10 @@ class MoEMLP(nn.Module):
         b, l, h = x.shape
         t = b * l
         f = cfg.intermediate_size
-        cap = int(np.ceil(k * t / e * cfg.moe_capacity_factor))
-        cap = max(cap, 1)
+        s = min(getattr(cfg, "moe_group_size", 1024), t)  # tokens per group
+        pad = (-t) % s
+        g = (t + pad) // s
+        cap = max(int(np.ceil(k * s / e * cfg.moe_capacity_factor)), 1)
 
         wi = self.param("wi", dense_init(cfg), (e, h, f))
         wo = self.param("wo", dense_init(cfg), (e, f, h))
@@ -64,46 +69,60 @@ class MoEMLP(nn.Module):
                           dtype=jnp.float32, name="router")
 
         xt = x.reshape(t, h)
+        valid = jnp.ones((t,), jnp.float32)
+        if pad:
+            xt = jnp.concatenate([xt, jnp.zeros((pad, h), xt.dtype)])
+            valid = jnp.concatenate([valid, jnp.zeros((pad,), jnp.float32)])
+        xg = xt.reshape(g, s, h)
+        valid = valid.reshape(g, s)
+
         # routing in fp32: softmax over experts, take top-k, renormalize
-        probs = jax.nn.softmax(router(xt.astype(jnp.float32)), axis=-1)
-        gate_vals, expert_idx = jax.lax.top_k(probs, k)          # [T, k]
+        probs = jax.nn.softmax(router(xg.astype(jnp.float32)), axis=-1)
+        gate_vals, expert_idx = jax.lax.top_k(probs, k)          # [G, S, k]
         gate_vals = gate_vals / jnp.maximum(
             gate_vals.sum(-1, keepdims=True), 1e-9)
 
-        # position of each (token, choice) in its expert's buffer:
-        # flatten choices in priority order (all 1st choices, then 2nd...)
-        # so top-1 assignments win capacity over top-2 spillover.
-        flat_idx = expert_idx.T.reshape(-1)                      # [k*T]
-        flat_gate = gate_vals.T.reshape(-1)
-        onehot = jax.nn.one_hot(flat_idx, e, dtype=jnp.float32)  # [kT, E]
-        pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot        # [kT, E]
-        pos_in_expert = pos.sum(-1).astype(jnp.int32)            # [kT]
+        # position of each (token, choice) in its expert's per-group buffer;
+        # choices flattened in priority order (all 1st choices, then 2nd...)
+        # so top-1 assignments win capacity over top-2 spillover; padded
+        # tokens are masked out of the one-hot so they take no slots.
+        flat_idx = expert_idx.transpose(0, 2, 1).reshape(g, k * s)
+        flat_gate = gate_vals.transpose(0, 2, 1).reshape(g, k * s)
+        flat_valid = jnp.tile(valid, (1, k))
+        onehot = (jax.nn.one_hot(flat_idx, e, dtype=jnp.float32)
+                  * flat_valid[..., None])                       # [G, kS, E]
+        pos = (jnp.cumsum(onehot, axis=1) - 1.0) * onehot
+        pos_in_expert = pos.sum(-1).astype(jnp.int32)            # [G, kS]
         keep = pos_in_expert < cap
-        flat_gate = jnp.where(keep, flat_gate, 0.0)
+        flat_gate = jnp.where(keep, flat_gate, 0.0) * flat_valid
 
-        # dispatch/combine one-hots [kT, E, C]
-        disp = (onehot[:, :, None]
+        # dispatch/combine one-hots [G, kS, E, C]
+        disp = (onehot[..., None]
                 * jax.nn.one_hot(jnp.clip(pos_in_expert, 0, cap - 1), cap,
-                                 dtype=jnp.float32)[:, None, :])
-        disp = disp * keep[:, None, None].astype(jnp.float32)
-        comb = disp * flat_gate[:, None, None]
+                                 dtype=jnp.float32)[..., None, :])
+        disp = disp * keep[..., None, None].astype(jnp.float32)
+        comb = disp * flat_gate[..., None, None]
 
-        # fold the k choices back onto tokens: [kT,...] -> [k, T, ...] sum
-        disp_t = disp.reshape(k, t, e, cap).sum(0)               # [T, E, C]
-        comb_t = comb.reshape(k, t, e, cap).sum(0)
+        # fold the k choices back onto tokens: [G, kS,...] -> sum over k
+        disp_t = disp.reshape(g, k, s, e, cap).sum(1)            # [G,S,E,C]
+        comb_t = comb.reshape(g, k, s, e, cap).sum(1)
 
-        # expert compute (the EP hot path: [E, C, ...] shards over `model`)
-        xe = jnp.einsum("tec,th->ech", disp_t.astype(dt), xt.astype(dt))
+        # expert compute (the EP hot path: the E dim shards over `model`)
+        xe = jnp.einsum("gsec,gsh->gech", disp_t.astype(dt), xg.astype(dt))
         he = ACT2FN[cfg.hidden_act](
-            jnp.einsum("ech,ehf->ecf", xe, wi.astype(dt)))
-        ye = jnp.einsum("ecf,efh->ech", he, wo.astype(dt))
-        out = jnp.einsum("tec,ech->th", comb_t.astype(dt), ye)
+            jnp.einsum("gech,ehf->gecf", xe, wi.astype(dt)))
+        ye = jnp.einsum("gecf,efh->gech", he, wo.astype(dt))
+        out = jnp.einsum("gsec,gech->gsh", comb_t.astype(dt), ye)
+        out = out.reshape(g * s, h)[:t]
 
         # GShard load-balance aux: E * mean_e(frac_dispatched * mean_prob);
-        # equals 1.0 at perfect balance
-        frac = (jax.nn.one_hot(expert_idx[:, 0], e, dtype=jnp.float32)
-                .mean(0))                                        # top-1 share
-        aux = e * jnp.sum(frac * probs.mean(0))
+        # equals 1.0 at perfect balance (means over REAL tokens only)
+        nvalid = jnp.maximum(valid.sum(), 1.0)
+        top1 = (jax.nn.one_hot(expert_idx[..., 0], e, dtype=jnp.float32)
+                * valid[..., None])
+        frac = top1.sum((0, 1)) / nvalid
+        mean_prob = (probs * valid[..., None]).sum((0, 1)) / nvalid
+        aux = e * jnp.sum(frac * mean_prob)
         self.sow("intermediates", "moe_aux_loss", aux)
 
         return out.reshape(b, l, h)

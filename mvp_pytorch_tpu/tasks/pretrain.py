@@ -63,6 +63,13 @@ def get_args(argv=None):
                         "--no_fk_test + fk_test_id yaml key)")
     p.add_argument("--max_pred_a", type=int, default=20)
     p.add_argument("--max_pred_b", type=int, default=10)
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="replace the FFN of every moe_every-th encoder "
+                        "layer with an expert-parallel MoE (0 = dense; "
+                        "capability beyond the reference)")
+    p.add_argument("--moe_top_k", type=int, default=2)
+    p.add_argument("--moe_aux_weight", type=float, default=0.01,
+                   help="weight of the MoE load-balance auxiliary loss")
     # extra uni-modal stream (reference make_full_data_loader_ds +
     # --extra_dataset_file/--extra_loss_weight, run_pretrain_ml.py:59,149,618-623)
     p.add_argument("--extra_mode", type=str, default=None,
@@ -124,7 +131,9 @@ def main(argv=None):
                  for t in (tag2id or {})}
 
     cfg = build_config(args, tokenizer,
-                       qa_answer_size=args.qa_answer_size)
+                       qa_answer_size=args.qa_answer_size,
+                       moe_experts=args.moe_experts,
+                       moe_top_k=args.moe_top_k)
     tcfg = tensorize_cfg(args)
     phrase_vocab_size = cfg.vocab_size - cfg.only_word_size
     exclude_ids = None
@@ -213,25 +222,35 @@ def main(argv=None):
             kw.pop("image_index")
             kw.pop("qa_ans", None)
             kw.pop("qa_is_next", None)
-        return model.apply(
-            {"params": p}, **kw, max_tag_length=mt,
-            hn_mod=args.hn_mod, phrase_mod=args.phrase_mod,
-            max_pred_a=args.max_pred_a, max_pred_b=args.max_pred_b,
-            phrase_layer=args.wra_layer, deterministic=False,
+        apply_kw = dict(
+            max_tag_length=mt, hn_mod=args.hn_mod,
+            phrase_mod=args.phrase_mod, max_pred_a=args.max_pred_a,
+            max_pred_b=args.max_pred_b, phrase_layer=args.wra_layer,
+            deterministic=False,
             rngs={"hardneg": k1, "wra": k2, "dropout": k3})
+        if args.moe_experts > 0:
+            # MoE layers sow their load-balance aux into `intermediates`
+            from ..ops.moe import moe_aux_loss
+            out, mut = model.apply({"params": p}, **kw, **apply_kw,
+                                   mutable=["intermediates"])
+            return out, moe_aux_loss(mut["intermediates"])
+        return model.apply({"params": p}, **kw, **apply_kw), 0.0
 
     def loss_fn(p, batch, rng):
         if extra_dataset is not None:
             k_main, k_extra = jax.random.split(rng)
-            out = forward(p, batch["main"], k_main)
-            extra_out = forward(p, batch["extra"], k_extra,
-                                with_phrases=False)
+            out, aux = forward(p, batch["main"], k_main)
+            extra_out, extra_aux = forward(p, batch["extra"], k_extra,
+                                           with_phrases=False)
             w = args.extra_loss_weight
             total = (1.0 - w) * out.total_loss + w * extra_out.total_loss
+            aux = aux + extra_aux
         else:
-            out = forward(p, batch, rng)
+            out, aux = forward(p, batch, rng)
             extra_out = None
             total = out.total_loss
+        if args.moe_experts > 0:
+            total = total + args.moe_aux_weight * aux
         metrics = {"vis_mlm": out.vis_mlm_loss, "clip": out.retrieval_loss,
                    "mlm": out.masked_lm_loss, "itm": out.itm_loss,
                    "wra": out.wra_loss}
@@ -239,6 +258,8 @@ def main(argv=None):
             metrics["qa"] = out.qa_loss
         if extra_out is not None:
             metrics["extra"] = extra_out.total_loss
+        if args.moe_experts > 0:
+            metrics["moe_aux"] = aux
         return total, metrics
 
     loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)

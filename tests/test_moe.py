@@ -45,6 +45,22 @@ def test_moe_identical_experts_reduce_to_dense():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_moe_grouped_dispatch_matches_single_group():
+    """Multiple dispatch groups + tail padding (GShard grouping) must not
+    change the math when capacity is ample: identical experts still reduce
+    to the dense FFN through the padded 2-group path."""
+    cfg = ModelConfig(**{**CFG.to_dict(), "moe_group_size": 16})  # t=24 -> 2 groups, pad 8
+    m, variables, x = _init_moe(cfg)
+    params = variables["params"]
+    wi = jnp.tile(params["wi"][:1], (cfg.moe_experts, 1, 1))
+    wo = jnp.tile(params["wo"][:1], (cfg.moe_experts, 1, 1))
+    params = dict(params, wi=wi, wo=wo)
+    out = m.apply({"params": params}, x)
+    dense = ACT2FN[cfg.hidden_act](x @ wi[0]) @ wo[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_moe_aux_loss_balance_vs_collapse():
     m, variables, x = _init_moe(CFG)
     params = variables["params"]

@@ -87,6 +87,26 @@ assert losses[-1] < losses[0] * 0.1, losses
 # the replicated weights converge toward w_true on every process
 err = float(jnp.max(jnp.abs(np.asarray(w) - w_true)))
 assert err < 0.5, err
+
+# --- TP x DP across processes: model axis INTRA-process, data axis
+#     SPANNING processes (the deployment layout: TP over ICI, DP over
+#     DCN). Weight column-sharded over `model`, batch sharded over
+#     `data`; XLA's partitioner handles the cross-process math.
+from mvp_pytorch_tpu.parallel.mesh import MODEL_AXIS
+mesh_tp = make_mesh(model=2)
+W = np.arange(64, dtype=np.float32).reshape(8, 8)
+w_tp = jax.device_put(jnp.asarray(W),
+                      NamedSharding(mesh_tp, P(None, MODEL_AXIS)))
+xl = np.ones((8, 8), np.float32) * (rank + 1)
+x_tp = jax.make_array_from_process_local_data(
+    NamedSharding(mesh_tp, P(DATA_AXIS, None)), xl, (16, 8))
+total_tp = jax.jit(lambda x, w: jnp.sum(x @ w),
+                   out_shardings=NamedSharding(mesh_tp, P()))(x_tp, w_tp)
+x_global = np.vstack([np.ones((8, 8), np.float32) * (r + 1)
+                      for r in range(2)])
+expect_tp = float((x_global @ W).sum())
+assert abs(float(total_tp) - expect_tp) < 1e-3, (float(total_tp), expect_tp)
+
 print(f"OK rank={rank} loss0={losses[0]:.4f} lossN={losses[-1]:.6f}")
 """
 

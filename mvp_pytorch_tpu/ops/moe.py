@@ -96,16 +96,18 @@ class MoEMLP(nn.Module):
         keep = pos_in_expert < cap
         flat_gate = jnp.where(keep, flat_gate, 0.0) * flat_valid
 
-        # dispatch/combine one-hots [G, kS, E, C]
-        disp = (onehot[..., None]
-                * jax.nn.one_hot(jnp.clip(pos_in_expert, 0, cap - 1), cap,
-                                 dtype=jnp.float32)[..., None, :])
-        disp = disp * keep[..., None, None].astype(jnp.float32)
-        comb = disp * flat_gate[..., None, None]
-
-        # fold the k choices back onto tokens: [G, kS,...] -> sum over k
-        disp_t = disp.reshape(g, k, s, e, cap).sum(1)            # [G,S,E,C]
-        comb_t = comb.reshape(g, k, s, e, cap).sum(1)
+        # dispatch/combine as einsum contractions over the k choices —
+        # the [G, S, E, C] tensors are built directly (contracting k as a
+        # tiny matmul) rather than materializing [G, kS, E, C] one-hots,
+        # halving the peak size of the largest MoE activation buffer
+        oh_k = onehot.reshape(g, k, s, e)
+        poh_k = (jax.nn.one_hot(jnp.clip(pos_in_expert, 0, cap - 1), cap,
+                                dtype=jnp.float32)
+                 * keep[..., None].astype(jnp.float32)).reshape(g, k, s, cap)
+        gate_k = flat_gate.reshape(g, k, s)
+        disp_t = jnp.einsum("gkse,gksc->gsec", oh_k, poh_k)      # [G,S,E,C]
+        comb_t = jnp.einsum("gkse,gksc->gsec", oh_k,
+                            poh_k * gate_k[..., None])
 
         # expert compute (the EP hot path: the E dim shards over `model`)
         xe = jnp.einsum("gsec,gsh->gech", disp_t.astype(dt), xg.astype(dt))

@@ -14,9 +14,11 @@ memory drop by the TP degree.
 Mechanics: the Trainer enables a trace-time context; `shard_seq(x)` inside
 the model (LayerNorm outputs, embedding output) becomes
 `with_sharding_constraint(x, P(data, model, None))` for [B, L, H]
-activations whose L divides the model-axis size, and a no-op otherwise.
-Pure layout — numerics are unchanged (tests/test_tensor_parallel.py
-asserts the loss trajectory matches plain TP and DP).
+activations (uneven L included — GSPMD pads-and-shards jit-internal
+uneven dims, which matters because MVPTR's real stream lengths 75/145
+are odd), and a no-op otherwise. Pure layout — numerics are unchanged
+(tests/test_tensor_parallel.py asserts the loss trajectory matches plain
+TP and DP, including at odd lengths).
 """
 
 from __future__ import annotations
@@ -54,14 +56,22 @@ def sequence_sharding(mesh: Mesh):
 
 def shard_seq(x):
     """Constrain a [B, L, H] activation to (data, model, None) when a
-    sequence-sharding context is active and L is divisible; identity
-    otherwise (so model code can call it unconditionally)."""
+    sequence-sharding context is active; identity otherwise (so model
+    code can call it unconditionally).
+
+    Divisibility is NOT required: these are jit-internal constraints, and
+    GSPMD pads-and-shards uneven dims (verified on the 8-device mesh: an
+    L=75 activation over tp=2 lowers to 38-per-shard tensors) — only jit
+    in/out boundary shardings demand divisibility, and activations never
+    cross one. The real MVPTR stream lengths (75 text, 145 fused) are odd,
+    so a divisibility guard would silently disable SP exactly where it
+    matters. Skip only degenerate dims smaller than the axis."""
     sh = current_sharding()
     if sh is None or getattr(x, "ndim", 0) != 3:
         return x
     ntp = sh.mesh.shape[MODEL_AXIS]
     ndata = sh.mesh.shape[DATA_AXIS]
-    if x.shape[1] % ntp != 0 or x.shape[0] % ndata != 0:
+    if x.shape[1] < ntp or x.shape[0] < ndata:
         return x
     return jax.lax.with_sharding_constraint(x, sh)
 

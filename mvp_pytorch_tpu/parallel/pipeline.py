@@ -181,6 +181,12 @@ def pipeline_stream_encoder(config, encoder_params: dict, hidden: jax.Array,
     """
     from ..models.layers import TransformerLayer
 
+    if getattr(config, "moe_experts", 0) > 0:
+        raise ValueError(
+            "pipeline_stream_encoder does not support MoE configs: with "
+            "moe_every>1 the per-layer param subtrees are heterogeneous "
+            "and cannot be stacked; use TP/EP sharding for MoE stacks "
+            "instead (parallel/mesh.py tp_param_pspec)")
     if num_layers is None:
         num_layers = sum(1 for k in encoder_params if k.startswith("layer_"))
     stacked = stack_layer_params(encoder_params, num_layers)

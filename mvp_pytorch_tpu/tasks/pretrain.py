@@ -63,11 +63,14 @@ def get_args(argv=None):
                         "--no_fk_test + fk_test_id yaml key)")
     p.add_argument("--max_pred_a", type=int, default=20)
     p.add_argument("--max_pred_b", type=int, default=10)
-    p.add_argument("--moe_experts", type=int, default=0,
+    p.add_argument("--moe_experts", type=int, default=None,
                    help="replace the FFN of every moe_every-th encoder "
                         "layer with an expert-parallel MoE (0 = dense; "
+                        "unset = inherit the checkpoint config, so MoE "
+                        "runs resume without re-passing the flag; "
                         "capability beyond the reference)")
-    p.add_argument("--moe_top_k", type=int, default=2)
+    p.add_argument("--moe_top_k", type=int, default=None,
+                   help="experts per token (unset = checkpoint config)")
     p.add_argument("--moe_aux_weight", type=float, default=0.01,
                    help="weight of the MoE load-balance auxiliary loss")
     # extra uni-modal stream (reference make_full_data_loader_ds +
@@ -130,10 +133,18 @@ def main(argv=None):
     wp_tag2id = {t: tokenizer.vocab.get(t, tokenizer.vocab["[UNK]"])
                  for t in (tag2id or {})}
 
+    # moe flags override the (checkpoint) config ONLY when explicitly
+    # given — resuming an MoE run must not stomp moe_experts back to 0
+    # (the param tree would no longer match the checkpoint)
+    moe_overrides = {}
+    if args.moe_experts is not None:
+        moe_overrides["moe_experts"] = args.moe_experts
+    if args.moe_top_k is not None:
+        moe_overrides["moe_top_k"] = args.moe_top_k
     cfg = build_config(args, tokenizer,
                        qa_answer_size=args.qa_answer_size,
-                       moe_experts=args.moe_experts,
-                       moe_top_k=args.moe_top_k)
+                       **moe_overrides)
+    use_moe = cfg.moe_experts > 0
     tcfg = tensorize_cfg(args)
     phrase_vocab_size = cfg.vocab_size - cfg.only_word_size
     exclude_ids = None
@@ -228,7 +239,7 @@ def main(argv=None):
             max_pred_b=args.max_pred_b, phrase_layer=args.wra_layer,
             deterministic=False,
             rngs={"hardneg": k1, "wra": k2, "dropout": k3})
-        if args.moe_experts > 0:
+        if use_moe:
             # MoE layers sow their load-balance aux into `intermediates`
             from ..ops.moe import moe_aux_loss
             out, mut = model.apply({"params": p}, **kw, **apply_kw,
@@ -249,7 +260,7 @@ def main(argv=None):
             out, aux = forward(p, batch, rng)
             extra_out = None
             total = out.total_loss
-        if args.moe_experts > 0:
+        if use_moe:
             total = total + args.moe_aux_weight * aux
         metrics = {"vis_mlm": out.vis_mlm_loss, "clip": out.retrieval_loss,
                    "mlm": out.masked_lm_loss, "itm": out.itm_loss,
@@ -258,7 +269,7 @@ def main(argv=None):
             metrics["qa"] = out.qa_loss
         if extra_out is not None:
             metrics["extra"] = extra_out.total_loss
-        if args.moe_experts > 0:
+        if use_moe:
             metrics["moe_aux"] = aux
         return total, metrics
 

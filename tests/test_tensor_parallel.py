@@ -148,7 +148,41 @@ def test_sequence_parallel_constraint_applies():
     with sequence_sharding(mesh):
         jaxpr = str(jax.make_jaxpr(make_f())(x))
     assert "sharding_constraint" in jaxpr
-    # non-divisible seq len stays unconstrained
+    # ODD seq lens constrain too (GSPMD pads-and-shards internal uneven
+    # dims; the real MVPTR stream lengths 75/145 are odd)
     with sequence_sharding(mesh):
         jaxpr = str(jax.make_jaxpr(make_f())(jnp.zeros((8, 13, 16))))
+    assert "sharding_constraint" in jaxpr
+    # degenerate dims smaller than the axis stay unconstrained
+    with sequence_sharding(mesh):
+        jaxpr = str(jax.make_jaxpr(make_f())(jnp.zeros((8, 1, 16))))
     assert "sharding_constraint" not in jaxpr
+
+
+def test_sequence_parallel_matches_tp_odd_lengths():
+    """SP must be numerically transparent at UNEVEN sequence lengths too
+    (GSPMD pads internally; MVPTR's real lengths are odd)."""
+    from mvp_pytorch_tpu.models.layers import StreamEncoder, mask_to_bias
+    from mvp_pytorch_tpu.parallel.activation_sharding import (
+        sequence_sharding)
+
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    enc = StreamEncoder(CFG, num_layers=2)
+    rs = np.random.RandomState(0)
+    hidden = jnp.asarray(rs.randn(8, 75, CFG.hidden_size)
+                         .astype(np.float32))
+    bias = mask_to_bias(jnp.ones((8, 75), jnp.int32))
+    params = enc.init(jax.random.PRNGKey(0), hidden, bias)["params"]
+    ref, _ = jax.jit(lambda p: enc.apply({"params": p}, hidden, bias))(
+        params)
+
+    def f(p):
+        # the context is entered during TRACING of f's body, which is
+        # exactly when shard_seq runs
+        with sequence_sharding(mesh):
+            out, _ = enc.apply({"params": p}, hidden, bias)
+            return out
+
+    sp_out = jax.jit(f)(params)
+    np.testing.assert_allclose(np.asarray(sp_out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

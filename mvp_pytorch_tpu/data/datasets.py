@@ -44,6 +44,19 @@ def load_phrase_vocab(id2phrase_path: str) -> Dict[tuple, int]:
     return {tuple(v): int(k) for k, v in id2phrase.items()}
 
 
+def tags_for_text_a(tags: Sequence[str], use_b_text: bool,
+                    b_as_list: bool) -> str:
+    """Tag string appended to stream A when use_b_text (reference
+    run_vqa.py get_od_labels:443-453 + :308-319): b_as_list keeps
+    duplicates, otherwise tags are deduplicated (first occurrence kept —
+    the reference's list(set(...)) dedup, made order-deterministic)."""
+    if not use_b_text:
+        return ""
+    if b_as_list:
+        return " ".join(tags)
+    return " ".join(dict.fromkeys(tags))
+
+
 def phrases_to_ids(phrases: Sequence[Sequence[str]],
                    sg2id: Optional[Dict[tuple, int]]) -> List[int]:
     if not sg2id:
@@ -128,10 +141,18 @@ class RetrievalDataset:
     def __init__(self, captions_json: str, features: FeatureStore, tokenizer,
                  sg2id: Optional[Dict[tuple, int]] = None,
                  cfg: TensorizeConfig = TensorizeConfig(),
-                 num_captions_per_img: int = 5):
+                 num_captions_per_img: int = 5,
+                 img_keys_file: Optional[str] = None):
         with open(captions_json) as f:
             caps = json.load(f)
         self.img_keys = sorted(caps.keys())
+        if img_keys_file:
+            # restrict eval to a key subset (reference --eval_img_keys_file,
+            # run_retrieval.py:107-112 — tsv, one image key per line)
+            with open(img_keys_file) as f:
+                keep = {ln.strip().split("\t")[0] for ln in f if ln.strip()}
+            self.img_keys = [k for k in self.img_keys if k in keep]
+            assert self.img_keys, f"no overlap with keys in {img_keys_file}"
         self.captions = caps
         self.features = features
         self.tokenizer = tokenizer
@@ -207,7 +228,15 @@ class PretrainDataset:
                  mask_prob: float = 0.15, mask_visual: bool = True,
                  qa_pairs: bool = False, only_qa: bool = False,
                  only_cap: bool = False,
-                 exclude_ids: Optional[set] = None):
+                 exclude_ids: Optional[set] = None,
+                 gt_labels_json: Optional[str] = None):
+        # use_gtlabels (reference oscar_tsv4.py:201-207): when a
+        # ground-truth label map {image_id: [class, ...]} is provided,
+        # its (deduplicated) classes replace the predicted tags
+        self.gt_labels = None
+        if gt_labels_json:
+            with open(gt_labels_json) as f:
+                self.gt_labels = json.load(f)
         self.tsv = TSVFile(corpus_tsv)
         self.features = features
         self.tokenizer = tokenizer
@@ -250,6 +279,8 @@ class PretrainDataset:
         qa_ans = int(row[3]) if len(row) > 3 and row[3] else -1
         qa_answer_text = row[4] if len(row) > 4 and row[4] else None
         feats, tags = self.features.get(image_id)
+        if self.gt_labels is not None and image_id in self.gt_labels:
+            tags = list(dict.fromkeys(self.gt_labels[image_id]))
         tokens_a = self.tokenizer.tokenize(caption)
         tokens_b = self.tokenizer.tokenize(" ".join(tags))
         rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
@@ -301,7 +332,8 @@ class VQADataset:
     def __init__(self, jsonl_path: str, features: FeatureStore, tokenizer,
                  num_answers: int, sg2id: Optional[Dict[tuple, int]] = None,
                  cfg: TensorizeConfig = TensorizeConfig(),
-                 label_mode: str = "soft"):
+                 label_mode: str = "soft", use_b_text: bool = False,
+                 b_as_list: bool = False):
         assert label_mode in ("soft", "int")
         self.label_mode = label_mode
         self.items = []
@@ -314,6 +346,8 @@ class VQADataset:
         self.num_answers = num_answers
         self.sg2id = sg2id
         self.cfg = cfg
+        self.use_b_text = use_b_text
+        self.b_as_list = b_as_list
 
     def __len__(self):
         return len(self.items)
@@ -323,7 +357,9 @@ class VQADataset:
         feats, tags = self.features.get(item["image_id"])
         ex = tensorize_example(
             self.tokenizer, item["question"], feats, " ".join(tags),
-            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg,
+            text_a_tags=tags_for_text_a(tags, self.use_b_text,
+                                        self.b_as_list))
         target = np.zeros(self.num_answers, np.float32)
         for l, s in zip(item.get("labels", []), item.get("scores", [])):
             target[int(l)] = float(s)
@@ -344,7 +380,8 @@ class VEDataset:
 
     def __init__(self, jsonl_path: str, features: FeatureStore, tokenizer,
                  sg2id: Optional[Dict[tuple, int]] = None,
-                 cfg: TensorizeConfig = TensorizeConfig()):
+                 cfg: TensorizeConfig = TensorizeConfig(),
+                 use_b_text: bool = False, b_as_list: bool = False):
         self.items = []
         with open(jsonl_path) as f:
             for line in f:
@@ -356,6 +393,8 @@ class VEDataset:
         self.tokenizer = tokenizer
         self.sg2id = sg2id
         self.cfg = cfg
+        self.use_b_text = use_b_text
+        self.b_as_list = b_as_list
 
     def __len__(self):
         return len(self.items)
@@ -366,7 +405,9 @@ class VEDataset:
         feats, tags = self.features.get(img_id)
         ex = tensorize_example(
             self.tokenizer, item["sentence2"], feats, " ".join(tags),
-            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg,
+            text_a_tags=tags_for_text_a(tags, self.use_b_text,
+                                        self.b_as_list))
         ex["label"] = np.int32(VE_LABELS[item["gold_label"]])
         return ex
 

@@ -48,9 +48,15 @@ class TensorizeConfig:
 
 def tensorize_example(tokenizer, text_a: str, img_feat: np.ndarray,
                       text_b: str = "", phrase_nodes: Optional[List[int]] = None,
-                      cfg: TensorizeConfig = TensorizeConfig()) -> Dict[str, np.ndarray]:
+                      cfg: TensorizeConfig = TensorizeConfig(),
+                      text_a_tags: str = "") -> Dict[str, np.ndarray]:
     """Inference-path tensorization (no masking). Matches
-    modeling_pipeline.py:130-197 field for field."""
+    modeling_pipeline.py:130-197 field for field.
+
+    `text_a_tags` (reference --use_b_text, run_vqa.py:308-319): tag
+    wordpieces appended to stream A AFTER its [SEP] with segment id
+    seq_b, clamped to the stream-A budget — the published VQA/VE recipes
+    use it (reference README.md:225,241)."""
     phrase_nodes = list(phrase_nodes or [])
     tokens_a = tokenizer.tokenize(text_a)
     if len(tokens_a) > cfg.max_seq_length - 2:
@@ -67,6 +73,14 @@ def tensorize_example(tokenizer, text_a: str, img_feat: np.ndarray,
     segment_ids_a = ([cfg.cls_segment_id]
                      + [cfg.seq_a_segment_id] * (len(tokens_a) + len(phrase_nodes) + 1))
     input_mask_a = [1] * len(input_ids_a)
+
+    if text_a_tags:
+        add_b = tokenizer.tokenize(text_a_tags)
+        budget = cfg.seq_a_total - len(input_ids_a)
+        add_b = add_b[:max(budget, 0)]
+        input_ids_a += tokenizer.convert_tokens_to_ids(add_b)
+        input_mask_a += [1] * len(add_b)
+        segment_ids_a += [cfg.seq_b_segment_id] * len(add_b)
 
     tokens_b = tokenizer.tokenize(text_b) if text_b else []
     if len(tokens_b) > cfg.max_tag_length - 2:

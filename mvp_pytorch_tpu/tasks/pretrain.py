@@ -61,6 +61,10 @@ def get_args(argv=None):
     p.add_argument("--exclude_ids_file", type=str, default=None,
                    help="newline-separated image ids to drop (reference "
                         "--no_fk_test + fk_test_id yaml key)")
+    p.add_argument("--gt_labels_json", type=str, default=None,
+                   help="{image_id: [class, ...]} ground-truth tag map; "
+                        "replaces predicted tags when present (reference "
+                        "--use_gtlabels, oscar_tsv4.py:201-207)")
     p.add_argument("--max_pred_a", type=int, default=20)
     p.add_argument("--max_pred_b", type=int, default=10)
     p.add_argument("--moe_experts", type=int, default=None,
@@ -165,7 +169,8 @@ def main(argv=None):
             phrase_vocab_size=phrase_vocab_size, seed=args.seed,
             mask_prob=args.mask_prob, mask_visual=True,
             qa_pairs=args.use_qa_pairs, only_qa=args.only_qa,
-            only_cap=args.only_cap, exclude_ids=exclude_ids)
+            only_cap=args.only_cap, exclude_ids=exclude_ids,
+            gt_labels_json=args.gt_labels_json)
     logger.info(f"corpus: {len(dataset)} examples")
 
     model = BiPretrainModel(cfg)

@@ -46,6 +46,18 @@ def get_args(argv=None):
                    help="t2i rerank shortlist size")
     p.add_argument("--hn_mod", type=str, default="hard",
                    choices=["hard", "sample"])
+    p.add_argument("--cross_image_eval", action="store_true",
+                   help="fine-score EVERY image x caption pair instead of "
+                        "the coarse top-K shortlists (reference "
+                        "--cross_image_eval; exact but O(N^2) forwards)")
+    p.add_argument("--eval_img_keys_file", type=str, default=None,
+                   help="tsv of image keys; restrict eval to this subset "
+                        "(reference --eval_img_keys_file)")
+    p.add_argument("--eval_caption_index_json", type=str, default=None,
+                   help="external i2t rerank shortlist: {img_key: "
+                        "[[img_key1, cap_idx1], ...]} (reference "
+                        "--eval_caption_index_file, JSON instead of .pt; "
+                        "i2t-only, like the reference)")
     return p.parse_args(argv)
 
 
@@ -119,14 +131,33 @@ def two_stage_eval(args, model, variables, dataset, logger):
     coarse_res = evaluate_ranks(i2t_ranks_c, t2i_ranks_c)
     logger.info(f"coarse: {json.dumps(coarse_res)}")
 
-    k_i2t = min(args.num_captions_per_img_val, n_cap)
-    k_t2i = min(args.num_images_per_cap_val, n_img)
+    if getattr(args, "cross_image_eval", False):
+        # reference --cross_image_eval: fine-score the FULL cross product
+        k_i2t, k_t2i = n_cap, n_img
+    else:
+        k_i2t = min(args.num_captions_per_img_val, n_cap)
+        k_t2i = min(args.num_images_per_cap_val, n_img)
     i2t_cands, t2i_cands = coarse_candidates(sims, k_i2t, k_t2i)
+    skip_t2i = False
+    if getattr(args, "eval_caption_index_json", None):
+        # external precomputed i2t shortlist (reference
+        # --eval_caption_index_file; i2t-only like the reference's
+        # has_caption_indexs mode, run_retrieval.py:448-450)
+        with open(args.eval_caption_index_json) as f:
+            idxmap = json.load(f)
+        pos = {k: i for i, k in enumerate(dataset.img_keys)}
+        i2t_cands = np.asarray(
+            [[pos[str(k1)] * cpi + int(c1) for k1, c1 in idxmap[str(k)]]
+             for k in dataset.img_keys], np.int64)
+        k_i2t = i2t_cands.shape[1]
+        skip_t2i = True
 
-    cap_idx = np.concatenate([i2t_cands.reshape(-1),
-                              np.repeat(np.arange(n_cap), k_t2i)])
-    img_idx = np.concatenate([np.repeat(np.arange(n_img), k_i2t),
-                              t2i_cands.reshape(-1)])
+    cap_idx = i2t_cands.reshape(-1)
+    img_idx = np.repeat(np.arange(n_img), k_i2t)
+    if not skip_t2i:
+        cap_idx = np.concatenate([cap_idx,
+                                  np.repeat(np.arange(n_cap), k_t2i)])
+        img_idx = np.concatenate([img_idx, t2i_cands.reshape(-1)])
     n_pairs = cap_idx.shape[0]
     pad = (-n_pairs) % bs
     cap_idx = np.concatenate([cap_idx, np.zeros(pad, cap_idx.dtype)])
@@ -140,10 +171,14 @@ def two_stage_eval(args, model, variables, dataset, logger):
     scores = np.asarray(jnp.concatenate(scores))[:n_pairs]
 
     i2t_scores = scores[: n_img * k_i2t].reshape(n_img, k_i2t)
-    t2i_scores = scores[n_img * k_i2t:].reshape(n_cap, k_t2i)
-    fine_res = evaluate_ranks(
-        fine_ranks_i2t(i2t_scores, i2t_cands, cpi),
-        fine_ranks_t2i(t2i_scores, t2i_cands, cpi))
+    if skip_t2i:
+        fine_res = evaluate_ranks(
+            fine_ranks_i2t(i2t_scores, i2t_cands, cpi), None)
+    else:
+        t2i_scores = scores[n_img * k_i2t:].reshape(n_cap, k_t2i)
+        fine_res = evaluate_ranks(
+            fine_ranks_i2t(i2t_scores, i2t_cands, cpi),
+            fine_ranks_t2i(t2i_scores, t2i_cands, cpi))
     logger.info(f"fine: {json.dumps(fine_res)}")
     return {"coarse": coarse_res, "fine": fine_res}
 
@@ -174,10 +209,12 @@ def main(argv=None):
                                sg2id=sg2id, cfg=tcfg,
                                num_captions_per_img=args.num_captions_per_img)
     eval_dataset = dataset
-    if args.eval_captions_json:
+    if args.eval_captions_json or args.eval_img_keys_file:
         eval_dataset = RetrievalDataset(
-            args.eval_captions_json, features, tokenizer, sg2id=sg2id,
-            cfg=tcfg, num_captions_per_img=args.num_captions_per_img)
+            args.eval_captions_json or args.captions_json, features,
+            tokenizer, sg2id=sg2id, cfg=tcfg,
+            num_captions_per_img=args.num_captions_per_img,
+            img_keys_file=args.eval_img_keys_file)
 
     model = RetrievalModel(cfg)
     mt = args.max_tag_length

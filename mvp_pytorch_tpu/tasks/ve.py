@@ -33,6 +33,11 @@ def get_args(argv=None):
     p.add_argument("--eval_jsonl", type=str, default=None)
     p.add_argument("--feature_tsv", type=str, default=None)
     p.add_argument("--id2phrase", type=str, default=None)
+    p.add_argument("--use_b_text", action="store_true",
+                   help="append od tags to stream A (reference recipe flag, "
+                        "README.md:241)")
+    p.add_argument("--b_as_list", action="store_true",
+                   help="with --use_b_text: keep duplicate tags")
     p.add_argument("--use_single", action="store_true",
                    help="Plus model w/ single-stream interaction features")
     p.add_argument("--freeze_steps", type=int, default=0,
@@ -86,10 +91,10 @@ def main(argv=None):
     tcfg = tensorize_cfg(args)
     features = FeatureStore(args.feature_tsv,
                             feature_dim=args.img_feature_dim)
-    dataset = VEDataset(args.train_jsonl, features, tokenizer, sg2id=sg2id,
-                        cfg=tcfg)
-    eval_dataset = (VEDataset(args.eval_jsonl, features, tokenizer,
-                              sg2id=sg2id, cfg=tcfg)
+    ds_kw = dict(sg2id=sg2id, cfg=tcfg, use_b_text=args.use_b_text,
+                 b_as_list=args.b_as_list)
+    dataset = VEDataset(args.train_jsonl, features, tokenizer, **ds_kw)
+    eval_dataset = (VEDataset(args.eval_jsonl, features, tokenizer, **ds_kw)
                     if args.eval_jsonl else dataset)
 
     model_cls = (ClassificationPlusModel if args.use_single

@@ -40,6 +40,11 @@ def get_args(argv=None):
                    choices=["bce", "sfmx", "kl"])
     p.add_argument("--test_jsonl", type=str, default=None,
                    help="write EvalAI-format {split}_results.json")
+    p.add_argument("--use_b_text", action="store_true",
+                   help="append od tags to stream A (reference recipe flag, "
+                        "README.md:225)")
+    p.add_argument("--b_as_list", action="store_true",
+                   help="with --use_b_text: keep duplicate tags")
     return p.parse_args(argv)
 
 
@@ -105,10 +110,12 @@ def main(argv=None):
                             feature_dim=args.img_feature_dim)
     # sfmx loss = GQA-style integer labels; bce/kl = VQA soft scores
     label_mode = "int" if args.loss_type == "sfmx" else "soft"
+    ds_kw = dict(sg2id=sg2id, cfg=tcfg, label_mode=label_mode,
+                 use_b_text=args.use_b_text, b_as_list=args.b_as_list)
     dataset = VQADataset(args.train_jsonl, features, tokenizer, n_ans,
-                         sg2id=sg2id, cfg=tcfg, label_mode=label_mode)
+                         **ds_kw)
     eval_dataset = (VQADataset(args.eval_jsonl, features, tokenizer, n_ans,
-                               sg2id=sg2id, cfg=tcfg, label_mode=label_mode)
+                               **ds_kw)
                     if args.eval_jsonl else dataset)
 
     model = VQAModel(cfg)
@@ -158,7 +165,7 @@ def main(argv=None):
 
     if args.test_jsonl:
         test_ds = VQADataset(args.test_jsonl, features, tokenizer, n_ans,
-                             sg2id=sg2id, cfg=tcfg)
+                             **ds_kw)
         logits, _, qids = evaluate(args, model, {"params": params}, test_ds,
                                    mt)
         results = [{"question_id": int(q), "answer": label2ans[int(a)]}

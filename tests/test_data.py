@@ -71,6 +71,66 @@ def test_tensorize_example_golden(tok):
     np.testing.assert_array_equal(ex["image_index"], [10, 13])
 
 
+def test_tensorize_use_b_text(tok):
+    """use_b_text (reference run_vqa.py:308-319): od-tag wordpieces appended
+    to stream A AFTER its [SEP] with segment id 1, clamped to the stream-A
+    budget; stream B unchanged."""
+    cfg = TensorizeConfig(max_seq_length=8, max_tag_length=5,
+                          max_img_seq_length=4, max_phrases=2,
+                          img_feature_dim=7)
+    img = np.arange(3 * 7, dtype=np.float32).reshape(3, 7)
+    ex = tensorize_example(tok, "two dogs playing", img, "dog grass",
+                           phrase_nodes=[100], cfg=cfg,
+                           text_a_tags="dog grass")
+    # A: [CLS]=2 two=5 dogs=6 playing=8 p100 [SEP]=3 dog=12 grass=13 pad pad
+    np.testing.assert_array_equal(
+        ex["input_ids_a"], [2, 5, 6, 8, 100, 3, 12, 13, 0, 0])
+    np.testing.assert_array_equal(
+        ex["input_mask_a"], [1, 1, 1, 1, 1, 1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(
+        ex["segment_ids_a"], [0, 0, 0, 0, 0, 0, 1, 1, 0, 0])
+    # budget clamp: long tag string fills exactly to seq_a_total
+    ex2 = tensorize_example(tok, "two dogs playing", img, "dog grass",
+                            phrase_nodes=[100], cfg=cfg,
+                            text_a_tags="dog grass dog grass dog grass")
+    assert ex2["input_mask_a"].sum() == cfg.seq_a_total
+    # stream B identical with/without the option
+    np.testing.assert_array_equal(ex["input_ids_b"], ex2["input_ids_b"])
+
+
+def test_tags_for_text_a_dedup():
+    from mvp_pytorch_tpu.data.datasets import tags_for_text_a
+    tags = ["dog", "grass", "dog", "tree"]
+    assert tags_for_text_a(tags, False, False) == ""
+    assert tags_for_text_a(tags, True, True) == "dog grass dog tree"
+    assert tags_for_text_a(tags, True, False) == "dog grass tree"
+
+
+def test_retrieval_dataset_img_keys_file(tok, tmp_path):
+    """--eval_img_keys_file subset filter (reference run_retrieval.py:107)."""
+    import json
+    from mvp_pytorch_tpu.data.datasets import RetrievalDataset
+
+    class FakeFeatures:
+        def get(self, key):
+            return np.ones((2, 7), np.float32), ["dog"]
+
+    caps = {k: [{"text": "two dogs"}, {"text": "a ground"}]
+            for k in ["a", "b", "c"]}
+    cj = tmp_path / "caps.json"
+    cj.write_text(json.dumps(caps))
+    keys = tmp_path / "keys.tsv"
+    keys.write_text("b\nc\n")
+    cfg = TensorizeConfig(max_seq_length=8, max_tag_length=5,
+                          max_img_seq_length=4, max_phrases=2,
+                          img_feature_dim=7)
+    ds = RetrievalDataset(str(cj), FakeFeatures(), tok, cfg=cfg,
+                          num_captions_per_img=2,
+                          img_keys_file=str(keys))
+    assert ds.img_keys == ["b", "c"]
+    assert len(ds) == 4
+
+
 def test_tensorize_truncation(tok):
     cfg = TensorizeConfig(max_seq_length=5, max_tag_length=4,
                           max_img_seq_length=2, max_phrases=1,

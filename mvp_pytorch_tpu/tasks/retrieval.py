@@ -40,6 +40,11 @@ def get_args(argv=None):
     p.add_argument("--id2phrase", type=str, default=None)
     p.add_argument("--eval_captions_json", type=str, default=None)
     p.add_argument("--num_captions_per_img", type=int, default=5)
+    p.add_argument("--num_captions_per_img_train", type=int, default=None,
+                   help="train on only the first K captions per image "
+                        "(reference --num_captions_per_img_train, used by "
+                        "the COMMANDS recipes with 4); eval keeps "
+                        "--num_captions_per_img")
     p.add_argument("--num_captions_per_img_val", type=int, default=20,
                    help="i2t rerank shortlist size")
     p.add_argument("--num_images_per_cap_val", type=int, default=10,
@@ -205,11 +210,13 @@ def main(argv=None):
     tcfg = tensorize_cfg(args)
     features = FeatureStore(args.feature_tsv,
                             feature_dim=args.img_feature_dim)
+    cpi_train = args.num_captions_per_img_train or args.num_captions_per_img
     dataset = RetrievalDataset(args.captions_json, features, tokenizer,
                                sg2id=sg2id, cfg=tcfg,
-                               num_captions_per_img=args.num_captions_per_img)
+                               num_captions_per_img=cpi_train)
     eval_dataset = dataset
-    if args.eval_captions_json or args.eval_img_keys_file:
+    if (args.eval_captions_json or args.eval_img_keys_file
+            or cpi_train != args.num_captions_per_img):
         eval_dataset = RetrievalDataset(
             args.eval_captions_json or args.captions_json, features,
             tokenizer, sg2id=sg2id, cfg=tcfg,

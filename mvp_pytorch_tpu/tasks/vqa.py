@@ -45,6 +45,12 @@ def get_args(argv=None):
                         "README.md:225)")
     p.add_argument("--b_as_list", action="store_true",
                    help="with --use_b_text: keep duplicate tags")
+    p.add_argument("--adjust_loss_step", type=int, default=None,
+                   help="switch the loss from kl to bce at this step — the "
+                        "functional re-expression of the reference's "
+                        "mid-training `model.loss_type = 'bce'` mutation "
+                        "(run_vqa.py:629-631); the schedule is part of the "
+                        "jitted step, selected by the step counter")
     return p.parse_args(argv)
 
 
@@ -136,12 +142,25 @@ def main(argv=None):
 
     params = load_params_or_init(args, model, init_fn)
 
-    def loss_fn(p, batch, rng):
-        loss, logits = model.apply(
-            {"params": p}, *model_inputs(batch), labels=batch["label"],
-            max_tag_length=mt, deterministic=False,
-            rngs={"dropout": rng})
-        return loss, {}
+    if args.adjust_loss_step is not None:
+        from ..models.tasks import instance_bce_with_logits, kl_div_loss
+
+        def loss_fn(p, batch, rng, step):
+            logits = model.apply(
+                {"params": p}, *model_inputs(batch), max_tag_length=mt,
+                deterministic=False, rngs={"dropout": rng})
+            loss = jnp.where(step < args.adjust_loss_step,
+                             kl_div_loss(logits, batch["label"]),
+                             instance_bce_with_logits(logits,
+                                                      batch["label"]))
+            return loss, {}
+    else:
+        def loss_fn(p, batch, rng):
+            loss, logits = model.apply(
+                {"params": p}, *model_inputs(batch), labels=batch["label"],
+                max_tag_length=mt, deterministic=False,
+                rngs={"dropout": rng})
+            return loss, {}
 
     def eval_hook(step, p):
         if not args.do_eval:

@@ -17,6 +17,7 @@ Prints ONE JSON line:
 Baseline: BASELINE.json north star = 5,000 image-text pairs/sec/chip.
 """
 
+import functools
 import json
 import sys
 import time
@@ -193,6 +194,11 @@ def main():
             detail["detection"] = bench_detection_step()
         except Exception as e:  # noqa: BLE001 — secondary metric
             detail["detection"] = {"error": f"{type(e).__name__}: {e}"}
+    if _os.environ.get("BENCH_DECODE", "1") != "0":
+        try:
+            detail["decode"] = bench_decode_step()
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            detail["decode"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "flickr30k_two_stage_retrieval_scoring",
@@ -337,6 +343,64 @@ def bench_detection_step():
     best = min(times)
     return {"canvas": c, "p50_single_image_ms": round(p50, 1),
             "batch8_images_per_sec": round(8 / best, 1)}
+
+
+def bench_decode_step():
+    """KV-cached greedy caption decode throughput (tokens/s) at MVPTR-base,
+    B=16, lengths 20 and 40 — regression-tracks the incremental-decoding
+    path (models/generation.py generate_cached, default in the captioning
+    driver)."""
+    import jax
+    import jax.numpy as jnp
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.generation import generate_cached
+    from mvp_pytorch_tpu.models.img_bert import CaptioningModel
+
+    cfg = ModelConfig(vocab_size=30522, only_word_size=30522,
+                      dtype="bfloat16", hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    model = CaptioningModel(cfg)
+    B, T, R = 16, 20, 50
+    rs = np.random.RandomState(0)
+    ids_b = jnp.asarray(rs.randint(1000, 29000, (B, T)))
+    seg_ctx = jnp.ones((B, T), jnp.int32)
+    feats = jnp.asarray(rs.randn(B, R, cfg.img_feature_dim)
+                        .astype(np.float32))
+    ctx_mask = jnp.ones((B, T + R), jnp.int32)
+    CLS, SEP, PAD, MASK = 101, 102, 0, 103
+    out = {}
+    for max_cap in (20, 40):
+        cap = jnp.full((B, max_cap), MASK, jnp.int32)
+        variables = jax.jit(lambda mc=max_cap, c=cap: model.init(
+            jax.random.PRNGKey(0), c, ids_b, ctx_mask,
+            jnp.zeros((B, mc), jnp.int32), seg_ctx, feats,
+            deterministic=True))()
+
+        # jit the WHOLE decode with params as an argument: one compiled
+        # program (prefill + lax.scan over steps) reused across calls —
+        # eager generate_cached re-traces its fresh step closure per call
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run_decode(v, mc):
+            def prefill():
+                return model.apply(v, ids_b, ctx_mask, seg_ctx, feats,
+                                   mc, method=model.prefill)
+
+            def dstep(cache, t, prev):
+                return model.apply(v, cache, t, prev, ctx_mask, mc,
+                                   MASK, method=model.decode_step)
+
+            return generate_cached(prefill, dstep, CLS, SEP, PAD, B,
+                                   mc).sequences
+
+        float(run_decode(variables, max_cap).sum())   # compile
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            float(run_decode(variables, max_cap).sum())
+            times.append(time.time() - t0)
+        best = min(times)
+        out[f"len{max_cap}_tok_per_s"] = round(B * max_cap / best, 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -324,6 +324,25 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
                 jnp.repeat(feats, reps, 0), deterministic=True)
         return f
 
+    # decode jitted ONCE with params/context as ARGUMENTS: building a fresh
+    # logits closure per step and calling generate() eagerly re-traces the
+    # whole decode every SCST step (and bakes params into the HLO — the
+    # remote-compile size trap). One compiled program each, reused.
+    n_batch = min(args.scst_batch, len(imgs_all))
+
+    @jax.jit
+    def sample_decode(p, ids_b, ctx_mask, feats, rng):
+        lf = make_logits_fn(p, ids_b, ctx_mask, feats, n_batch)
+        return generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
+                        tk["[MASK]"], n_batch, max_cap, do_sample=True,
+                        temperature=1.0, rng=rng)
+
+    @jax.jit
+    def greedy_decode(p, ids_b, ctx_mask, feats):
+        lf = make_logits_fn(p, ids_b, ctx_mask, feats, n_batch)
+        return generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
+                        tk["[MASK]"], n_batch, max_cap)
+
     @jax.jit
     def scst_grad(p, sampled, sample_mask, adv, ids_b, ctx_mask, feats):
         n, l = sampled.shape
@@ -356,18 +375,12 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
 
     for step in range(args.scst_steps):
         rng, k1, k2 = jax.random.split(rng, 3)
-        pick = jax.random.choice(k1, len(imgs_all),
-                                 (min(args.scst_batch, len(imgs_all)),),
+        pick = jax.random.choice(k1, len(imgs_all), (n_batch,),
                                  replace=False)
         imgs = [imgs_all[int(i)] for i in np.asarray(pick)]
         ids_b, ctx_mask, feats = ctx_for(imgs)
-        n = len(imgs)
-        lf = make_logits_fn(params, ids_b, ctx_mask, feats, n)
-        samp = generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                        tk["[MASK]"], n, max_cap, do_sample=True,
-                        temperature=1.0, rng=k2)
-        greedy = generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                          tk["[MASK]"], n, max_cap)
+        samp = sample_decode(params, ids_b, ctx_mask, feats, k2)
+        greedy = greedy_decode(params, ids_b, ctx_mask, feats)
         s_toks = decode_tokens(samp.sequences)
         g_toks = decode_tokens(greedy.sequences)
         refs = [refs_all[i] for i in imgs]

@@ -115,15 +115,12 @@ class JaxDetectionFrontend:
         """[B, canvas, canvas, 3] -> DetectorOutput (device arrays)."""
         return self._fwd(self.params, jnp.asarray(images))
 
-    def __call__(self, img_path: str) -> Tuple[np.ndarray, List[str]]:
-        from PIL import Image
-        img = Image.open(img_path)
-        x, nw, nh = preprocess_image(img, self.config.canvas)
-        out = self.detect(x[None])
-        boxes = np.asarray(out.boxes[0])
-        feats = np.asarray(out.feats[0])
-        valid = np.asarray(out.valid[0])
-        cls = np.asarray(out.class_ids[0])
+    def _postprocess(self, out, i: int, nw: int, nh: int
+                     ) -> Tuple[np.ndarray, List[str]]:
+        boxes = np.asarray(out.boxes[i])
+        feats = np.asarray(out.feats[i])
+        valid = np.asarray(out.valid[i])
+        cls = np.asarray(out.class_ids[i])
         n = int(valid.sum())
         order = np.argsort(~valid)          # valid rows first, stable
         boxes, feats, cls = boxes[order][:n], feats[order][:n], cls[order][:n]
@@ -135,6 +132,28 @@ class JaxDetectionFrontend:
         full = np.concatenate([feats, boxes, w, h], axis=1)
         tags = [self.labels.get(int(c), "object") for c in cls]
         return full.astype(np.float32), tags
+
+    def __call__(self, img_path: str) -> Tuple[np.ndarray, List[str]]:
+        from PIL import Image
+        img = Image.open(img_path)
+        x, nw, nh = preprocess_image(img, self.config.canvas)
+        return self._postprocess(self.detect(x[None]), 0, nw, nh)
+
+    def batch_call(self, img_paths: List[str]
+                   ) -> List[Tuple[np.ndarray, List[str]]]:
+        """Batched raw-image -> features: one device forward for the whole
+        batch (17x the per-image path at B=8 — batch-1 conv dispatch is
+        latency-bound). The final partial batch is padded by repeating the
+        last image so the jitted forward sees one static shape."""
+        from PIL import Image
+        xs, dims = [], []
+        for p in img_paths:
+            x, nw, nh = preprocess_image(Image.open(p), self.config.canvas)
+            xs.append(x)
+            dims.append((nw, nh))
+        out = self.detect(np.stack(xs))
+        return [self._postprocess(out, i, nw, nh)
+                for i, (nw, nh) in enumerate(dims)]
 
 
 def load_frontend(spec: str, label_map: Optional[str] = None

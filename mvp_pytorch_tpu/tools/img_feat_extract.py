@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--label_map", type=str, default=None,
                    help="VG-SGG-dicts json for tag names")
     p.add_argument("--od_config_dir", type=str, default="tools_tpu/configs/")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="images per device forward (JAX backend; the "
+                        "TorchScript compatibility backend stays batch-1 "
+                        "like the reference tool)")
     args = p.parse_args(argv)
 
     from ..data.tsv import tsv_writer
@@ -51,12 +55,25 @@ def main(argv=None):
         if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
     os.makedirs(args.target_dir, exist_ok=True)
 
+    bs = max(1, args.batch_size) if hasattr(od, "batch_call") else 1
+
     def rows():
-        for name in images:
-            feats, tags = od(os.path.join(args.image_dir, name))
-            enc = base64.b64encode(feats.astype(np.float32).tobytes()
-                                   ).decode("utf-8")
-            yield [name, json.dumps({"feature": enc, "predictions": tags})]
+        for i in range(0, len(images), bs):
+            chunk = images[i:i + bs]
+            if bs > 1:
+                # pad the tail so the jitted forward keeps one static shape
+                padded = chunk + [chunk[-1]] * (bs - len(chunk))
+                results = od.batch_call(
+                    [os.path.join(args.image_dir, n) for n in padded]
+                )[: len(chunk)]
+            else:
+                results = [od(os.path.join(args.image_dir, n))
+                           for n in chunk]
+            for name, (feats, tags) in zip(chunk, results):
+                enc = base64.b64encode(feats.astype(np.float32).tobytes()
+                                       ).decode("utf-8")
+                yield [name, json.dumps({"feature": enc,
+                                         "predictions": tags})]
 
     tsv_path = os.path.join(args.target_dir, "predictions.tsv")
     tsv_writer(rows(), tsv_path)

@@ -167,6 +167,55 @@ def test_frontend_contract(tmp_path):
     np.testing.assert_allclose(feats, feats2, atol=1e-5)
 
 
+def test_frontend_batch_call_matches_single(tmp_path):
+    """batch_call (one device forward for N images) must produce exactly
+    the per-image __call__ results, including on mixed aspect ratios."""
+    from PIL import Image
+    rs = np.random.RandomState(1)
+    paths = []
+    for i, (h, w) in enumerate([(96, 128), (64, 64), (120, 80)]):
+        img = Image.fromarray((rs.rand(h, w, 3) * 255).astype(np.uint8))
+        p = str(tmp_path / f"img{i}.png")   # png: lossless, so single and
+        img.save(p)                          # batched read identical pixels
+        paths.append(p)
+    fe = JaxDetectionFrontend(config=TINY)
+    singles = [fe(p) for p in paths]
+    batched = fe.batch_call(paths)
+    assert len(batched) == len(singles)
+    for (f1, t1), (f2, t2) in zip(singles, batched):
+        np.testing.assert_allclose(f1, f2, atol=1e-5)
+        assert t1 == t2
+
+
+def test_extract_cli_batched(tmp_path):
+    """The extraction CLI with --batch_size pads the tail batch and writes
+    one row per image in order."""
+    import json
+    from PIL import Image
+    from mvp_pytorch_tpu.tools.img_feat_extract import main as extract_main
+    rs = np.random.RandomState(2)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):   # 5 images, batch 2 -> padded tail
+        Image.fromarray((rs.rand(48, 64, 3) * 255).astype(np.uint8)).save(
+            str(img_dir / f"im{i}.png"))
+    out_dir = str(tmp_path / "out")
+    # tiny detector: monkeypatch the default config via ckpt
+    from mvp_pytorch_tpu.detection.frontend import save_detector
+    fe = JaxDetectionFrontend(config=TINY)
+    ckpt = str(tmp_path / "ck")
+    save_detector(ckpt, fe.config, {"params": fe.params})
+    extract_main(["--image_dir", str(img_dir), "--target_dir", out_dir,
+                  "--od_ckpt", ckpt, "--batch_size", "2"])
+    from mvp_pytorch_tpu.data.tsv import TSVFile
+    tsv = TSVFile(out_dir + "/predictions.tsv")
+    assert len(tsv) == 5
+    idx = json.load(open(out_dir + "/imageid2idx.json"))
+    assert idx == {f"im{i}.png": i for i in range(5)}
+    row = tsv.seek(3)
+    assert row[0] == "im3.png" and "feature" in json.loads(row[1])
+
+
 def test_train_transforms(tmp_path):
     """Train-time flip/jitter transform (reference transform_utils.py
     build_transforms knobs) vs the deterministic inference transform."""

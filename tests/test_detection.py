@@ -307,3 +307,15 @@ def test_pipeline_with_jax_od(tmp_path):
                              max_img_seq_length=TINY.max_regions)
     res = pipe.inference(img_path, "two [MASK] are playing")
     assert "recovered [MASK] tokens" in res
+
+    # batched raw-image inference goes through the detector's batched
+    # forward (tail-padded) and matches the single path
+    img2 = str(tmp_path / "t2.jpg")
+    Image.fromarray((rs.rand(50, 60, 3) * 255).astype(np.uint8)).save(img2)
+    out = pipe.inference_batch(
+        [(img_path, "two [MASK] are playing"),
+         (img2, "a [MASK] on the ground"),
+         (img_path, "two [MASK] are playing")], batch_size=2)
+    assert len(out) == 3
+    single = pipe.inference(img_path, "two [MASK] are playing")
+    assert " ".join(out[0]) in single

@@ -195,6 +195,71 @@ def main(argv=None):
                               rngs={"dropout": rng})
         return loss, {}
 
+    # decode programs jitted ONCE per (n, mode) with params/context as
+    # ARGUMENTS and reused across eval calls — calling the generation
+    # helpers eagerly with fresh closures re-traces the whole decode on
+    # every eval and bakes params into the HLO (the remote-compile trap;
+    # same fix as the SCST loop and bench's decode metric)
+    _decode_jit = {}
+
+    def _decode_fn(n):
+        tk = tokenizer.vocab
+        key = (n, args.num_beams, args.decode_mode)
+        if key in _decode_jit:
+            return _decode_jit[key]
+
+        def run(p, ids_b, ctx_mask, feats):
+            def logits_fn(tokens):
+                reps = tokens.shape[0] // n
+                return model.apply(
+                    {"params": p}, tokens,
+                    jnp.repeat(ids_b, reps, 0),
+                    jnp.repeat(ctx_mask, reps, 0),
+                    jnp.zeros((tokens.shape[0], max_cap), jnp.int32),
+                    jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
+                    jnp.repeat(feats, reps, 0), deterministic=True)
+
+            def cached_fns(reps):
+                rb = jnp.repeat(ids_b, reps, 0)
+                rm = jnp.repeat(ctx_mask, reps, 0)
+                rf = jnp.repeat(feats, reps, 0)
+                seg = jnp.ones_like(rb)
+                mask_id = tk["[MASK]"]
+
+                def prefill():
+                    return model.apply({"params": p}, rb, rm, seg, rf,
+                                       max_cap, method=model.prefill)
+
+                def step(cache, t, prev):
+                    return model.apply({"params": p}, cache, t, prev, rm,
+                                       max_cap, mask_id,
+                                       method=model.decode_step)
+                return prefill, step
+
+            if args.num_beams > 1:
+                if args.decode_mode == "cached":
+                    prefill, dstep = cached_fns(args.num_beams)
+                    seqs, _ = beam_search_cached(
+                        prefill, dstep, tk["[CLS]"], tk["[SEP]"],
+                        tk["[PAD]"], n, max_cap, args.num_beams,
+                        mask_token_id=tk["[MASK]"])
+                    return seqs
+                seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
+                                      tk["[PAD]"], tk["[MASK]"], n,
+                                      max_cap, args.num_beams)
+                return seqs
+            if args.decode_mode == "cached":
+                prefill, dstep = cached_fns(1)
+                return generate_cached(prefill, dstep, tk["[CLS]"],
+                                       tk["[SEP]"], tk["[PAD]"], n,
+                                       max_cap).sequences
+            return generate(logits_fn, tk["[CLS]"], tk["[SEP]"],
+                            tk["[PAD]"], tk["[MASK]"], n,
+                            max_cap).sequences
+
+        _decode_jit[key] = jax.jit(run)
+        return _decode_jit[key]
+
     def decode_captions(p, n_eval=None):
         imgs = sorted({img for img, _ in dataset.items})
         if n_eval:
@@ -204,52 +269,8 @@ def main(argv=None):
         ctx_mask = jnp.asarray(np.stack([c[1] for c in ctxs]))
         feats = jnp.asarray(np.stack([c[2] for c in ctxs]))
         n = len(imgs)
-
-        def logits_fn(tokens):
-            reps = tokens.shape[0] // n
-            return model.apply(
-                {"params": p}, tokens,
-                jnp.repeat(ids_b, reps, 0), jnp.repeat(ctx_mask, reps, 0),
-                jnp.zeros((tokens.shape[0], max_cap), jnp.int32),
-                jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
-                jnp.repeat(feats, reps, 0), deterministic=True)
-
-        def cached_fns(reps):
-            rb = jnp.repeat(ids_b, reps, 0)
-            rm = jnp.repeat(ctx_mask, reps, 0)
-            rf = jnp.repeat(feats, reps, 0)
-            seg = jnp.ones_like(rb)
-            mask_id = tokenizer.vocab["[MASK]"]
-
-            def prefill():
-                return model.apply({"params": p}, rb, rm, seg, rf, max_cap,
-                                   method=model.prefill)
-
-            def step(cache, t, prev):
-                return model.apply({"params": p}, cache, t, prev, rm,
-                                   max_cap, mask_id,
-                                   method=model.decode_step)
-            return prefill, step
-
         tk = tokenizer.vocab
-        if args.num_beams > 1:
-            if args.decode_mode == "cached":
-                prefill, dstep = cached_fns(args.num_beams)
-                seqs, _ = beam_search_cached(
-                    prefill, dstep, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                    n, max_cap, args.num_beams,
-                    mask_token_id=tk["[MASK]"])
-            else:
-                seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
-                                      tk["[PAD]"], tk["[MASK]"], n, max_cap,
-                                      args.num_beams)
-        elif args.decode_mode == "cached":
-            prefill, dstep = cached_fns(1)
-            seqs = generate_cached(prefill, dstep, tk["[CLS]"], tk["[SEP]"],
-                                   tk["[PAD]"], n, max_cap).sequences
-        else:
-            seqs = generate(logits_fn, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                            tk["[MASK]"], n, max_cap).sequences
+        seqs = _decode_fn(n)(p, ids_b, ctx_mask, feats)
         out = {}
         inv = tokenizer.ids_to_tokens
         for img, row in zip(imgs, np.asarray(seqs)):

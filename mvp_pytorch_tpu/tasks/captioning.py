@@ -427,6 +427,23 @@ def cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
                               select_best_beam_with_constraints)
     tk = tokenizer.vocab
     imgs = sorted({img for img, _ in dataset.items})[:4]
+    # one jitted CBS program (params/context/FSM as arguments) reused for
+    # every image — a per-image closure would re-trace the whole search
+    @jax.jit
+    def run_cbs(p, ids_b, ctx_mask, feats, fsm):
+        def lf(tokens):
+            reps = tokens.shape[0]
+            return model.apply(
+                {"params": p}, tokens,
+                jnp.repeat(ids_b, reps, 0), jnp.repeat(ctx_mask, reps, 0),
+                jnp.zeros((reps, max_cap), jnp.int32),
+                jnp.ones((reps, ids_b.shape[1]), jnp.int32),
+                jnp.repeat(feats, reps, 0), deterministic=True)
+
+        return constrained_beam_search(
+            lf, fsm, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"], tk["[MASK]"],
+            max_cap, args.cbs_beams)
+
     n_hits = 0
     for img in imgs:
         ids_b, ctx_mask, feats = (jnp.asarray(x[None]) for x in
@@ -437,20 +454,8 @@ def cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
             continue
         fsm_np, nsat = build_fsm([tag_ids], model.config.vocab_size,
                                  max_states=2 + max(0, len(tag_ids) - 1))
-        fsm = jnp.asarray(fsm_np[None])
-
-        def lf(tokens):
-            reps = tokens.shape[0]
-            return model.apply(
-                {"params": params}, tokens,
-                jnp.repeat(ids_b, reps, 0), jnp.repeat(ctx_mask, reps, 0),
-                jnp.zeros((reps, max_cap), jnp.int32),
-                jnp.ones((reps, ids_b.shape[1]), jnp.int32),
-                jnp.repeat(feats, reps, 0), deterministic=True)
-
-        seqs, logps = constrained_beam_search(
-            lf, fsm, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"], tk["[MASK]"],
-            max_cap, args.cbs_beams)
+        seqs, logps = run_cbs(params, ids_b, ctx_mask, feats,
+                              jnp.asarray(fsm_np[None]))
         best, _ = select_best_beam_with_constraints(
             np.asarray(seqs), np.asarray(logps), nsat, 1)
         if tag_ids[0] in best[0]:

@@ -399,7 +399,8 @@ def bench_decode_step():
             float(run_decode(variables, max_cap).sum())
             times.append(time.time() - t0)
         best = min(times)
-        out[f"len{max_cap}_tok_per_s"] = round(B * max_cap / best, 1)
+        # max_cap - 1 generated tokens per sequence (slot 0 is the BOS)
+        out[f"len{max_cap}_tok_per_s"] = round(B * (max_cap - 1) / best, 1)
     return out
 
 

@@ -279,10 +279,15 @@ class PretrainDataset:
         qa_ans = int(row[3]) if len(row) > 3 and row[3] else -1
         qa_answer_text = row[4] if len(row) > 4 and row[4] else None
         feats, tags = self.features.get(image_id)
+        # gt labels feed ONLY the tag text stream (tokens_b); od_tags must
+        # stay the predicted PER-REGION list — random_visual labels masked
+        # region i with tag2id[od_tags[i]], so substituting a deduped
+        # class list would mislabel the masked-region objective
+        text_b_tags = tags
         if self.gt_labels is not None and image_id in self.gt_labels:
-            tags = list(dict.fromkeys(self.gt_labels[image_id]))
+            text_b_tags = list(dict.fromkeys(self.gt_labels[image_id]))
         tokens_a = self.tokenizer.tokenize(caption)
-        tokens_b = self.tokenizer.tokenize(" ".join(tags))
+        tokens_b = self.tokenizer.tokenize(" ".join(text_b_tags))
         rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
 
         if self.qa_pairs and qa_answer_text is not None:

@@ -139,21 +139,29 @@ class JaxDetectionFrontend:
         x, nw, nh = preprocess_image(img, self.config.canvas)
         return self._postprocess(self.detect(x[None]), 0, nw, nh)
 
-    def batch_call(self, img_paths: List[str]
+    def batch_call(self, img_paths: List[str], batch_size: int = 8
                    ) -> List[Tuple[np.ndarray, List[str]]]:
-        """Batched raw-image -> features: one device forward for the whole
-        batch (17x the per-image path at B=8 — batch-1 conv dispatch is
-        latency-bound). The final partial batch is padded by repeating the
-        last image so the jitted forward sees one static shape."""
+        """Batched raw-image -> features: one device forward per
+        `batch_size` chunk (17x the per-image path at B=8 — batch-1 conv
+        dispatch is latency-bound). Partial chunks are zero-padded to
+        `batch_size` so the jitted forward sees ONE static shape; padded
+        rows are dropped from the results."""
         from PIL import Image
-        xs, dims = [], []
-        for p in img_paths:
-            x, nw, nh = preprocess_image(Image.open(p), self.config.canvas)
-            xs.append(x)
-            dims.append((nw, nh))
-        out = self.detect(np.stack(xs))
-        return [self._postprocess(out, i, nw, nh)
-                for i, (nw, nh) in enumerate(dims)]
+        results: List[Tuple[np.ndarray, List[str]]] = []
+        for start in range(0, len(img_paths), batch_size):
+            chunk = img_paths[start:start + batch_size]
+            xs, dims = [], []
+            for p in chunk:
+                x, nw, nh = preprocess_image(Image.open(p),
+                                             self.config.canvas)
+                xs.append(x)
+                dims.append((nw, nh))
+            while len(xs) < batch_size:
+                xs.append(np.zeros_like(xs[0]))
+            out = self.detect(np.stack(xs))
+            results.extend(self._postprocess(out, i, nw, nh)
+                           for i, (nw, nh) in enumerate(dims))
+        return results
 
 
 def load_frontend(spec: str, label_map: Optional[str] = None

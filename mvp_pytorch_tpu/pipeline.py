@@ -191,12 +191,8 @@ class InferencePipeline:
         paths = [p for p, _ in pairs]
         if hasattr(self._od, "batch_call"):
             # JAX detector: one device forward per image batch (17x the
-            # per-image path, measured); tail padded for a static shape
-            od_out = []
-            for i in range(0, len(paths), batch_size):
-                chunk = paths[i:i + batch_size]
-                padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
-                od_out.extend(self._od.batch_call(padded)[: len(chunk)])
+            # per-image path, measured); batch_call pads partial chunks
+            od_out = self._od.batch_call(paths, batch_size=batch_size)
         else:
             od_out = [self.preprocess_img(p) for p in paths]
         exs = []

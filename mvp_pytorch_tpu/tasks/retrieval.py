@@ -66,8 +66,13 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def two_stage_eval(args, model, variables, dataset, logger):
-    """Coarse sweep -> sim matrix -> cached fine rerank -> R@K."""
+def two_stage_eval(args, model, variables, dataset, logger,
+                   caption_index=None):
+    """Coarse sweep -> sim matrix -> cached fine rerank -> R@K.
+
+    `caption_index` (parsed --eval_caption_index_json, loaded ONCE by the
+    caller): external i2t shortlist — replaces the coarse shortlists and
+    skips t2i, like the reference's has_caption_indexs mode."""
     mt = args.max_tag_length
 
     @jax.jit
@@ -136,26 +141,29 @@ def two_stage_eval(args, model, variables, dataset, logger):
     coarse_res = evaluate_ranks(i2t_ranks_c, t2i_ranks_c)
     logger.info(f"coarse: {json.dumps(coarse_res)}")
 
-    if getattr(args, "cross_image_eval", False):
-        # reference --cross_image_eval: fine-score the FULL cross product
-        k_i2t, k_t2i = n_cap, n_img
-    else:
-        k_i2t = min(args.num_captions_per_img_val, n_cap)
-        k_t2i = min(args.num_images_per_cap_val, n_img)
-    i2t_cands, t2i_cands = coarse_candidates(sims, k_i2t, k_t2i)
-    skip_t2i = False
-    if getattr(args, "eval_caption_index_json", None):
+    skip_t2i = caption_index is not None
+    if skip_t2i:
         # external precomputed i2t shortlist (reference
         # --eval_caption_index_file; i2t-only like the reference's
-        # has_caption_indexs mode, run_retrieval.py:448-450)
-        with open(args.eval_caption_index_json) as f:
-            idxmap = json.load(f)
+        # has_caption_indexs mode, run_retrieval.py:448-450); the coarse
+        # argsort shortlists are not needed at all in this mode
         pos = {k: i for i, k in enumerate(dataset.img_keys)}
         i2t_cands = np.asarray(
-            [[pos[str(k1)] * cpi + int(c1) for k1, c1 in idxmap[str(k)]]
+            [[pos[str(k1)] * cpi + int(c1)
+              for k1, c1 in caption_index[str(k)]]
              for k in dataset.img_keys], np.int64)
         k_i2t = i2t_cands.shape[1]
-        skip_t2i = True
+        t2i_cands = None
+        k_t2i = 0
+    else:
+        if getattr(args, "cross_image_eval", False):
+            # reference --cross_image_eval: fine-score the FULL cross
+            # product
+            k_i2t, k_t2i = n_cap, n_img
+        else:
+            k_i2t = min(args.num_captions_per_img_val, n_cap)
+            k_t2i = min(args.num_images_per_cap_val, n_img)
+        i2t_cands, t2i_cands = coarse_candidates(sims, k_i2t, k_t2i)
 
     cap_idx = i2t_cands.reshape(-1)
     img_idx = np.repeat(np.arange(n_img), k_i2t)
@@ -253,6 +261,11 @@ def main(argv=None):
         return out.total_loss, {"clip": out.retrieval_loss,
                                 "itm": out.itm_loss}
 
+    caption_index = None
+    if args.eval_caption_index_json:
+        with open(args.eval_caption_index_json) as f:
+            caption_index = json.load(f)
+
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
         tokenizer.save_pretrained(args.output_dir)
@@ -261,13 +274,13 @@ def main(argv=None):
             if not args.do_eval:
                 return None
             return two_stage_eval(args, model, {"params": p}, eval_dataset,
-                                  logger)
+                                  logger, caption_index=caption_index)
 
         state = loop.run(eval_hook)
         params = state.params
     if args.do_eval and not args.do_train:
         res = two_stage_eval(args, model, {"params": params}, eval_dataset,
-                             logger)
+                             logger, caption_index=caption_index)
         with open(os.path.join(args.output_dir, "test_eval.json"), "w") as f:
             json.dump(res, f, indent=2)
     logger.info("retrieval done")

@@ -58,22 +58,18 @@ def main(argv=None):
     bs = max(1, args.batch_size) if hasattr(od, "batch_call") else 1
 
     def rows():
-        for i in range(0, len(images), bs):
-            chunk = images[i:i + bs]
-            if bs > 1:
-                # pad the tail so the jitted forward keeps one static shape
-                padded = chunk + [chunk[-1]] * (bs - len(chunk))
-                results = od.batch_call(
-                    [os.path.join(args.image_dir, n) for n in padded]
-                )[: len(chunk)]
-            else:
-                results = [od(os.path.join(args.image_dir, n))
-                           for n in chunk]
-            for name, (feats, tags) in zip(chunk, results):
-                enc = base64.b64encode(feats.astype(np.float32).tobytes()
-                                       ).decode("utf-8")
-                yield [name, json.dumps({"feature": enc,
-                                         "predictions": tags})]
+        if bs > 1:
+            results = od.batch_call(
+                [os.path.join(args.image_dir, n) for n in images],
+                batch_size=bs)
+        else:
+            results = (od(os.path.join(args.image_dir, n))
+                       for n in images)
+        for name, (feats, tags) in zip(images, results):
+            enc = base64.b64encode(feats.astype(np.float32).tobytes()
+                                   ).decode("utf-8")
+            yield [name, json.dumps({"feature": enc,
+                                     "predictions": tags})]
 
     tsv_path = os.path.join(args.target_dir, "predictions.tsv")
     tsv_writer(rows(), tsv_path)

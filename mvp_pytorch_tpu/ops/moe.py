@@ -133,10 +133,17 @@ class MoEMLP(nn.Module):
 def moe_aux_loss(intermediates: dict) -> jax.Array:
     """Sum the sown load-balance penalties: sum of (aux - 1) over all MoE
     blocks (0 at perfect balance). Pass the `intermediates` collection
-    returned by `model.apply(..., mutable=["intermediates"])`."""
+    returned by `model.apply(..., mutable=["intermediates"])`.
+
+    Only leaves under a `moe_aux_loss` key are summed, so other modules
+    may sow debug values into `intermediates` without contaminating the
+    training loss."""
     total = 0.0
-    for leaf in jax.tree_util.tree_leaves(intermediates):
-        total = total + (leaf - 1.0)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            intermediates)[0]:
+        names = [getattr(k, "key", str(k)) for k in path]
+        if "moe_aux_loss" in names:
+            total = total + (leaf - 1.0)
     return total
 
 

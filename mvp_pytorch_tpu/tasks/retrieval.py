@@ -152,22 +152,34 @@ def two_stage_eval(args, model, variables, dataset, logger,
             [[pos[str(k1)] * cpi + int(c1)
               for k1, c1 in caption_index[str(k)]]
              for k in dataset.img_keys], np.int64)
+        # loud bounds check: a stale/mismatched shortlist file would
+        # otherwise be silently clamped by the on-device gather and
+        # corrupt the reported recalls
+        assert i2t_cands.min() >= 0 and i2t_cands.max() < n_cap, (
+            f"caption index out of range [0, {n_cap}): "
+            f"{i2t_cands.min()}..{i2t_cands.max()} — was the shortlist "
+            "built for this split/num_captions_per_img?")
         k_i2t = i2t_cands.shape[1]
         t2i_cands = None
         k_t2i = 0
     else:
-        if getattr(args, "cross_image_eval", False):
+        cross = getattr(args, "cross_image_eval", False)
+        if cross:
             # reference --cross_image_eval: fine-score the FULL cross
-            # product
-            k_i2t, k_t2i = n_cap, n_img
+            # product ONCE (i2t block); t2i ranks are derived from the
+            # same score matrix instead of re-scoring identical pairs
+            k_i2t, k_t2i = n_cap, 0
+            i2t_cands = np.argsort(-sims, axis=1)
+            t2i_cands = None
         else:
             k_i2t = min(args.num_captions_per_img_val, n_cap)
             k_t2i = min(args.num_images_per_cap_val, n_img)
-        i2t_cands, t2i_cands = coarse_candidates(sims, k_i2t, k_t2i)
+            i2t_cands, t2i_cands = coarse_candidates(sims, k_i2t, k_t2i)
 
     cap_idx = i2t_cands.reshape(-1)
     img_idx = np.repeat(np.arange(n_img), k_i2t)
-    if not skip_t2i:
+    score_t2i = t2i_cands is not None
+    if score_t2i:
         cap_idx = np.concatenate([cap_idx,
                                   np.repeat(np.arange(n_cap), k_t2i)])
         img_idx = np.concatenate([img_idx, t2i_cands.reshape(-1)])
@@ -187,6 +199,16 @@ def two_stage_eval(args, model, variables, dataset, logger,
     if skip_t2i:
         fine_res = evaluate_ranks(
             fine_ranks_i2t(i2t_scores, i2t_cands, cpi), None)
+    elif not score_t2i:
+        # cross_image_eval: i2t scored the full matrix; scatter it back
+        # to [n_img, n_cap] order and read t2i ranks from the transpose
+        full = np.empty((n_img, n_cap), np.float32)
+        np.put_along_axis(full, i2t_cands, i2t_scores, axis=1)
+        t2i_full_cands = np.argsort(-full.T, axis=1)       # [n_cap, n_img]
+        t2i_full_scores = np.take_along_axis(full.T, t2i_full_cands, 1)
+        fine_res = evaluate_ranks(
+            fine_ranks_i2t(i2t_scores, i2t_cands, cpi),
+            fine_ranks_t2i(t2i_full_scores, t2i_full_cands, cpi))
     else:
         t2i_scores = scores[n_img * k_i2t:].reshape(n_cap, k_t2i)
         fine_res = evaluate_ranks(

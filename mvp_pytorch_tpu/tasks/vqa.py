@@ -143,6 +143,11 @@ def main(argv=None):
     params = load_params_or_init(args, model, init_fn)
 
     if args.adjust_loss_step is not None:
+        # the reference schedule is specifically kl -> bce
+        # (run_vqa.py:629-631); soft-score labels are required
+        assert args.loss_type == "kl", (
+            "--adjust_loss_step implements the reference's kl->bce "
+            f"switch; start with --loss_type kl (got {args.loss_type})")
         from ..models.tasks import instance_bce_with_logits, kl_div_loss
 
         def loss_fn(p, batch, rng, step):

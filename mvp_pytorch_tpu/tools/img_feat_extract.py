@@ -56,20 +56,26 @@ def main(argv=None):
     os.makedirs(args.target_dir, exist_ok=True)
 
     bs = max(1, args.batch_size) if hasattr(od, "batch_call") else 1
+    # stream in bounded chunks: materializing the whole directory's
+    # features before writing would hold the entire dataset in RAM
+    # (~40 GB at 100k images); each chunk is still batched on-device
+    chunk_imgs = max(bs, 256)
 
     def rows():
-        if bs > 1:
-            results = od.batch_call(
-                [os.path.join(args.image_dir, n) for n in images],
-                batch_size=bs)
-        else:
-            results = (od(os.path.join(args.image_dir, n))
-                       for n in images)
-        for name, (feats, tags) in zip(images, results):
-            enc = base64.b64encode(feats.astype(np.float32).tobytes()
-                                   ).decode("utf-8")
-            yield [name, json.dumps({"feature": enc,
-                                     "predictions": tags})]
+        for start in range(0, len(images), chunk_imgs):
+            names = images[start:start + chunk_imgs]
+            if bs > 1:
+                results = od.batch_call(
+                    [os.path.join(args.image_dir, n) for n in names],
+                    batch_size=bs)
+            else:
+                results = (od(os.path.join(args.image_dir, n))
+                           for n in names)
+            for name, (feats, tags) in zip(names, results):
+                enc = base64.b64encode(feats.astype(np.float32).tobytes()
+                                       ).decode("utf-8")
+                yield [name, json.dumps({"feature": enc,
+                                         "predictions": tags})]
 
     tsv_path = os.path.join(args.target_dir, "predictions.tsv")
     tsv_writer(rows(), tsv_path)

@@ -101,3 +101,28 @@ def test_recall_at_k():
     assert res["R@1"] == 0.5
     assert res["R@5"] == 0.75
     assert res["R@10"] == 0.75
+
+
+def test_cross_eval_t2i_derived_from_i2t_matrix():
+    """--cross_image_eval derives t2i ranks from the full i2t score
+    matrix instead of re-scoring: scatter(i2t order) -> transpose ->
+    rank must equal ranking the matrix directly."""
+    rs = np.random.RandomState(0)
+    n_img, cpi = 4, 2
+    n_cap = n_img * cpi
+    full_true = rs.rand(n_img, n_cap).astype(np.float32)
+    # what the driver sees: candidates in coarse order + scores there
+    i2t_cands = np.argsort(-rs.rand(n_img, n_cap), axis=1)
+    i2t_scores = np.take_along_axis(full_true, i2t_cands, axis=1)
+    # the driver's reconstruction
+    full = np.empty((n_img, n_cap), np.float32)
+    np.put_along_axis(full, i2t_cands, i2t_scores, axis=1)
+    np.testing.assert_array_equal(full, full_true)
+    t2i_cands = np.argsort(-full.T, axis=1)
+    t2i_scores = np.take_along_axis(full.T, t2i_cands, axis=1)
+    ranks = fine_ranks_t2i(t2i_scores, t2i_cands, cpi)
+    # oracle: direct rank of the own image per caption
+    own = np.arange(n_cap) // cpi
+    order = np.argsort(-full_true.T, axis=1)
+    expect = np.argmax(order == own[:, None], axis=1)
+    np.testing.assert_array_equal(ranks, expect)

@@ -63,7 +63,8 @@ def test_tp_param_pspec_rules():
     assert tp_param_pspec(("query", "kernel"), (64, 63), mesh) == P()
 
 
-def _train(tensor_parallel, steps=3, sequence_parallel=False):
+def _train(tensor_parallel, steps=3, sequence_parallel=False,
+           grad_accum=1):
     devices = jax.devices()
     mesh = (make_mesh(devices[:8], model=2) if tensor_parallel
             else make_mesh(devices[:8]))
@@ -81,7 +82,8 @@ def _train(tensor_parallel, steps=3, sequence_parallel=False):
 
     tx = make_optimizer(1e-4, warmup_steps=10, total_steps=100)
     trainer = Trainer(loss_fn, tx, mesh, tensor_parallel=tensor_parallel,
-                      sequence_parallel=sequence_parallel)
+                      sequence_parallel=sequence_parallel,
+                      grad_accum=grad_accum)
     state = trainer.init_state(variables["params"], jax.random.PRNGKey(3))
     losses = []
     for i in range(steps):
@@ -127,6 +129,17 @@ def test_sequence_parallel_matches_tp():
     _, tp = _train(tensor_parallel=True)
     _, sp = _train(tensor_parallel=True, sequence_parallel=True)
     np.testing.assert_allclose(sp, tp, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_sp_compose_with_grad_accum():
+    """TP+SP through the micro-batch accumulation scan (the path real
+    large-batch runs take) must still match plain TP: the sharding
+    constraints apply inside the scanned grad computation too."""
+    _, tp = _train(tensor_parallel=True, grad_accum=2)
+    _, sp = _train(tensor_parallel=True, sequence_parallel=True,
+                   grad_accum=2)
+    np.testing.assert_allclose(sp, tp, rtol=2e-3, atol=2e-3)
+    assert all(np.isfinite(l) for l in sp), sp
 
 
 def test_sequence_parallel_constraint_applies():

@@ -52,9 +52,11 @@ def top_k_top_p_filtering(logits, top_k: int = 0, top_p: float = 1.0):
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens with cumulative prob <= top_p (always keep the first)
-        cutoff_idx = jnp.sum(cum <= top_p, axis=-1, keepdims=True)
-        cutoff_idx = jnp.maximum(cutoff_idx, 1)
+        # reference semantics (modeling_utils.py:618-622): the removal
+        # mask is shifted right, so the FIRST token whose cumulative prob
+        # exceeds top_p is also kept — the nucleus always covers >= top_p
+        cutoff_idx = jnp.sum(cum <= top_p, axis=-1, keepdims=True) + 1
+        cutoff_idx = jnp.minimum(cutoff_idx, v)
         threshold = jnp.take_along_axis(sorted_logits,
                                         cutoff_idx - 1, axis=-1)
         logits = jnp.where(logits < threshold, NEG_INF, logits)
@@ -331,9 +333,13 @@ def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
     (tokens, alive_logp, fin_tokens, fin_scores), _ = jax.lax.scan(
         step, carry, jnp.arange(1, max_len))
 
-    # close out alive beams at max_len
+    # close out alive beams at max_len; sanitize [MASK] filler to PAD in
+    # BOTH buffers (finished beams carry MASK at their post-EOS future
+    # positions from the alive-restore step)
     alive_score = alive_logp / (max_len ** length_penalty)
     tokens = jnp.where(tokens == mask_token_id, pad_token_id, tokens)
+    fin_tokens = jnp.where(fin_tokens == mask_token_id, pad_token_id,
+                           fin_tokens)
     all_scores = jnp.concatenate([fin_scores, alive_score], 1)
     all_tokens = jnp.concatenate([fin_tokens, tokens], 1)
     best, sel = jax.lax.top_k(all_scores, 1)

@@ -57,9 +57,15 @@ def t2i_sim(sims: jax.Array, phrase_valid: jax.Array, img_valid: jax.Array,
                        neg_inf)
     k = min(3, sims.shape[-1])
     topk = jax.lax.top_k(masked, k)[0]                     # [B, P, k]
-    choice = jax.random.randint(rng, phrase_valid.shape, 0, k)
+    # pick uniformly among the VALID top-k slots only: with fewer than k
+    # valid regions a plain uniform pick would land on a masked slot and
+    # deflate the similarity to 0 (the reference top-ks over the actual
+    # region count, so its pick is always a real similarity)
+    slot_valid = topk > neg_inf / 2
+    choice = jax.random.categorical(
+        rng, jnp.where(slot_valid, 0.0, neg_inf))          # [B, P]
     picked = jnp.take_along_axis(topk, choice[..., None], axis=-1)[..., 0]
-    picked = jnp.where(picked > neg_inf / 2, picked, 0.0)  # <k valid regions guard
+    picked = jnp.where(slot_valid.any(-1), picked, 0.0)    # no regions at all
     denom = jnp.maximum(phrase_valid.sum(-1), 1.0)
     return (picked * phrase_valid).sum(-1) / denom
 
@@ -166,7 +172,11 @@ class BiPretrainModel(nn.Module):
                  phrase_layer: Optional[int] = None,
                  deterministic: bool = False) -> PretrainOutput:
         cfg = self.config
-        scale = jnp.exp(self.logit_scale)
+        # clamp at 100 (CLIP's training guard; the reference omits it
+        # and an unconstrained scale drifts up until the softmax is
+        # one-hot — inactive at the init/parity value exp(2.66)=14.3)
+        scale = jnp.exp(jnp.minimum(self.logit_scale,
+                                    jnp.log(100.0)))
 
         out: BiEncoderOutput = self.bert(
             input_ids_a, attention_mask_a, token_type_ids_a,

@@ -112,7 +112,11 @@ class RetrievalModel(nn.Module):
                    input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
                    *, max_tag_length: int = 20, hn_mod: str = "hard",
                    deterministic: bool = False) -> RetrievalTrainOutput:
-        scale = jnp.exp(self.logit_scale)
+        # clamp at 100 (CLIP's training guard; the reference omits it
+        # and an unconstrained scale drifts up until the softmax is
+        # one-hot — inactive at the init/parity value exp(2.66)=14.3)
+        scale = jnp.exp(jnp.minimum(self.logit_scale,
+                                    jnp.log(100.0)))
         out = self.bert(input_ids_a, attention_mask_a, token_type_ids_a,
                         input_ids_b, attention_mask_b, token_type_ids_b,
                         img_feats, max_tag_length=max_tag_length,

@@ -79,7 +79,9 @@ def gather_span(seq: jax.Array, span: jax.Array, width: int
     b, l, _ = seq.shape
     offs = jnp.arange(width)[None, :]                          # [1, W]
     idx = span[:, :1] + offs                                   # [B, W]
-    valid = (idx < span[:, 1:2]) & (offs < width)
+    # bound by the ACTUAL sequence length too: a span end past L would
+    # otherwise gather (clamped) garbage rows and count them as valid
+    valid = (idx < span[:, 1:2]) & (idx < l)
     idx = jnp.where(valid, idx, 0)
     toks = jnp.take_along_axis(seq, idx[..., None], axis=1)
     return toks, valid.astype(jnp.float32)

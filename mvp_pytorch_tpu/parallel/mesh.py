@@ -53,10 +53,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with batch-dim sharding over `data`."""
+    """Device_put a host batch with batch-dim sharding over `data`.
+
+    `device_put` shards host numpy -> devices in ONE hop; a `jnp.asarray`
+    first would commit the whole batch to the default device and then
+    reshard device-to-device (an extra transfer + a transient device-0
+    copy on the per-step hot path)."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), s),
-                                  batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x if isinstance(x, jax.Array) else np.asarray(x), s), batch)
 
 
 def tp_param_pspec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:

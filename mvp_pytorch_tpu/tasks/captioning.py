@@ -406,7 +406,12 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
         g_toks = decode_tokens(greedy.sequences)
         refs = [refs_all[i] for i in imgs]
         adv = reward.rewards(s_toks, g_toks, refs)
-        mask = (np.asarray(samp.logprobs) != 0).astype(np.float32)
+        # token mask from LENGTHS, not `logprobs != 0`: a maximally
+        # confident token's fp32 log-softmax saturates to exactly 0.0 and
+        # would silently drop out of the REINFORCE loss
+        steps = np.arange(samp.sequences.shape[1])[None, :]
+        lens = np.asarray(samp.lengths)[:, None]
+        mask = ((steps >= 1) & (steps < lens)).astype(np.float32)
         loss, grads = scst_grad(params, samp.sequences,
                                 jnp.asarray(mask), jnp.asarray(adv),
                                 ids_b, ctx_mask, feats)

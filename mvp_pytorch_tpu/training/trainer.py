@@ -209,7 +209,5 @@ class Trainer:
     def step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
-        batch = jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x),
-                                     batch_sharding(self.mesh)), batch)
-        return self._step_fn(state, batch)
+        from ..parallel.mesh import shard_batch
+        return self._step_fn(state, shard_batch(self.mesh, batch))

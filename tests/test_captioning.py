@@ -252,6 +252,10 @@ def test_beam_search_matches_greedy_on_peaked():
     seq = np.asarray(seqs)
     np.testing.assert_array_equal(seq[0, :4], [BOS, 7, 8, EOS])
     assert np.all(np.asarray(scores) > -1e8)
+    # early-finished beams must carry PAD (not [MASK] filler) after EOS —
+    # the output contract shared with beam_search_cached
+    assert not np.any(seq == MASK), seq
+    np.testing.assert_array_equal(seq[0, 4:], [PAD] * 4)
 
 
 def test_repetition_penalty_and_filtering():
@@ -266,6 +270,15 @@ def test_repetition_penalty_and_filtering():
         jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]])), top_p=0.8)
     a = np.asarray(filt_p)[0]
     assert a[3] < -1e8 and a[0] > -1e8 and a[1] > -1e8
+    # reference boundary semantics (modeling_utils.py:618-622): the FIRST
+    # token pushing cumulative prob past top_p is kept — nucleus >= top_p
+    a9 = np.asarray(top_k_top_p_filtering(
+        jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]])), top_p=0.9))[0]
+    assert (a9 > -1e8).sum() == 3, a9   # 0.5+0.3 < 0.9, so 0.15 included
+    # degenerate: top_p below the top token's prob keeps exactly one
+    a1 = np.asarray(top_k_top_p_filtering(
+        jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]])), top_p=0.4))[0]
+    assert (a1 > -1e8).sum() == 1, a1
 
 
 def _caption_model_and_vars(cfg):

@@ -276,3 +276,26 @@ def test_bf16_attention_matches_fp32_reference():
                         jnp.asarray(k, jnp.bfloat16),
                         jnp.asarray(v, jnp.bfloat16), jnp.asarray(bias_all))
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_t2i_sim_few_valid_regions():
+    """With fewer than 3 valid regions the random top-3 pick must always
+    land on a REAL similarity (the reference top-ks over the actual region
+    count) — not deflate to 0 via a masked slot."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvp_pytorch_tpu.models.pretrain import t2i_sim
+
+    sims = jnp.asarray(np.full((1, 2, 5), -9.0, np.float32))
+    sims = sims.at[:, :, 0].set(0.7)           # the single valid region
+    phrase_valid = jnp.ones((1, 2), jnp.float32)
+    img_valid = jnp.zeros((1, 5), jnp.float32).at[:, 0].set(1.0)
+    for seed in range(6):
+        out = t2i_sim(sims, phrase_valid, img_valid,
+                      jax.random.PRNGKey(seed))
+        np.testing.assert_allclose(float(out[0]), 0.7, atol=1e-6)
+    # no valid regions at all -> exactly 0
+    out = t2i_sim(sims, phrase_valid, jnp.zeros((1, 5), jnp.float32),
+                  jax.random.PRNGKey(0))
+    assert float(out[0]) == 0.0

@@ -10,6 +10,13 @@ IterationBasedBatchSampler stack (reference `oscar_datasets_ml/build.py:84-136`)
 - host-side tensorization runs in a thread pool that prefetches ahead of the
   device (the reference forks worker processes; threads suffice here because
   tokenization/masking is numpy/string work and the hot path is the TPU).
+
+Concurrency design: each producer thread owns the steps congruent to its
+worker id and its OWN bounded queue, so (a) the consumer reads queues
+round-robin and batches arrive in order with no unbounded reassembly
+buffer, and (b) a stalled worker back-pressures only itself. The epoch
+permutation cache is lock-guarded because producers race across epoch
+boundaries.
 """
 
 from __future__ import annotations
@@ -22,23 +29,34 @@ import numpy as np
 
 
 class EpochShuffler:
-    """Deterministic per-epoch permutation: index_at(step) is O(1)-ish."""
+    """Deterministic per-epoch permutation: index_at(step) is O(1)-ish.
+
+    Thread-safe: the per-epoch permutation cache is shared by all
+    PrefetchLoader producer threads, which straddle epoch boundaries
+    (worker steps are num_threads apart), so reads/writes are
+    lock-guarded and a few recent epochs stay cached."""
 
     def __init__(self, n: int, seed: int = 0, shuffle: bool = True):
         self.n = n
         self.seed = seed
         self.shuffle = shuffle
-        self._epoch_cache = (-1, None)
+        self._cache: Dict[int, np.ndarray] = {}
+        self._lock = threading.Lock()
 
     def _perm(self, epoch: int) -> np.ndarray:
-        if self._epoch_cache[0] != epoch:
-            if self.shuffle:
-                rng = np.random.default_rng((self.seed, epoch))
-                p = rng.permutation(self.n)
-            else:
-                p = np.arange(self.n)
-            self._epoch_cache = (epoch, p)
-        return self._epoch_cache[1]
+        with self._lock:
+            p = self._cache.get(epoch)
+            if p is None:
+                if self.shuffle:
+                    rng = np.random.default_rng((self.seed, epoch))
+                    p = rng.permutation(self.n)
+                else:
+                    p = np.arange(self.n)
+                self._cache[epoch] = p
+                if len(self._cache) > 8:   # bound: workers span few epochs
+                    for k in sorted(self._cache)[:-8]:
+                        del self._cache[k]
+            return p
 
     def index(self, global_pos: int) -> int:
         epoch, offset = divmod(global_pos, self.n)
@@ -47,36 +65,60 @@ class EpochShuffler:
 
 class BatchSampler:
     """Yields (step, epoch, indices) forever from a start step
-    (the reference's IterationBasedBatchSampler role)."""
+    (the reference's IterationBasedBatchSampler role).
+
+    `rank`/`world_size`: each rank receives its contiguous
+    batch_size/world_size shard of the global batch (the reference's
+    DistributedSampler role). `drop_last=True` skips the per-epoch tail
+    that cannot fill a global batch (the reference wraps
+    BatchSampler(drop_last=True)); batches never mix epochs then. With
+    n < batch_size the tail-skip would drop everything, so it falls back
+    to wrap-around."""
 
     def __init__(self, n: int, batch_size: int, seed: int = 0,
                  shuffle: bool = True, drop_last: bool = True,
                  rank: int = 0, world_size: int = 1):
-        assert batch_size % world_size == 0 or world_size == 1
+        assert batch_size % max(world_size, 1) == 0
+        assert 0 <= rank < max(world_size, 1)
         self.n = n
         self.global_batch = batch_size
+        self.local_batch = batch_size // max(world_size, 1)
         self.shuffler = EpochShuffler(n, seed, shuffle)
         self.rank = rank
         self.world_size = world_size
+        if drop_last and n >= batch_size:
+            self.epoch_len = (n // batch_size) * batch_size
+        else:
+            self.epoch_len = n
+
+    def _index(self, global_pos: int) -> int:
+        epoch, offset = divmod(global_pos, self.epoch_len)
+        return int(self.shuffler._perm(epoch)[offset])
 
     def batch_at(self, step: int) -> np.ndarray:
-        base = step * self.global_batch
-        idx = [self.shuffler.index(base + i)
-               for i in range(self.global_batch)]
-        return np.asarray(idx)
+        base = step * self.global_batch + self.rank * self.local_batch
+        return np.asarray([self._index(base + i)
+                           for i in range(self.local_batch)])
+
+    def epoch_at(self, step: int) -> int:
+        return (step * self.global_batch) // self.epoch_len
 
     def iter_from(self, start_step: int) -> Iterator:
         step = start_step
         while True:
-            yield step, (step * self.global_batch) // self.n, self.batch_at(step)
+            yield step, self.epoch_at(step), self.batch_at(step)
             step += 1
 
 
 class PrefetchLoader:
-    """Background tensorization + prefetch queue.
+    """Background tensorization + prefetch queue (single-use).
 
     fetch(indices) -> batch dict is user-provided (dataset.collate of
-    per-index tensorize). Exceptions propagate to the consumer.
+    per-index tensorize). Exceptions propagate to the consumer. Worker w
+    produces steps start+w, start+w+T, ... into its own bounded queue;
+    the consumer round-robins the queues, so output is in step order with
+    memory bounded at ~(prefetch + num_threads) batches even if one
+    worker stalls.
     """
 
     def __init__(self, fetch: Callable[[np.ndarray], Dict],
@@ -85,47 +127,71 @@ class PrefetchLoader:
         self.fetch = fetch
         self.sampler = sampler
         self.start_step = start_step
-        self.prefetch = prefetch
         self.num_threads = max(1, num_threads)
-        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        per = max(1, prefetch // self.num_threads)
+        self._qs = [queue.Queue(maxsize=per)
+                    for _ in range(self.num_threads)]
         self._stop = threading.Event()
-        self._threads = []
+        self._threads: list = []
+
+    def _put(self, q: "queue.Queue", item) -> bool:
+        """put that gives up when close() is called (never blocks forever
+        on a full queue nobody will drain)."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _producer(self, worker_id: int):
         step = self.start_step + worker_id
+        q = self._qs[worker_id]
         try:
             while not self._stop.is_set():
                 idx = self.sampler.batch_at(step)
                 batch = self.fetch(idx)
-                self._q.put((step, batch))
+                if not self._put(q, (step, batch)):
+                    return
                 step += self.num_threads
         except Exception as e:  # propagate
-            self._q.put((None, e))
+            self._put(q, (None, e))
 
     def __iter__(self):
+        if self._threads:
+            raise RuntimeError(
+                "PrefetchLoader is single-use; construct a new loader "
+                "(its producers were already started/stopped)")
         for i in range(self.num_threads):
             t = threading.Thread(target=self._producer, args=(i,),
                                  daemon=True)
             t.start()
             self._threads.append(t)
-        pending = {}
         next_step = self.start_step
         try:
             while True:
-                while next_step not in pending:
-                    step, batch = self._q.get()
-                    if step is None:
-                        raise batch
-                    pending[step] = batch
-                yield next_step, pending.pop(next_step)
+                q = self._qs[(next_step - self.start_step)
+                             % self.num_threads]
+                step, batch = q.get()
+                if step is None:
+                    raise batch
+                assert step == next_step, (step, next_step)
+                yield next_step, batch
                 next_step += 1
         finally:
             self.close()
 
     def close(self):
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # drain until producers exit (they may be blocked mid-put; _put
+        # re-checks _stop every 200 ms, so one drain pass per wait tick
+        # is enough for them to bail out)
+        for t in self._threads:
+            while t.is_alive():
+                for q in self._qs:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                t.join(timeout=0.05)

@@ -181,6 +181,11 @@ class BiEncoder(nn.Module):
 
         # strip tag positions (or just CLS when use_b) before fusion
         # (reference modeling_vlbert.py:515-520)
+        if not use_b and max_tag_length is None:
+            # vis_seq[:, None:] would silently skip stripping entirely
+            raise ValueError(
+                "max_tag_length is required when use_b=False: the fusion "
+                "input strips the tag positions (reference :515-520)")
         strip = 1 if use_b else max_tag_length
         only_vis = vis_seq[:, strip:, :]
         only_vis_mask = attention_mask_b[:, strip:]

@@ -80,9 +80,25 @@ def build_fsm(constraints: Sequence[Sequence[int]], vocab_size: int,
         else:
             nxt_state = s | (1 << i)
         fsm[cs, nxt_state, nxt_tok] = True
-        # failing the chain falls back to the source state
+        # failing the chain: START tokens re-enter their constraint just
+        # as from the source state (e.g. "new new york" must still match
+        # ["new","york"]) — without these restart arcs a failed chain
+        # consumes the restart token and the match is lost; everything
+        # else falls back to the source state
+        handled = {nxt_tok}
+        for j, words_j in enumerate(constraints):
+            if (s >> j) & 1:
+                continue
+            w0 = words_j[0]
+            if w0 in handled:
+                continue
+            target = (s | (1 << j)) if len(words_j) == 1 \
+                else chain_index[(s, j, 1)]
+            fsm[cs, target, w0] = True
+            handled.add(w0)
         back = np.ones(vocab_size, bool)
-        back[nxt_tok] = False
+        for t in handled:
+            back[t] = False
         fsm[cs, s] |= back
     return fsm, nsat
 
@@ -204,10 +220,18 @@ def select_best_beam_with_constraints(sequences: np.ndarray,
     (reference :366-434). sequences: [B, S, K, L]; logprobs: [B, S, K];
     nsat: [S]. Falls back to the globally best beam when no state qualifies."""
     b, s, k, l = sequences.shape
-    ok = nsat >= min_constraints
-    masked = np.where(ok[None, :, None], logprobs, -np.inf)
-    if not np.isfinite(masked.max(axis=(1, 2))).all():
-        masked = logprobs
+    # beams that were never populated carry the finite NEG_INF sentinel
+    # (-1e9), not -inf — exclude them explicitly or a never-reached
+    # constraint state would win with a garbage buffer
+    live = logprobs > NEG_INF / 2                        # [B, S, K]
+    ok_state = (nsat >= min_constraints)[None, :, None]
+    cons = np.where(live & ok_state, logprobs, -np.inf)
+    unc = np.where(live, logprobs, -np.inf)
+    # PER-ITEM fallback: only items with no live constraint-satisfying
+    # beam revert to their best unconstrained beam (the reference's
+    # per-example fallback, :366-434)
+    has_cons = np.isfinite(cons.max(axis=(1, 2)))
+    masked = np.where(has_cons[:, None, None], cons, unc)
     flat = masked.reshape(b, s * k)
     best = flat.argmax(axis=1)
     seqs = sequences.reshape(b, s * k, l)[np.arange(b), best]

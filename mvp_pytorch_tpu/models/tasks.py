@@ -255,18 +255,22 @@ class ClassificationPlusModel(nn.Module):
     config: ModelConfig
 
     def setup(self):
+        from .layers import dense_init
         cfg = self.config
         h = cfg.hidden_size
+        dt = jnp.dtype(cfg.dtype)
+        init = dense_init(cfg)
         self.bert = BiEncoder(cfg, name="bert")
         self.single_mapping = nn.Sequential([
-            nn.Dense(2 * h), nn.relu, nn.Dense(h)])
-        self.classifier_in2h = None
+            nn.Dense(2 * h, kernel_init=init, dtype=dt), nn.relu,
+            nn.Dense(h, kernel_init=init, dtype=dt)])
         if cfg.classifier == "mlp":
             self.classifier = nn.Sequential([
-                nn.Dense(h * cfg.cls_hidden_scale), nn.relu,
-                nn.Dense(cfg.num_labels)])
+                nn.Dense(h * cfg.cls_hidden_scale, kernel_init=init,
+                         dtype=dt), nn.relu,
+                nn.Dense(cfg.num_labels, kernel_init=init)])
         else:
-            self.classifier = nn.Dense(cfg.num_labels)
+            self.classifier = nn.Dense(cfg.num_labels, kernel_init=init)
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, input_ids_a, attention_mask_a, token_type_ids_a,
@@ -403,11 +407,18 @@ class WREModel(nn.Module):
                         encode_hn=True, deterministic=deterministic)
         la = input_ids_a.shape[1]
         logits = _region_cosine_logits(out.sequence_output, la)
+        # mask PADDED region slots out of the max: their fused outputs
+        # still produce cosine scores (padding is masked as keys, not as
+        # queries) and can dominate the margin loss with noise
+        region_valid = attention_mask_b[:, max_tag_length:]
+        pad_bias = jnp.where(region_valid > 0, 0.0, -1e9)
 
         if mod == 1:
             hard_logits = _region_cosine_logits(out.hard_sequence_output, la)
+            hard_bias = pad_bias[out.hard_img_index]
             wra_loss = jnp.mean(jnp.maximum(
-                hard_logits.max(axis=1) + 0.2 - logits.max(axis=1), 0.0))
+                (hard_logits + hard_bias).max(axis=1) + 0.2
+                - (logits + pad_bias).max(axis=1), 0.0))
         elif mod == 2:
             wra_loss = wra_hard_loss(
                 out.sequence_output, out.hard_sequence_output, phrase_index,

@@ -119,3 +119,35 @@ def test_constraints_from_features(tmp_path):
     assert isinstance(cons, list)
     for c in cons:
         assert all(isinstance(i, int) for i in c)
+
+
+def test_fsm_chain_restart_arcs():
+    """'new new york' must still satisfy ["new","york"]: failing a chain
+    on its own (or another constraint's) start token re-enters the chain
+    instead of consuming the token (reference FSM restart arcs)."""
+    fsm, nsat = build_fsm([[5, 6]], vocab_size=10, max_states=3)
+    s = 0
+    for tok in [5, 5, 6]:
+        s = int(np.argmax(fsm[s, :, tok]))
+    assert nsat[s] == 1, (s, nsat)
+    # a genuine failure token still falls back to the source state
+    s = 0
+    s = int(np.argmax(fsm[s, :, 5]))       # enter chain
+    s = int(np.argmax(fsm[s, :, 7]))       # fail with unrelated token
+    assert s == 0
+
+
+def test_select_best_skips_dead_beams_per_item():
+    """Never-populated beams carry the finite NEG_INF sentinel; they must
+    not win, and the unconstrained fallback is PER ITEM."""
+    from mvp_pytorch_tpu.models.cbs import select_best_beam_with_constraints
+    seqs = np.arange(2 * 2 * 2 * 3).reshape(2, 2, 2, 3)
+    logp = np.full((2, 2, 2), -1e9)
+    nsat = np.array([0, 1])
+    logp[0, 1, 0] = -1.0     # item 0: live constraint-satisfying beam
+    logp[0, 0, 0] = -0.5     # ... and a better unconstrained one
+    logp[1, 0, 0] = -0.3     # item 1: only an unconstrained beam is live
+    best, scores = select_best_beam_with_constraints(seqs, logp, nsat, 1)
+    np.testing.assert_array_equal(best[0], seqs[0, 1, 0])   # constrained
+    np.testing.assert_array_equal(best[1], seqs[1, 0, 0])   # fallback
+    np.testing.assert_allclose(scores, [-1.0, -0.3])

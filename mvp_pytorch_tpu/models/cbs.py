@@ -124,27 +124,30 @@ def constrained_beam_search(logits_fn, fsm: jax.Array, bos_token_id: int,
     # finished beams: only candidate is self-loop (dst == src) emitting PAD
     # with 0 added logprob, so an early EOS neither accumulates score nor
     # changes FSM state (reference keeps finished hypotheses per state)
-    self_loop = jnp.where(jnp.eye(s, dtype=bool)[None, :, :, None, None],
-                          0.0, NEG_INF)             # [1, src, dst, 1, 1]
-    pad_only = jnp.where(jnp.arange(v) == pad_token_id, 0.0, NEG_INF
-                         )[None, None, None, None, :]  # [...,V]
+    pad_vec = (jnp.arange(v) == pad_token_id)        # [V]
 
     def step(carry, t):
         tokens, logp, finished = carry
         flat = tokens.reshape(b * s * k, max_len)
         lg = logits_fn(flat)[:, t, :].astype(jnp.float32)
         lp_tok = jax.nn.log_softmax(lg, -1).reshape(b, s, k, v)
-        # candidate scores into each destination state:
-        # [B, s_src, K, V] + trans [B, s_src, s_dst, V]
-        base = logp[:, :, None, :, None]             # [B, src, 1, K, 1]
-        alive_cand = base + lp_tok[:, :, None, :, :] \
-            + trans_bias[:, :, :, None, :]           # [B, src, dst, K, V]
-        fin_cand = base + self_loop + pad_only
-        fin_e = finished[:, :, None, :, None]        # [B, src, 1, K, 1]
-        cand = jnp.where(fin_e, fin_cand, alive_cand)
-        cand = jnp.swapaxes(cand, 1, 2)              # [B, dst, src, K, V]
-        flat_cand = cand.reshape(b, s, s * k * v)
-        top_lp, top_idx = jax.lax.top_k(flat_cand, k)     # [B, dst, K]
+        base = logp[:, :, :, None]                   # [B, src, K, 1]
+        fin_e = finished[:, :, :, None]              # [B, src, K, 1]
+
+        # scan over DESTINATION states: materializing the full
+        # [B, src, dst, K, V] cross product costs S x more memory than
+        # one destination's [B, src, K, V] slab (S^2*K*V blows past HBM
+        # at realistic multi-constraint state counts)
+        def per_dst(dst):
+            alive = base + lp_tok + trans_bias[:, :, dst, None, :]
+            is_self = (jnp.arange(s) == dst)[None, :, None, None]
+            fin_cand = base + jnp.where(pad_vec & is_self, 0.0, NEG_INF)
+            cand = jnp.where(fin_e, fin_cand, alive)  # [B, src, K, V]
+            return jax.lax.top_k(cand.reshape(b, s * k * v), k)
+
+        top_lp, top_idx = jax.lax.map(per_dst, jnp.arange(s))
+        top_lp = jnp.moveaxis(top_lp, 0, 1)               # [B, dst, K]
+        top_idx = jnp.moveaxis(top_idx, 0, 1)
         src = top_idx // (k * v)
         beam = (top_idx // v) % k
         tok = top_idx % v

@@ -28,8 +28,14 @@ def _build() -> bool:
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                   < os.path.getmtime(_SRC)):
+    have_so = os.path.exists(_SO)
+    have_src = os.path.exists(_SRC)
+    if not have_so and not have_src:
+        return None            # nothing to load or build — pure-py fallback
+    # rebuild only when the source is present and newer than the .so; a
+    # prebuilt .so without the source (packaged deploy) loads as-is
+    if have_src and (not have_so
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         if not _build():
             return None
     try:

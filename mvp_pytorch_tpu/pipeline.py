@@ -148,16 +148,31 @@ class InferencePipeline:
         if not os.path.exists(jar) or not self.sg2id:
             return []
         os.makedirs(self.phrase_cache_dir, exist_ok=True)
-        tmp_in = os.path.join(self.phrase_cache_dir, "tmp_input.json")
-        tmp_out = os.path.join(self.phrase_cache_dir, "tmp_output.json")
-        with open(tmp_in, "w") as f:
-            json.dump([{"image_id": "null", "test": text.lower(),
-                        "refs": []}], f)
-        subprocess.run(
-            ["java", "-Xmx8G", "-jar", jar, tmp_in, "-out", tmp_out,
-             "-threads", "20", "-detailed", "-silent"], check=True)
-        with open(tmp_out) as f:
-            tuples = json.load(f)[0]["test_tuples"]
+        # per-call temp files: fixed names in the shared per-user cache
+        # dir race across concurrent pipelines/serve processes (one
+        # request would silently receive another's phrase ids)
+        import tempfile
+        fd_in, tmp_in = tempfile.mkstemp(suffix=".json", prefix="spice_in_",
+                                         dir=self.phrase_cache_dir)
+        fd_out, tmp_out = tempfile.mkstemp(suffix=".json",
+                                           prefix="spice_out_",
+                                           dir=self.phrase_cache_dir)
+        try:
+            with os.fdopen(fd_in, "w") as f:
+                json.dump([{"image_id": "null", "test": text.lower(),
+                            "refs": []}], f)
+            os.close(fd_out)
+            subprocess.run(
+                ["java", "-Xmx8G", "-jar", jar, tmp_in, "-out", tmp_out,
+                 "-threads", "20", "-detailed", "-silent"], check=True)
+            with open(tmp_out) as f:
+                tuples = json.load(f)[0]["test_tuples"]
+        finally:
+            for p in (tmp_in, tmp_out):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
         nodes = [tuple(t["tuple"]) for t in tuples]
         return [self.sg2id[t] for t in nodes if t in self.sg2id]
 
@@ -203,8 +218,7 @@ class InferencePipeline:
         for i in range(0, len(exs), batch_size):
             chunk = exs[i:i + batch_size]
             n = len(chunk)
-            while len(chunk) < batch_size and exs:
-                chunk = chunk + [chunk[-1]]
+            chunk = chunk + [chunk[-1]] * (batch_size - n)
             batch = {k: jnp.asarray(v) for k, v in collate(chunk).items()}
             out = self._jit_fwd_batch(self.params, batch)
             if self.model_name == "mlm":

@@ -61,7 +61,12 @@ class MicroBatcher:
         done = threading.Event()
         holder = {}
         self.q.put((item, done, holder))
-        done.wait()
+        # bounded waits + worker-liveness check: a dead worker must fail
+        # requests loudly instead of wedging every HTTP thread forever
+        while not done.wait(timeout=1.0):
+            if not self._worker.is_alive():
+                raise RuntimeError(
+                    f"batcher worker for this mode died; request dropped")
         if "error" in holder:
             raise holder["error"]
         return holder["result"]
@@ -113,9 +118,10 @@ class MicroBatcher:
 def build_pipelines(args):
     from ..data.datasets import FeatureStore
     from ..pipeline import InferencePipeline
-    od = None
+    od = store = None
     if args.feature_tsv:
-        od = FeatureStore(args.feature_tsv, feature_dim=args.img_feature_dim)
+        od = store = FeatureStore(args.feature_tsv,
+                                  feature_dim=args.img_feature_dim)
     elif args.od_model:
         od = args.od_model
     pipes = {}
@@ -127,10 +133,10 @@ def build_pipelines(args):
             max_img_seq_length=args.max_img_seq_length,
             max_tag_length=args.max_tag_length,
             max_phrases=args.max_phrases)
-    return pipes
+    return pipes, store
 
 
-def make_handler(pipes, batchers, device_lock):
+def make_handler(pipes, batchers, device_lock, max_batch: int = 16):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
             body = json.dumps(payload).encode()
@@ -159,7 +165,11 @@ def make_handler(pipes, batchers, device_lock):
                     mode = req.get("mode", "mlm")
                     pairs = [(p[0], p[1]) for p in req["pairs"]]
                     with device_lock:
-                        out = pipes[mode].inference_batch(pairs)
+                        # same batch_size as the warmed micro-batcher so
+                        # this path never recompiles at a new shape while
+                        # holding the device lock
+                        out = pipes[mode].inference_batch(
+                            pairs, batch_size=max_batch)
                     if mode == "embedding":
                         out = [{k: v.tolist() for k, v in r.items()}
                                for r in out]
@@ -222,15 +232,13 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    pipes = build_pipelines(args)
+    pipes, store = build_pipelines(args)
     # warm the jitted forwards so the first request is not the compile
     # (only possible with the precomputed-features backend: any stored
-    # image id works as a dummy)
-    if args.feature_tsv:
-        from ..data.datasets import FeatureStore
-        store = FeatureStore(args.feature_tsv,
-                             feature_dim=args.img_feature_dim)
-        first_img = store.keys()[0]
+    # image id works as a dummy; reuse the store build_pipelines already
+    # parsed — re-reading a dataset-scale index doubles startup)
+    if store is not None:
+        first_img = next(iter(store.keys()))
         for mode, pipe in pipes.items():
             try:
                 pipe.inference(first_img, "warmup [MASK]")
@@ -243,8 +251,9 @@ def main(argv=None):
     device_lock = threading.Lock()
     batchers = make_batchers(pipes, device_lock, args.max_batch,
                              args.batch_wait_ms)
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(pipes, batchers, device_lock))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(pipes, batchers, device_lock, args.max_batch))
     print(f"serving {list(pipes)} on http://{args.host}:{args.port} "
           f"(micro-batch <= {args.max_batch}, wait {args.batch_wait_ms} ms)")
     server.serve_forever()

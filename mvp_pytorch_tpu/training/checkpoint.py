@@ -72,6 +72,14 @@ def _atomic_write(path: str, blob: bytes) -> None:
     os.replace(tmp, path)
 
 
+def _atomic_write_text(path: str, text: str) -> None:
+    _atomic_write(path, text.encode("utf-8"))
+
+
+TOKENIZER_FILES = ("vocab.txt", "tokenizer_config.json",
+                   "special_tokens_map.json")
+
+
 def load_pretrained(directory: str,
                     target: Any = None) -> Tuple[ModelConfig, Any]:
     config = ModelConfig.from_pretrained(directory)
@@ -105,16 +113,29 @@ class CheckpointManager:
         if opt_state is not None:
             blob = _serialize(opt_state)
             _retry(lambda: _atomic_write(os.path.join(d, OPT_NAME), blob))
+        # copy tokenizer files from the output root into the checkpoint
+        # dir so each checkpoint satisfies the full from_pretrained /
+        # InferencePipeline contract (config + weights + vocab) on its own
+        import shutil
+        for fname in TOKENIZER_FILES:
+            src = os.path.join(self.output_dir, fname)
+            if os.path.exists(src):
+                _retry(lambda s=src, f=fname: shutil.copyfile(
+                    s, os.path.join(d, f)))
         meta = {"step": step}
         if extra:
             meta.update(extra)
-        with open(os.path.join(d, TRAIN_STATE_NAME), "w") as f:
-            json.dump(meta, f)
+        _retry(lambda: _atomic_write_text(
+            os.path.join(d, TRAIN_STATE_NAME), json.dumps(meta)))
         if args is not None:
-            with open(os.path.join(d, ARGS_NAME), "w") as f:
-                json.dump(args, f, indent=2, default=str)
-        with open(os.path.join(self.output_dir, LAST_CHECKPOINT), "w") as f:
-            f.write(os.path.basename(d))
+            _retry(lambda: _atomic_write_text(
+                os.path.join(d, ARGS_NAME),
+                json.dumps(args, indent=2, default=str)))
+        # the pointer write is atomic + retried too: a truncated pointer
+        # after a crash would otherwise break resume
+        _retry(lambda: _atomic_write_text(
+            os.path.join(self.output_dir, LAST_CHECKPOINT),
+            os.path.basename(d)))
         self._gc()
         return d
 
@@ -129,17 +150,38 @@ class CheckpointManager:
                           ignore_errors=True)
 
     def latest(self) -> Optional[Tuple[int, str]]:
-        """(step, dir) of the last checkpoint, or None."""
+        """(step, dir) of the last checkpoint, or None.
+
+        A corrupt/empty pointer (crash mid-write on storage without
+        atomic rename) falls back to scanning the checkpoint dirs
+        instead of aborting resume or silently restarting from 0."""
         pointer = os.path.join(self.output_dir, LAST_CHECKPOINT)
-        if not os.path.exists(pointer):
-            return None
-        with open(pointer) as f:
-            name = f.read().strip()
-        d = os.path.join(self.output_dir, name)
-        if not os.path.isdir(d):
-            return None
-        step = int(name.split("-")[-1])
-        return step, d
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                name = f.read().strip()
+            d = os.path.join(self.output_dir, name)
+            try:
+                step = int(name.split("-")[-1])
+            except ValueError:
+                step = None
+            if step is not None and name.startswith("checkpoint-") \
+                    and os.path.isdir(d):
+                return step, d
+        # fallback: newest intact checkpoint dir on disk
+        best = None
+        for name in os.listdir(self.output_dir):
+            if not name.startswith("checkpoint-"):
+                continue
+            d = os.path.join(self.output_dir, name)
+            if not os.path.exists(os.path.join(d, WEIGHTS_NAME)):
+                continue
+            try:
+                step = int(name.split("-")[-1])
+            except ValueError:
+                continue
+            if best is None or step > best[0]:
+                best = (step, d)
+        return best
 
     def restore(self, directory: str, params_target: Any = None,
                 opt_target: Any = None):

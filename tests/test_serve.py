@@ -136,7 +136,7 @@ def server(tmp_path_factory):
         od_model=None, id2phrase=paths["id2phrase"], img_feature_dim=2054,
         max_seq_length=30, max_img_seq_length=50, max_tag_length=20,
         max_phrases=5)
-    pipes = serve.build_pipelines(args)
+    pipes, _ = serve.build_pipelines(args)
     lock = threading.Lock()
     batchers = serve.make_batchers(pipes, lock, max_batch=8, wait_ms=20.0)
     httpd = serve.ThreadingHTTPServer(

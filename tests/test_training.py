@@ -187,3 +187,33 @@ def test_training_with_dropout_rngs(devices):
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     # dropout + different fold_in rng: consecutive losses differ
     assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_checkpoint_self_contained_and_pointer_fallback(tmp_path):
+    """Each checkpoint dir must satisfy the full from_pretrained contract
+    on its own (config + weights + tokenizer files), and a corrupt
+    last_checkpoint pointer must fall back to scanning intact dirs."""
+    import numpy as np
+    from mvp_pytorch_tpu.models import tiny_config
+    from mvp_pytorch_tpu.training.checkpoint import (CheckpointManager,
+                                                     LAST_CHECKPOINT)
+
+    out = str(tmp_path / "run")
+    mgr = CheckpointManager(out)
+    (tmp_path / "run" / "vocab.txt").write_text("[PAD]\n[UNK]\nhello\n")
+    params = {"w": np.ones((3, 3), np.float32)}
+    d1 = mgr.save(100, params, config=tiny_config())
+    d2 = mgr.save(200, params, config=tiny_config())
+    import os
+    assert os.path.exists(os.path.join(d1, "vocab.txt"))
+    assert os.path.exists(os.path.join(d2, "vocab.txt"))
+    assert mgr.latest()[0] == 200
+    # corrupt pointer: empty file -> fallback scans to the newest intact
+    with open(os.path.join(out, LAST_CHECKPOINT), "w") as f:
+        f.write("")
+    step, d = mgr.latest()
+    assert step == 200 and d.endswith("checkpoint-0000200")
+    # garbage pointer too
+    with open(os.path.join(out, LAST_CHECKPOINT), "w") as f:
+        f.write("checkpoint-xx")
+    assert mgr.latest()[0] == 200

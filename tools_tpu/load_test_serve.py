@@ -124,7 +124,7 @@ def main():
         od_model=None, id2phrase=paths["id2phrase"], img_feature_dim=2054,
         max_seq_length=30, max_img_seq_length=50, max_tag_length=20,
         max_phrases=5)
-    pipes = serve.build_pipelines(sargs)
+    pipes, _ = serve.build_pipelines(sargs)
     pipes["mlm"].inference("img_0000", "warm [MASK]")
     out = {}
     for label, mb in [("batched", args.max_batch), ("unbatched", 1)]:

@@ -93,10 +93,35 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     saved without tie_weights), we warn — such checkpoints relied on the
     decoder weights as stored, which a functionally-tied head cannot
     represent."""
+    # a bare backbone checkpoint (saved from BertImgModel/BiBertImgModel
+    # itself, no 'bert.' base prefix — the reference loader handles both,
+    # modeling_utils.py:843-851) gets the prefix injected so one mapping
+    # table covers both layouts
+    has_bert_prefix = any(key.startswith("bert.") for key in sd)
+    _BARE_BACKBONE_RE = re.compile(
+        r"(embeddings\.|encoder\.|txt_encoder\.|vis_encoder\.|mul_encoder\."
+        r"|pooler\.|img_embedding\.|LayerNorm\.|txt_proj$|vis_proj$"
+        r"|code_embeddings\.)")
     emb = sd.get("bert.embeddings.word_embeddings.weight")
+    if emb is None and not has_bert_prefix:
+        emb = sd.get("embeddings.word_embeddings.weight")
+
+    def _is_tied_to_embeddings(dec) -> bool:
+        return (emb is not None and dec.shape[0] <= emb.shape[0]
+                and np.allclose(dec, emb[: dec.shape[0]], atol=1e-5))
+
+    # `cls.predictions.*` is ambiguous between the (tied) MLM head and
+    # BertVQAHeads (reference modeling_vlbert.py:983-990 wraps
+    # BertQAPredictionHead under the same attribute path): a decoder that
+    # is NOT the embedding slice is the trained VQA answer classifier and
+    # must be mapped, not dropped
+    _vqa_dec = sd.get("cls.predictions.decoder.weight")
+    cls_pred_is_vqa = (_vqa_dec is not None
+                       and not _is_tied_to_embeddings(_vqa_dec))
     for dec_key in ("cls.predictions.decoder.weight", "half_mlm.decoder.weight"):
         dec = sd.get(dec_key)
-        if dec is not None and emb is not None:
+        if dec is not None and emb is not None \
+                and not (dec_key.startswith("cls.") and cls_pred_is_vqa):
             n = dec.shape[0]
             if not np.allclose(dec, emb[:n], atol=1e-5):
                 print(f"convert WARNING: {dec_key} is not tied to the "
@@ -111,6 +136,8 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
         transpose = False
         # strip an optional leading base prefix stack: model-level names
         k = key
+        if not has_bert_prefix and _BARE_BACKBONE_RE.match(k):
+            k = "bert." + k
 
         # --- backbone ---
         m = re.match(r"bert\.embeddings\.(word|position|token_type)"
@@ -146,11 +173,15 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
 
         # --- heads ---
         if path is None:
+            # cls.predictions.* routes to the VQA head ('cls' in
+            # VQAModel) when the decoder is a real answer classifier,
+            # else to the (functionally tied) MLM head
+            cls_pred = "cls" if cls_pred_is_vqa else "cls_predictions"
             head_maps = {
                 "cls.predictions.transform.dense.": (
-                    ["cls_predictions", "transform", "dense"], True),
+                    [cls_pred, "transform", "dense"], True),
                 "cls.predictions.transform.LayerNorm.": (
-                    ["cls_predictions", "transform", "LayerNorm"], False),
+                    [cls_pred, "transform", "LayerNorm"], False),
                 "half_mlm.transform.dense.": (
                     ["half_mlm", "transform", "dense"], True),
                 "half_mlm.transform.LayerNorm.": (
@@ -161,7 +192,14 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                 # QA-pair contrastive head (BiBertImgForPreTraining2,
                 # reference modeling_vlbert_pretrain.py:2760)
                 "qa_seq_relation.": (["qa_seq_relation"], True),
-                "cls.predictions.decoder.": None,   # tied: dropped
+                # MRF/MRC pretraining heads (VLBertPreTrainingHeads,
+                # reference modeling_vlbert.py:993-1021)
+                "cls.MRF_predictor.0.": (["mrf_mrc", "mrf_dense"], True),
+                "cls.MRF_predictor.2.": (["mrf_mrc", "mrf_norm"], False),
+                "cls.MRC_predictor.": (["mrf_mrc", "mrc"], True),
+                "cls.predictions.decoder.": (
+                    ([cls_pred, "decoder"], True) if cls_pred_is_vqa
+                    else None),             # tied MLM decoder: dropped
                 "half_mlm.decoder.": None,
             }
             for prefix, spec in head_maps.items():
@@ -171,7 +209,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                         break
                     base, is_dense = spec
                     leaf = k[len(prefix):]
-                    if "LayerNorm" in prefix:
+                    if not is_dense:   # LayerNorm entries (weight -> scale)
                         path = base + ["scale" if leaf == "weight" else "bias"]
                     elif leaf == "weight":
                         path = base + ["kernel"]
@@ -180,9 +218,13 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                         path = base + ["bias"]
                     break
             if path is None and k == "cls.predictions.bias":
-                path = ["cls_predictions", "bias"]
+                path = [cls_pred, "bias"]
             if path is None and k == "half_mlm.bias":
                 path = ["half_mlm", "bias"]
+            if path is None and k == "cls.MRF_bias":
+                path = ["mrf_mrc", "mrf_bias"]
+            if path is None and k == "bert.code_embeddings.weight":
+                path = ["bert", "code_embeddings", "embedding"]
 
         # --- classifiers (linear or Sequential mlp) ---
         if path is None:

@@ -86,15 +86,23 @@ class ImgBertModel(nn.Module):
                 if ft == "dis_code_t":
                     code = jnp.swapaxes(code, 1, 2)
                 img = self.img_embedding(code)
+                # reference applies dropout only to CONTINUOUS features
+                # (modeling_vlbert.py:315-325 — the dis_code paths never
+                # call self.dropout)
             else:
                 img = self.img_embedding(img_feats)
                 if self.config.use_img_layernorm:
                     img = self.img_norm(img)
-            img = self.img_dropout(img, deterministic=deterministic)
+                img = self.img_dropout(img, deterministic=deterministic)
             emb = jnp.concatenate([emb, img.astype(emb.dtype)], axis=1)
         if attention_mask is None:
             attention_mask = jnp.ones(emb.shape[:2], jnp.int32)
-        bias = mask_to_bias(attention_mask)
+        # per-layer "stage attention" mask LISTS pass through to the
+        # encoder's per-layer bias support (reference :265-276)
+        if isinstance(attention_mask, (list, tuple)):
+            bias = [mask_to_bias(m) for m in attention_mask]
+        else:
+            bias = mask_to_bias(attention_mask)
         seq, _ = self.encoder(emb, bias, deterministic=deterministic)
         return seq, self.pooler(seq)
 
@@ -119,7 +127,8 @@ class ImgBertForPreTraining(nn.Module):
 
     def __call__(self, input_ids, attention_mask, token_type_ids, img_feats,
                  masked_lm_labels, next_sentence_label=None,
-                 masked_region_labels=None, masked_region_targets=None, *,
+                 masked_region_labels=None, masked_region_targets=None,
+                 masked_region_flags=None, *,
                  max_pred: int = 20, deterministic: bool = False):
         seq, pooled = self.bert(input_ids, attention_mask, token_type_ids,
                                 img_feats=img_feats,
@@ -134,7 +143,11 @@ class ImgBertForPreTraining(nn.Module):
         out = {"mlm_loss": mlm_loss}
         if next_sentence_label is not None:
             itm_logits = self.seq_relationship(pooled)
-            itm_loss = cross_entropy(itm_logits, next_sentence_label)
+            # reference uses CrossEntropyLoss(ignore_index=-1)
+            # (modeling_vlbert_pretrain.py:2206): -1 rows contribute nothing
+            itm_w = (next_sentence_label >= 0).astype(jnp.float32)
+            itm_loss = masked_cross_entropy(
+                itm_logits, jnp.maximum(next_sentence_label, 0), itm_w)
             total = total + itm_loss
             out["itm_loss"] = itm_loss
         if self.use_mrfr and masked_region_labels is not None:
@@ -144,9 +157,15 @@ class ImgBertForPreTraining(nn.Module):
             w = (masked_region_labels >= 0).astype(jnp.float32)
             mrc_loss = masked_cross_entropy(mrc_score, masked_region_labels,
                                             w)
-            mrf_loss = jnp.sum(w[..., None] * (
+            # MRF regresses on the MASKED flags (reference
+            # modeling_vlbert_pretrain.py:2215-2218), which include
+            # regions whose tag is out of the label vocab (label -1);
+            # the MRC-label fallback keeps old callers working
+            w_mrf = (masked_region_flags.astype(jnp.float32)
+                     if masked_region_flags is not None else w)
+            mrf_loss = jnp.sum(w_mrf[..., None] * (
                 mrf_feat - masked_region_targets.astype(jnp.float32)) ** 2
-                ) / jnp.maximum(jnp.sum(w) * mrf_feat.shape[-1], 1.0)
+                ) / jnp.maximum(jnp.sum(w_mrf) * mrf_feat.shape[-1], 1.0)
             total = total + mrc_loss + mrf_loss
             out.update(mrc_loss=mrc_loss, mrf_loss=mrf_loss)
         out["total_loss"] = total
@@ -226,10 +245,13 @@ def captioning_loss(logits, targets, weights, *, label_smoothing: float = 0.1,
     if drop_worst_ratio <= 0:
         return plain
     # rank masked losses ascending (unmasked -> +inf, never kept); keep the
-    # smallest ceil(n_masked * (1 - ratio)) of them — dynamic count, fixed
-    # shapes (double-argsort rank trick).
+    # smallest floor(n_masked * (1 - ratio)) of them — the reference's
+    # int() truncation (modeling_vlbert_pretrain.py:1557-1559); dynamic
+    # count, fixed shapes (double-argsort rank trick). At least 1 kept so
+    # tiny mask counts never zero the loss.
     n_masked = jnp.sum(wflat)
-    keep_count = jnp.ceil(n_masked * (1.0 - drop_worst_ratio))
+    keep_count = jnp.maximum(
+        jnp.floor(n_masked * (1.0 - drop_worst_ratio)), 1.0)
     cand = jnp.where(wflat > 0, flat, jnp.inf)
     ranks = jnp.argsort(jnp.argsort(cand))
     keep = (ranks < keep_count) & (wflat > 0)

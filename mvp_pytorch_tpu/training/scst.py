@@ -27,23 +27,37 @@ class ScstReward:
         self.baseline_type = baseline_type
 
     def rewards(self, sampled: List[List[str]], greedy: List[List[str]],
-                references: List[List[List[str]]]) -> np.ndarray:
-        """advantage per sampled caption (reward - baseline)."""
+                references: List[List[List[str]]],
+                seq_per_img: int = 1) -> np.ndarray:
+        """advantage per sampled caption (reward - baseline).
+
+        'sample' baseline is the reference's PER-IMAGE leave-one-out mean
+        over that image's own samples (caption_evaluate.py:143-144) — a
+        corpus-wide mean would reward captions merely because their image
+        is easy."""
         _, r_sample = self.scorer.compute(sampled, references)
         if self.baseline_type == "greedy":
             _, r_base = self.scorer.compute(greedy, references)
         else:
-            r_base = np.full_like(r_sample, r_sample.mean())
+            sc = r_sample.reshape(-1, seq_per_img)
+            if seq_per_img > 1:
+                base = (sc.sum(1, keepdims=True) - sc) / (seq_per_img - 1)
+            else:
+                base = np.zeros_like(sc)
+            r_base = base.reshape(-1)
         return r_sample - r_base
 
 
 def scst_loss(sample_logprobs: jnp.ndarray, sample_mask: jnp.ndarray,
               advantages: jnp.ndarray) -> jnp.ndarray:
-    """-E[(r - b) * sum logp] (reference :115-196).
+    """mean over sequences of -(r - b) * sum logp (reference :153-155:
+    `(-sample_logprobs * reward).mean()` over per-sequence logprobs).
 
     sample_logprobs/sample_mask: [N, L]; advantages: [N] (host rewards).
+    Normalizing by SEQUENCES, not tokens, matches the reference — a
+    token-count denominator shrinks the gradient by the mean caption
+    length and couples the effective LR to batch caption lengths.
     """
     adv = jnp.asarray(advantages, jnp.float32)
     token_lp = jnp.sum(sample_logprobs * sample_mask, axis=1)
-    denom = jnp.maximum(jnp.sum(sample_mask), 1.0)
-    return -jnp.sum(adv * token_lp) / denom
+    return -jnp.mean(adv * token_lp)

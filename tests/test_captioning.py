@@ -144,7 +144,9 @@ def test_captioning_loss_drop_worst_sparse_mask():
     logp = np.asarray(jax.nn.log_softmax(np.asarray(logits), -1))
     nll = -np.take_along_axis(logp, np.asarray(tgt)[..., None], -1)[..., 0]
     masked = nll[np.asarray(w) > 0]                 # 12 values
-    keep = int(np.ceil(len(masked) * 0.8))          # 10 smallest
+    # reference keep count is int() truncation (floor), not ceil
+    # (modeling_vlbert_pretrain.py:1557-1559)
+    keep = max(int(len(masked) * 0.8), 1)           # 9 smallest
     expect = np.sort(masked)[:keep].mean()
     np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
 
@@ -405,15 +407,25 @@ def test_cider_scorer():
 
 def test_scst_loss_sign():
     rew = ScstReward(baseline_type="sample")
-    # distinct references per doc (with one shared doc IDF would be 0)
-    adv = rew.rewards([["two", "dogs"], ["junk", "words"]],
-                      greedy=[["two", "dogs"], ["junk", "words"]],
-                      references=[[["two", "dogs"]], [["a", "man", "rides"]]])
+    # two images x two samples each: the reference 'sample' baseline is
+    # the per-image leave-one-out mean (caption_evaluate.py:143-144), so
+    # at 2 samples each advantage is the score gap to the image's OTHER
+    # sample (two images so the matching n-grams keep nonzero IDF)
+    refs_a = [["two", "dogs"]]
+    refs_b = [["a", "man", "rides"]]
+    adv = rew.rewards(
+        [["two", "dogs"], ["junk", "words"],
+         ["a", "man", "rides"], ["junk", "junk"]],
+        greedy=[[]] * 4,
+        references=[refs_a, refs_a, refs_b, refs_b], seq_per_img=2)
     assert adv[0] > 0 > adv[1]
-    lp = jnp.asarray([[-1.0, -1.0], [-1.0, -1.0]])
-    mask = jnp.ones((2, 2))
+    np.testing.assert_allclose(adv[0], -adv[1])
+    assert adv[2] > 0 > adv[3]
+    lp = jnp.full((4, 2), -1.0)
+    mask = jnp.ones((4, 2))
     loss = scst_loss(lp, mask, adv)
     assert np.isfinite(float(loss))
     # increasing the good sample's logprob must reduce the loss
-    lp2 = jnp.asarray([[-0.5, -0.5], [-1.0, -1.0]])
+    lp2 = jnp.asarray([[-0.5, -0.5], [-1.0, -1.0],
+                       [-1.0, -1.0], [-1.0, -1.0]])
     assert float(scst_loss(lp2, mask, adv)) < float(loss)

@@ -135,10 +135,14 @@ class NLVRProcessor(DataProcessor):
         records = self._read_jsonl(os.path.join(data_dir, f"{split}.jsonl"))
         out = []
         for i, r in enumerate(records):
+            # unlabeled (test-split) records keep label=None rather than
+            # fabricating a "False" negative
+            raw_label = r.get("label")
             out.append(InputExample(
                 guid=f"{split}-{i}", text_a=r["sentence"],
                 text_b=r.get("od_labels"),
-                label=1 if str(r.get("label")).lower() == "true" else 0,
+                label=(None if raw_label is None
+                       else (1 if str(raw_label).lower() == "true" else 0)),
                 img_key=json.dumps([r.get("img0"), r.get("img1")]),
                 phrases=r.get("phrases", [])))
         return out
@@ -168,26 +172,40 @@ class VCRProcessor(DataProcessor):
         out = []
         for i, r in enumerate(records):
             q = r["question"]
+            a_label = r.get("answer_label")
+            r_label = r.get("rationale_label")
             if self.mode == "qa":
                 choices = r["answer_choices"]
-                label = r.get("answer_label")
+                label = a_label
                 text_a = q
             elif self.mode == "qar":
-                ans = r["answer_choices"][r["answer_label"]]
+                # unlabeled records (test split) have no gold answer to
+                # condition on: use answer 0 like unlabeled 'qa' mode
+                # tolerates missing labels, and emit label=None
+                ans = r["answer_choices"][a_label if a_label is not None
+                                          else 0]
                 text_a = f"{q} {ans}"
                 choices = r["rationale_choices"]
-                label = r.get("rationale_label")
-            else:  # q_ar: joint answer+rationale, 16 combos flattened to 4x4
+                label = r_label
+            else:  # q_ar: joint answer+rationale combos (AxR flattened)
+                n_rat = len(r["rationale_choices"])
                 choices = [f"{a} {rat}" for a in r["answer_choices"]
                            for rat in r["rationale_choices"]]
-                label = (r.get("answer_label", 0) * 4
-                         + r.get("rationale_label", 0))
+                # gold combo index uses the ACTUAL rationale count (not a
+                # hardcoded 4); unlabeled -> None, no fabricated gold
+                label = (None if a_label is None or r_label is None
+                         else a_label * n_rat + r_label)
                 text_a = q
+            img_key = r.get("img_id", r.get("image_id"))
+            if img_key is None:
+                raise KeyError(
+                    f"VCR record {split}-{i} has neither img_id nor "
+                    "image_id")
             for j, choice in enumerate(choices):
                 out.append(InputExample(
                     guid=f"{split}-{i}-{j}", text_a=text_a, text_b=choice,
-                    label=1 if j == label else 0,
-                    img_key=str(r.get("img_id", r.get("image_id"))),
+                    label=(0 if label is None else (1 if j == label else 0)),
+                    img_key=str(img_key),
                     phrases=r.get("phrases", [])))
         return out
 

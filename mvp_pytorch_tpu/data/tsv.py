@@ -69,19 +69,26 @@ class TSVFile:
         self._ensure_lineidx()
         fp = self._fp()
         fp.seek(self._lineidx[idx])
-        return fp.readline().decode("utf-8").rstrip("\n").split("\t")
+        # rstrip \r too: CRLF-prepared TSVs otherwise leave '\r' glued to
+        # the last field (the reference strips per field, tsv_file.py)
+        return fp.readline().decode("utf-8").rstrip("\r\n").split("\t")
 
     def __getitem__(self, idx: int) -> List[str]:
         return self.seek(idx)
 
 
 def tsv_concat(sources: Sequence[str], out_path: str) -> None:
-    """Concatenate TSVs (reference tsv_file_ops concat helper)."""
+    """Concatenate TSVs (reference tsv_file_ops concat helper).
+
+    Streams lines sequentially — no .lineidx sidecar is needed (or
+    built) for the sources, which may live in read-only dataset dirs."""
     def rows():
         for src in sources:
-            t = TSVFile(src)
-            for i in range(len(t)):
-                yield t.seek(i)
+            with open(src, "rb") as f:
+                for line in f:
+                    line = line.decode("utf-8").rstrip("\r\n")
+                    if line:
+                        yield line.split("\t")
     tsv_writer(rows(), out_path)
 
 
@@ -112,5 +119,9 @@ def tsv_writer(rows: Iterable[Sequence], tsv_path: str) -> None:
             idx.write(f"{pos}\n")
             f.write(line)
             pos += len(line)
-    os.replace(tmp, tsv_path)
+    # lineidx FIRST: a crash between the two renames then pairs the NEW
+    # index with the OLD tsv, where stale offsets fail loudly (short
+    # reads) — the reverse order pairs new tsv with old index, which
+    # returns silently garbled rows
     os.replace(idx_tmp, _lineidx_path(tsv_path))
+    os.replace(tmp, tsv_path)

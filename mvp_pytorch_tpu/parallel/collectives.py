@@ -5,10 +5,13 @@ Parity target: reference `oscar/sequential_eval_utils.py:11-80`
 sequentially across ranks with padding to a divisible size, all_gather the
 per-rank outputs, truncate the padding.
 
-TPU-native shape: the "sampler" is plain index arithmetic; the gather is
+TPU-native shape: the "sampler" is plain index arithmetic
+(`sequential_shards`); the gather is
 `jax.experimental.multihost_utils`-free because under a single-controller
-mesh a device_get of a sharded array IS the gather. For explicitly
-pjit/shard_map code paths we provide `all_gather_unpad`.
+mesh a device_get of a sharded array IS the gather — `unpad_concat`
+truncates the padding afterward, and `psum_metrics` reduces scalar
+metrics. Inside shard_map code, use `jax.lax.all_gather` directly and
+`unpad_concat` on the host result.
 """
 
 from __future__ import annotations

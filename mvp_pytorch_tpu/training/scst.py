@@ -35,10 +35,21 @@ class ScstReward:
         over that image's own samples (caption_evaluate.py:143-144) — a
         corpus-wide mean would reward captions merely because their image
         is easy."""
-        _, r_sample = self.scorer.compute(sampled, references)
         if self.baseline_type == "greedy":
-            _, r_base = self.scorer.compute(greedy, references)
+            # ONE scorer call over samples + greedy captions so both sit
+            # on the same TF-IDF corpus scale (the reference concatenates
+            # gen_res before scoring, caption_evaluate.py:130-140) — two
+            # calls would put reward and baseline on different IDF /
+            # log-ref-len scales whenever seq_per_img > 1
+            greedy_refs = [references[i * seq_per_img]
+                           for i in range(len(greedy))]
+            _, scores = self.scorer.compute(
+                list(sampled) + list(greedy),
+                list(references) + greedy_refs)
+            r_sample = scores[: len(sampled)]
+            r_base = np.repeat(scores[len(sampled):], seq_per_img)
         else:
+            _, r_sample = self.scorer.compute(sampled, references)
             sc = r_sample.reshape(-1, seq_per_img)
             if seq_per_img > 1:
                 base = (sc.sum(1, keepdims=True) - sc) / (seq_per_img - 1)

@@ -215,6 +215,11 @@ class FastBertTokenizer(BertTokenizer):
     def __init__(self, vocab_file: str, **kwargs):
         super().__init__(vocab_file, **kwargs)
         self._native = None
+        # the C path hardcodes lowercasing + punctuation splitting, so it
+        # is only equivalent to the default configuration
+        if not (self.do_basic_tokenize
+                and self.basic_tokenizer.do_lower_case):
+            return
         try:
             from .. import native
             if native.available:
@@ -223,21 +228,33 @@ class FastBertTokenizer(BertTokenizer):
                 self._native = native
         except Exception:
             self._native = None
+        # inputs the C path tokenizes DIFFERENTLY from the Python path:
+        # embedded special tokens (never_split keeps them whole) and DEL
+        # (a control char the Python cleaner strips) route to Python
+        self._py_only = tuple(self.basic_tokenizer.never_split) + ("\x7f",)
 
     @property
     def native_active(self) -> bool:
         return self._native is not None
 
+    def _native_ids(self, text: str):
+        if self._native is None or any(s in text for s in self._py_only):
+            return None
+        ids = self._native.tokenize_ascii(self._nv, text)
+        # the C buffer caps at 4096 tokens: a full buffer may be a
+        # truncation — redo such (rare, pathological) inputs in Python
+        if ids is not None and len(ids) >= 4096:
+            return None
+        return ids
+
     def encode(self, text: str):
-        if self._native is not None:
-            ids = self._native.tokenize_ascii(self._nv, text)
-            if ids is not None:
-                return ids
+        ids = self._native_ids(text)
+        if ids is not None:
+            return ids
         return super().encode(text)
 
     def tokenize(self, text: str):
-        if self._native is not None:
-            ids = self._native.tokenize_ascii(self._nv, text)
-            if ids is not None:
-                return self.convert_ids_to_tokens(ids)
+        ids = self._native_ids(text)
+        if ids is not None:
+            return self.convert_ids_to_tokens(ids)
         return super().tokenize(text)

@@ -16,9 +16,12 @@ import jax.numpy as jnp
 
 def _bilinear(fmap: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
     """Sample fmap [H, W, C] at float coords y/x [...]; returns [..., C].
-    Out-of-range coordinates clamp (maskrcnn-benchmark behavior for
-    sampling points inside clipped rois)."""
+    Samples outside [-1, H] x [-1, W] contribute ZERO (the
+    maskrcnn-benchmark CUDA kernel's empty-sample rule), so unclipped
+    boxes pool the same features as the reference; in-range coordinates
+    clamp at the border like the reference's edge handling."""
     h, w, _ = fmap.shape
+    valid = ((y >= -1.0) & (y <= float(h)) & (x >= -1.0) & (x <= float(w)))
     y = jnp.clip(y, 0.0, h - 1.0)
     x = jnp.clip(x, 0.0, w - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -31,8 +34,9 @@ def _bilinear(fmap: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
     v01 = fmap[y0, x1]
     v10 = fmap[y1, x0]
     v11 = fmap[y1, x1]
-    return ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
-            + wy * (1 - wx) * v10 + wy * wx * v11)
+    out = ((1 - wy) * (1 - wx) * v00 + (1 - wy) * wx * v01
+           + wy * (1 - wx) * v10 + wy * wx * v11)
+    return out * valid[..., None].astype(out.dtype)
 
 
 def roi_align(fmap: jax.Array, boxes: jax.Array, *, output_size: int = 7,

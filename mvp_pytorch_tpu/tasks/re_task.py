@@ -43,15 +43,28 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+_EVAL_FWD_CACHE: dict = {}
+
+
 def evaluate(args, model, variables, dataset, mt):
-    @jax.jit
-    def fwd(v, batch):
-        return model.apply(v, batch["input_ids_a"], batch["input_mask_a"],
-                           batch["segment_ids_a"], batch["input_ids_b"],
-                           batch["input_mask_b"], batch["segment_ids_b"],
-                           batch["img_feat"], max_tag_length=mt,
-                           mod=args.loss_mod,
-                           phrase_layer=args.phrase_layer)
+    # one jitted forward per configuration, reused across eval calls —
+    # a fresh @jax.jit closure per evaluate() retraces/recompiles the
+    # full model at EVERY periodic eval (jit caches by function identity)
+    key = (id(model), mt, args.loss_mod, args.phrase_layer)
+    if key not in _EVAL_FWD_CACHE:
+        @jax.jit
+        def fwd(v, batch):
+            return model.apply(v, batch["input_ids_a"],
+                               batch["input_mask_a"],
+                               batch["segment_ids_a"],
+                               batch["input_ids_b"],
+                               batch["input_mask_b"],
+                               batch["segment_ids_b"],
+                               batch["img_feat"], max_tag_length=mt,
+                               mod=args.loss_mod,
+                               phrase_layer=args.phrase_layer)
+        _EVAL_FWD_CACHE[key] = fwd
+    fwd = _EVAL_FWD_CACHE[key]
 
     bs = args.eval_batch_size
     use_det = dataset.det_boxes is not None
@@ -64,7 +77,7 @@ def evaluate(args, model, variables, dataset, mt):
                                                      bs - len(chunk))])
         batch = dataset.fetch(chunk)
         model_batch = {k: v for k, v in batch.items()
-                       if k not in ("det_label", "iou_mat")}
+                       if k not in ("det_label", "iou_mat", "label")}
         out = np.asarray(fwd(variables,
                              jax.tree_util.tree_map(jnp.asarray, model_batch)))
         n = min(bs, len(idx) - i)

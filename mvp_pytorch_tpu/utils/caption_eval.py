@@ -13,7 +13,7 @@ import math
 from collections import Counter
 from typing import Dict, List, Sequence
 
-from .cider import CiderScorer, ngram_counts
+from .cider import CiderScorer
 
 
 def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
@@ -24,7 +24,14 @@ def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
     cand_len = ref_len = 0
     for cand, refs in zip(candidates, references):
         cand_len += len(cand)
-        ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        # closest reference length; TIES keep the FIRST reference (the
+        # pycocoevalcap 'closest' convention — preferring the shorter ref
+        # on ties inflates the brevity penalty vs the reference scorer)
+        closest = len(refs[0])
+        for r in refs:
+            if abs(len(r) - len(cand)) < abs(closest - len(cand)):
+                closest = len(r)
+        ref_len += closest
         for n in range(1, max_n + 1):
             c_ngrams = Counter(tuple(cand[i:i + n])
                                for i in range(len(cand) - n + 1))

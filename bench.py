@@ -12,13 +12,25 @@ TPU-native speedups vs the reference path:
   outputs (the reference re-runs all three encoders per pair),
 - candidate gathers happen on-device (no host round trip between stages).
 
-Prints ONE JSON line:
+Output protocol (driver-proof, VERDICT r2 next #1): the headline JSON line
+is printed+flushed the MOMENT it is computed (~the first stage), each
+secondary metric streams as its own JSON line when it finishes, and the
+final line re-emits the headline with the full detail dict — so whichever
+line the driver tails (first JSON or last line), it sees the headline
+metric even if a wall-clock timeout kills the process mid-run:
   {"metric": ..., "value": pairs/sec/chip, "unit": "pairs/s", "vs_baseline": value/5000}
 Baseline: BASELINE.json north star = 5,000 image-text pairs/sec/chip.
+
+`BENCH_BUDGET_S` (default 480 s) bounds the run: each secondary stage only
+starts if its estimated cold cost fits in the remaining budget; skipped
+stages are reported in the final detail. The JAX persistent compilation
+cache (/tmp/jax_bench_cache) makes warm reruns skip the ~40 s/graph
+tunnel compiles.
 """
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -26,9 +38,37 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
+_T0 = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def _remaining():
+    return _BUDGET - (time.time() - _T0)
+
+
+def _emit(obj):
+    """One JSON object per stdout line, flushed immediately."""
+    print(json.dumps(obj), flush=True)
+
+
+def _headline(pairs_per_sec, detail):
+    return {
+        "metric": "flickr30k_two_stage_retrieval_scoring",
+        "value": round(pairs_per_sec, 1),
+        "unit": "image-text pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / 5000.0, 3),
+        "detail": detail,
+    }
+
 
 def main():
     import jax
+
+    # persistent compile cache: the driver's cold run reuses compiles from
+    # any earlier run on this host (tests/conftest.py does the same)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from mvp_pytorch_tpu.models import ModelConfig
     from mvp_pytorch_tpu.models.tasks import RetrievalModel
@@ -39,10 +79,9 @@ def main():
     LA = 75           # 70 text + 5 phrase slots
     T, R = 20, 50     # tags, regions
     K_I2T, K_T2I = 20, 10   # rerank candidates (num_captions_per_img_val-style)
-    import os as _os
+    _os = os
     EB, SB = 500, int(_os.environ.get("BENCH_SB", 1000))
 
-    import os
     cfg = ModelConfig(vocab_size=86051, only_word_size=30522,
                       dtype="bfloat16", hidden_dropout_prob=0.0,
                       attention_probs_dropout_prob=0.0,
@@ -156,7 +195,10 @@ def main():
                               # through the axon tunnel)
         return time.time() - t0, n_pairs
 
-    results = [run_once() for _ in range(4)]
+    # best-of-N (intermittent chip throttling); drop to 2 reps under budget
+    # pressure — each rep is a few seconds, compiles were the real cost
+    n_reps = 4 if _remaining() > 60 else 2
+    results = [run_once() for _ in range(n_reps)]
     dt = min(r[0] for r in results)
     n_pairs = results[0][1]
     pairs_per_sec = n_pairs / dt
@@ -184,29 +226,36 @@ def main():
               "n_cap": N_CAP, "n_img": N_IMG,
               "p50_single_pair_ms": round(p50_ms, 2),
               "backend": jax.default_backend()}
-    if _os.environ.get("BENCH_PRETRAIN", "1") != "0":
-        try:
-            detail["pretrain"] = bench_pretrain_step()
-        except Exception as e:  # noqa: BLE001 — secondary metric
-            detail["pretrain"] = {"error": f"{type(e).__name__}: {e}"}
-    if _os.environ.get("BENCH_DETECTION", "1") != "0":
-        try:
-            detail["detection"] = bench_detection_step()
-        except Exception as e:  # noqa: BLE001 — secondary metric
-            detail["detection"] = {"error": f"{type(e).__name__}: {e}"}
-    if _os.environ.get("BENCH_DECODE", "1") != "0":
-        try:
-            detail["decode"] = bench_decode_step()
-        except Exception as e:  # noqa: BLE001 — secondary metric
-            detail["decode"] = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps({
-        "metric": "flickr30k_two_stage_retrieval_scoring",
-        "value": round(pairs_per_sec, 1),
-        "unit": "image-text pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / 5000.0, 3),
-        "detail": detail,
-    }))
+    # EMIT THE HEADLINE NOW — if a driver timeout kills the secondaries
+    # below, the round's score is already on stdout (VERDICT r2 weak #1)
+    _emit(_headline(pairs_per_sec, dict(detail)))
+
+    # secondary regression metrics, each gated on the remaining budget
+    # (estimated cold cost incl. compiles) and streamed as its own line
+    stages = [
+        ("pretrain", "BENCH_PRETRAIN", bench_pretrain_step, 120),
+        ("detection", "BENCH_DETECTION", bench_detection_step, 90),
+        ("decode", "BENCH_DECODE", bench_decode_step, 120),
+        ("data_plane", "BENCH_DATA_PLANE", bench_data_plane, 60),
+    ]
+    for name, env_key, fn, est_cost_s in stages:
+        if _os.environ.get(env_key, "1") == "0":
+            continue
+        if _remaining() < est_cost_s:
+            detail[name] = {"skipped": f"budget: {_remaining():.0f}s left, "
+                                       f"stage needs ~{est_cost_s}s"}
+            _emit({"metric": f"secondary_{name}", **detail[name]})
+            continue
+        try:
+            detail[name] = fn()
+        except Exception as e:  # noqa: BLE001 — secondary metric
+            detail[name] = {"error": f"{type(e).__name__}: {e}"}
+        _emit({"metric": f"secondary_{name}", **detail[name]})
+
+    # final line repeats the headline with full detail: drivers that parse
+    # the LAST line of output see the headline metric either way
+    _emit(_headline(pairs_per_sec, detail))
 
 
 def bench_pretrain_step(batch: int = 96):
@@ -402,6 +451,56 @@ def bench_decode_step():
         # max_cap - 1 generated tokens per sequence (slot 0 is the BOS)
         out[f"len{max_cap}_tok_per_s"] = round(B * (max_cap - 1) / best, 1)
     return out
+
+
+def bench_data_plane(device_demand_ex_s: float = 1025.0):
+    """Host input-pipeline throughput (VERDICT r2 next #8): examples/s
+    through PretrainDataset -> tensorize/mask -> PrefetchLoader collate
+    with the native tokenizer, vs the device's measured consumption
+    (~1,025 ex/s at B=96). `feed_ratio` < 1 would mean the host cannot
+    feed the chip. Pure host work — no TPU involved.
+
+    Reference hot loop 4 (SURVEY.md §3): `oscar_tsv4.py` __getitem__ ->
+    DataLoader worker collate."""
+    import shutil
+    import tempfile
+
+    from mvp_pytorch_tpu.data.datasets import FeatureStore, PretrainDataset
+    from mvp_pytorch_tpu.data.loader import BatchSampler, PrefetchLoader
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import (
+        FastBertTokenizer as BertTokenizer)
+
+    root = tempfile.mkdtemp(prefix="bench_dp_")
+    try:
+        paths = make_synthetic_root(os.path.join(root, "s"), n_images=100,
+                                    caps_per_img=5)
+        tok = BertTokenizer(paths["vocab"])
+        ds = PretrainDataset(paths["corpus"],
+                             FeatureStore(paths["features"]),
+                             tok, seed=0, mask_prob=0.15, mask_visual=True,
+                             qa_pairs=True)
+        B, THREADS = 96, 8
+        sampler = BatchSampler(len(ds), B, seed=0)
+        loader = PrefetchLoader(ds.fetch, sampler, prefetch=4,
+                                num_threads=THREADS)
+        it = iter(loader)
+        for _ in range(4):   # warm: thread spin-up, tokenizer caches
+            next(it)
+        n_steps = 60
+        t0 = time.time()
+        for _ in range(n_steps):
+            next(it)
+        dt = time.time() - t0
+        loader.close()
+        ex_s = n_steps * B / dt
+        return {"examples_per_sec": round(ex_s, 1),
+                "batch": B, "threads": THREADS,
+                "device_demand_ex_s": device_demand_ex_s,
+                "feed_ratio": round(ex_s / device_demand_ex_s, 2),
+                "native_tokenizer": bool(tok.native_active)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

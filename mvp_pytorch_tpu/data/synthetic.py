@@ -79,7 +79,16 @@ def make_synthetic_root(root: str, n_images: int = 12,
                         caps_per_img: int = 5, n_answers: int = 7,
                         feature_dim: int = 2054, seed: int = 0
                         ) -> Dict[str, str]:
-    """Create every artifact; returns a path dict."""
+    """Create every artifact; returns a path dict.
+
+    Idempotent: a completed root (paths.json marker, written last) is
+    returned as-is without regeneration — this makes concurrent callers
+    safe when generation is gated to one process (tasks/common.synth_root)
+    and repeat smoke runs fast."""
+    marker = os.path.join(root, "paths.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
     rng = random.Random(seed)
     nprng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
@@ -245,4 +254,7 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["tag2id"], "w") as f:
         json.dump({t: i for i, t in enumerate(TAGS)}, f)
 
+    with open(marker + ".tmp", "w") as f:
+        json.dump(paths, f)
+    os.replace(marker + ".tmp", marker)
     return paths

@@ -42,6 +42,33 @@ def unpad_concat(shards: np.ndarray, total: int) -> np.ndarray:
     return flat[:total]
 
 
+def process_shard_indices(total: int) -> np.ndarray:
+    """THIS process's sequential eval-shard indices (wrap-padded so all
+    ranks run the same number of batches — the reference's padded
+    SequentialDistributedSampler). Identity in single-process mode."""
+    world = jax.process_count()
+    if world == 1:
+        return np.arange(total)
+    shards, _ = sequential_shards(total, world)
+    return shards[jax.process_index()]
+
+
+def gather_eval_arrays(total: int, *arrays: np.ndarray):
+    """Concatenate per-process eval outputs rank-ordered and truncate the
+    wrap padding (reference distributed_concat). Each input is this rank's
+    [per_rank, ...] output for the indices from `process_shard_indices`;
+    all ranks receive the full [total, ...] result (host allgather).
+    Single-process: truncation only."""
+    if jax.process_count() == 1:
+        return tuple(np.asarray(a)[:total] for a in arrays)
+    from jax.experimental import multihost_utils
+    out = []
+    for a in arrays:
+        gathered = multihost_utils.process_allgather(np.asarray(a))
+        out.append(unpad_concat(gathered, total))
+    return tuple(out)
+
+
 def psum_metrics(metrics, axis_name: str):
     """all_reduce of metric pytrees inside shard_map/pmap code
     (reference all_reduce at run_pretrain_ml.py:688-689)."""

@@ -58,8 +58,22 @@ def shard_batch(mesh: Mesh, batch):
     `device_put` shards host numpy -> devices in ONE hop; a `jnp.asarray`
     first would commit the whole batch to the default device and then
     reshard device-to-device (an extra transfer + a transient device-0
-    copy on the per-step hot path)."""
+    copy on the per-step hot path).
+
+    Multi-process: each process holds only its LOCAL rows (the rank-sharded
+    loader's output — reference DistributedSampler); the global array is
+    assembled from the process-local shards, collectives-free (the rows a
+    process feeds are exactly the rows its devices own)."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        world = jax.process_count()
+
+        def put_local(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * world,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(s, x, gshape)
+
+        return jax.tree_util.tree_map(put_local, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
             x if isinstance(x, jax.Array) else np.asarray(x), s), batch)

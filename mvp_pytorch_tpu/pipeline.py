@@ -30,7 +30,7 @@ import numpy as np
 
 from .data.datasets import FeatureStore
 from .data.tensorize import TensorizeConfig, tensorize_example
-from .data.tokenization import BertTokenizer
+from .data.tokenization import FastBertTokenizer as BertTokenizer
 from .models.tasks import MLMModel, RepModel
 from .training.checkpoint import load_pretrained
 

@@ -23,13 +23,15 @@ import numpy as np
 
 from ..data.datasets import FeatureStore
 from ..data.synthetic import make_synthetic_root
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.generation import (beam_search, beam_search_cached, generate,
                                  generate_cached)
 from ..models.img_bert import CaptioningModel
 from ..utils.cider import CiderScorer
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+from .common import (restore_training_settings,  # noqa: E501
+                     synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init)
 
 
@@ -143,11 +145,12 @@ class CaptionDataset:
 
 def main(argv=None):
     args = get_args(argv)
-    apply_platform(args)
+    init_runtime(args)
     logger = setup_logger("captioning", args.output_dir)
+    restore_training_settings(args, argv, logger=logger)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        paths = synth_root(args)
         args.captions_json = paths["captions"]
         args.feature_tsv = paths["features"]
         vocab = paths["vocab"]
@@ -264,13 +267,21 @@ def main(argv=None):
         imgs = sorted({img for img, _ in dataset.items})
         if n_eval:
             imgs = imgs[:n_eval]
-        ctxs = [dataset.context(img) for img in imgs]
+        # process-sharded decoding: each rank decodes its sequential image
+        # shard, token matrices are gathered rank-ordered + unpadded
+        from ..parallel.collectives import (gather_eval_arrays,
+                                            process_shard_indices)
+        total = len(imgs)
+        shard = process_shard_indices(total)
+        local_imgs = [imgs[int(i)] for i in shard]
+        ctxs = [dataset.context(img) for img in local_imgs]
         ids_b = jnp.asarray(np.stack([c[0] for c in ctxs]))
         ctx_mask = jnp.asarray(np.stack([c[1] for c in ctxs]))
         feats = jnp.asarray(np.stack([c[2] for c in ctxs]))
-        n = len(imgs)
+        n = len(local_imgs)
         tk = tokenizer.vocab
         seqs = _decode_fn(n)(p, ids_b, ctx_mask, feats)
+        (seqs,) = gather_eval_arrays(total, np.asarray(seqs))
         out = {}
         inv = tokenizer.ids_to_tokens
         for img, row in zip(imgs, np.asarray(seqs)):
@@ -287,15 +298,21 @@ def main(argv=None):
             return None
         hyps = decode_captions(p)
         refs = dataset.references()
-        imgs = list(hyps.keys())
-        mean, _ = CiderScorer().compute([hyps[i] for i in imgs],
-                                        [refs[i] for i in imgs])
-        logger.info(f"step {step}: CIDEr-D = {mean:.3f}")
-        return {"cider_d": mean}
+        # full COCO metric surface (reference evaluate_on_coco_caption,
+        # oscar/utils/caption_evaluate.py:59-92): BLEU-1..4 + METEOR +
+        # ROUGE_L + CIDEr; cider_d kept as the headline key
+        from ..utils.caption_eval import evaluate_captions
+        scores = evaluate_captions(hyps, {i: refs[i] for i in hyps})
+        scores["cider_d"] = scores.pop("CIDEr")
+        logger.info(f"step {step}: CIDEr-D = {scores['cider_d']:.3f}  "
+                    + "  ".join(f"{k}={v:.3f}" for k, v in scores.items()
+                                if k != "cider_d"))
+        return scores
 
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
-        tokenizer.save_pretrained(args.output_dir)
+        if is_main_process():
+            tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)
         params = state.params
 

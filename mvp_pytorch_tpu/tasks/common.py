@@ -17,10 +17,11 @@ import jax
 import numpy as np
 
 from ..data.loader import BatchSampler, PrefetchLoader
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.config import ModelConfig
 from ..parallel.mesh import make_mesh
-from ..training.checkpoint import CheckpointManager, load_pretrained
+from ..training.checkpoint import (CheckpointManager, load_pretrained,
+                                   save_train_state)
 from ..training.metrics import MetricLogger, MetricsWriter
 from ..training.optim import make_optimizer
 from ..training.trainer import Trainer
@@ -86,6 +87,95 @@ def apply_platform(args) -> None:
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.num_cpu_devices)
+
+
+def init_runtime(args, logger=None) -> dict:
+    """Platform forcing + multi-process rendezvous, in the required order.
+
+    Every driver calls this first (the reference's init_process_group at
+    run_pretrain_ml.py:224-231): under WORLD_SIZE>1 it rendezvouses via
+    jax.distributed (COORDINATOR_ADDRESS/RANK env contract) so
+    jax.devices() becomes the global mesh; single-process it is a no-op.
+    """
+    apply_platform(args)
+    from ..parallel import distributed
+    info = distributed.initialize()
+    if info["process_count"] > 1 and info["process_index"] != 0:
+        # non-main ranks: warnings only (the reference demotes non-rank0
+        # loggers the same way)
+        import logging
+        logging.disable(logging.INFO)
+    if logger and info["process_count"] > 1:
+        logger.info(
+            f"multi-process runtime: rank {info['process_index']}/"
+            f"{info['process_count']}, {info['local_devices']} local / "
+            f"{info['global_devices']} global devices")
+    return info
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def synth_root(args, **kw) -> dict:
+    """Synthetic-data generation, multi-process safe: process 0 generates,
+    everyone else waits on the barrier and reads the completed (idempotent)
+    root. Single-process: plain generation."""
+    from ..data.synthetic import make_synthetic_root
+    root = os.path.join(args.output_dir, "synth")
+    if jax.process_count() == 1:
+        return make_synthetic_root(root, **kw)
+    from jax.experimental import multihost_utils
+    paths = None
+    if is_main_process():
+        paths = make_synthetic_root(root, **kw)
+    multihost_utils.sync_global_devices(f"synth:{root}")
+    if paths is None:
+        paths = make_synthetic_root(root, **kw)   # marker hit: read-only
+    return paths
+
+
+# train-time flags that define the tensorization/model contract: at eval
+# time these must match training or features silently diverge (reference
+# restore_training_settings, run_retrieval.py:885-899)
+RESTORE_KEYS = ("max_seq_length", "max_tag_length", "max_img_seq_length",
+                "max_phrases", "img_feature_dim", "use_b_text", "b_as_list")
+
+
+def restore_training_settings(args, argv=None, extra_keys=(), logger=None):
+    """Eval-time readback of the checkpoint's training_args.json.
+
+    For an eval-only invocation pointed at a trained checkpoint, restores
+    the train-time tensorization/preprocessing flags so eval features
+    cannot silently mismatch training. Explicitly-passed CLI flags win;
+    every restored or kept-overridden flag is logged. No-op when training
+    (a fresh run may change the contract on purpose) or when the
+    checkpoint has no args snapshot."""
+    import sys as _sys
+    if getattr(args, "do_train", False) or not args.model_name_or_path:
+        return args
+    from ..training.checkpoint import ARGS_NAME
+    path = os.path.join(args.model_name_or_path, ARGS_NAME)
+    if not os.path.exists(path):
+        return args
+    with open(path) as f:
+        saved = json.load(f)
+    given = list(argv) if argv is not None else _sys.argv[1:]
+    for k in tuple(RESTORE_KEYS) + tuple(extra_keys):
+        if k not in saved or not hasattr(args, k):
+            continue
+        cur = getattr(args, k)
+        if f"--{k}" in given:
+            if logger and cur != saved[k]:
+                logger.info(f"training_args: keeping explicit --{k}={cur} "
+                            f"(checkpoint trained with {saved[k]})")
+            continue
+        if cur != saved[k]:
+            if logger:
+                logger.info(f"training_args: restored train-time "
+                            f"{k}={saved[k]} (default was {cur})")
+            setattr(args, k, saved[k])
+    return args
 
 
 def tensorize_cfg(args):
@@ -155,6 +245,7 @@ class TrainLoop:
         self.dataset = dataset
         self.extra_meta = extra_meta or {}
 
+        self.is_main = is_main_process()
         self.state = self.trainer.init_state(params,
                                              jax.random.PRNGKey(args.seed))
         start_step = 0
@@ -162,14 +253,26 @@ class TrainLoop:
         if latest is not None:
             step, d = latest
             self.logger.info(f"resuming from {d} at step {step}")
-            host_params = jax.device_get(self.state.params)
-            host_opt = jax.device_get(self.state.opt_state)
+            # host targets for structure only: device_get is not legal on
+            # non-fully-addressable leaves, so build zero-filled host trees
+            host_params = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype), self.state.params)
+            host_opt = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype)
+                if hasattr(x, "shape") else x, self.state.opt_state)
             _, params_r, opt_r, _meta = self.ckpt.restore(
                 d, params_target=host_params, opt_target=host_opt)
             import jax.numpy as jnp
 
             def put_like(tgt, src):
-                return jax.device_put(src, tgt.sharding)
+                if jax.process_count() == 1:
+                    return jax.device_put(src, tgt.sharding)
+                # multi-controller: every process holds the full host
+                # value; make_array_from_callback places each process's
+                # addressable shards (works for any target topology)
+                arr = np.asarray(src)
+                return jax.make_array_from_callback(
+                    arr.shape, tgt.sharding, lambda idx: arr[idx])
 
             new_params = jax.tree_util.tree_map(put_like, self.state.params,
                                                 params_r)
@@ -184,13 +287,20 @@ class TrainLoop:
 
     def run(self, eval_hook: Optional[Callable[[int, dict], Dict]] = None):
         args = self.args
+        # each process loads ITS shard of the global batch (the reference's
+        # DistributedSampler role, oscar_datasets_ml/build.py:84-93);
+        # Trainer.step assembles the global array from the local shards
         sampler = BatchSampler(len(self.dataset), args.train_batch_size,
-                               seed=args.seed)
+                               seed=args.seed, rank=jax.process_index(),
+                               world_size=jax.process_count())
         loader = PrefetchLoader(self.dataset.fetch, sampler,
                                 start_step=self.start_step,
                                 num_threads=args.num_workers)
         meters = MetricLogger()
-        writer = MetricsWriter(os.path.join(args.output_dir, "train_logs"))
+        # metric/eval artifacts are rank-0-only (reference gates with
+        # is_main_process + barrier, run_pretrain_ml.py:288,361)
+        writer = (MetricsWriter(os.path.join(args.output_dir, "train_logs"))
+                  if self.is_main else None)
         from ..training.profiler import StepTimer
         timer = StepTimer()   # data/compute split (reference time_info)
         t_last = time.time()
@@ -204,6 +314,8 @@ class TrainLoop:
                 timer.mark("compute")
                 n_since += 1
                 if (step + 1) % args.log_period == 0:
+                    # metrics are replicated -> identical (and readable) on
+                    # every process; only rank 0 reports
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t_last
                     m["steps_per_sec"] = n_since / dt
@@ -212,20 +324,22 @@ class TrainLoop:
                         m[f"time_{k}"] = v / max(n_since, 1)
                     t_last, n_since = time.time(), 0
                     meters.update(**m)
-                    writer.write(step + 1, m)
-                    self.logger.info(
-                        f"step {step + 1}/{args.max_steps} "
-                        + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                    if writer is not None:
+                        writer.write(step + 1, m)
+                    if self.is_main:
+                        self.logger.info(
+                            f"step {step + 1}/{args.max_steps} "
+                            + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
                 if (step + 1) % args.ckpt_period == 0 or step + 1 == args.max_steps:
-                    params_host = jax.device_get(self.state.params)
-                    self.ckpt.save(step + 1, params_host,
-                                   opt_state=jax.device_get(self.state.opt_state),
-                                   config=self.config,
-                                   extra=self.extra_meta,
-                                   args=vars(args))
+                    # collective, process-aware save (rank-0 single-file in
+                    # the 1-process case; sharded ZeRO state + rank-0-gated
+                    # manifest under multi-process)
+                    save_train_state(self.ckpt, step + 1, self.state,
+                                     config=self.config,
+                                     extra=self.extra_meta, args=vars(args))
                     if eval_hook is not None:
                         res = eval_hook(step + 1, self.state.params)
-                        if res:
+                        if res and self.is_main:
                             path = os.path.join(args.output_dir, "eval_logs.json")
                             logs = []
                             if os.path.exists(path):
@@ -236,5 +350,6 @@ class TrainLoop:
                                 json.dump(logs, f, indent=2)
         finally:
             loader.close()
-            writer.close()
+            if writer is not None:
+                writer.close()
         return self.state

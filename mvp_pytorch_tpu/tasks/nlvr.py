@@ -20,10 +20,12 @@ import numpy as np
 from ..data.datasets import FeatureStore
 from ..data.synthetic import make_synthetic_root
 from ..data.tensorize import TensorizeConfig, collate, tensorize_example
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.tasks import NLVRModel
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+from .common import (restore_training_settings,  # noqa: E501
+                     synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init, tensorize_cfg)
 
 
@@ -75,11 +77,12 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
-    apply_platform(args)
+    init_runtime(args)
     logger = setup_logger("nlvr", args.output_dir)
+    restore_training_settings(args, argv, logger=logger)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        paths = synth_root(args)
         args.train_jsonl = args.eval_jsonl = paths["nlvr"]
         args.feature_tsv = paths["features"]
         vocab = paths["vocab"]
@@ -124,8 +127,11 @@ def main(argv=None):
         if not args.do_eval:
             return None
         bs = args.eval_batch_size
-        correct = total = 0
-        idx = np.arange(len(dataset))
+        from ..parallel.collectives import (gather_eval_arrays,
+                                            process_shard_indices)
+        total = len(dataset)
+        idx = process_shard_indices(total)
+        corr = []
 
         @jax.jit
         def fwd(v, b):
@@ -141,15 +147,17 @@ def main(argv=None):
                                     jax.tree_util.tree_map(jnp.asarray,
                                                            batch)))
             n = min(bs, len(idx) - i)
-            correct += int((logits[:n].argmax(1) == batch["label"][:n]).sum())
-            total += n
+            corr.append(logits[:n].argmax(1) == batch["label"][:n])
+        (corr,) = gather_eval_arrays(total, np.concatenate(corr))
+        correct = int(corr.sum())
         acc = correct / max(total, 1)
         logger.info(f"step {step}: nlvr accuracy = {acc:.4f}")
         return {"nlvr_accuracy": acc}
 
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
-        tokenizer.save_pretrained(args.output_dir)
+        if is_main_process():
+            tokenizer.save_pretrained(args.output_dir)
         loop.run(eval_hook)
     elif args.do_eval:
         eval_hook(0, params)

@@ -22,10 +22,11 @@ import numpy as np
 
 from ..data.datasets import FeatureStore, PretrainDataset, load_phrase_vocab
 from ..data.synthetic import make_synthetic_root
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.pretrain import BiPretrainModel
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, build_config,
+from .common import (synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config,
                      load_params_or_init, tensorize_cfg)
 
 
@@ -110,12 +111,12 @@ class CombinedDataset:
 
 def main(argv=None):
     args = get_args(argv)
-    from .common import apply_platform
-    apply_platform(args)
+    from .common import init_runtime
+    init_runtime(args)
     logger = setup_logger("pretrain", args.output_dir)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        paths = synth_root(args)
         args.corpus_tsv = paths["corpus"]
         args.feature_tsv = paths["features"]
         args.id2phrase = paths["id2phrase"]
@@ -279,7 +280,8 @@ def main(argv=None):
         return total, metrics
 
     loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
-    tokenizer.save_pretrained(args.output_dir)
+    if is_main_process():
+        tokenizer.save_pretrained(args.output_dir)
     loop.run()
     logger.info("pretraining done")
 

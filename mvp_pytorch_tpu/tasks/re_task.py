@@ -19,10 +19,12 @@ import numpy as np
 from ..data.datasets import (FeatureStore, REDataset, load_phrase_vocab,
                              re_score, re_score_det1, re_score_det2)
 from ..data.synthetic import make_synthetic_root
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.tasks import REModel
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+from .common import (restore_training_settings,  # noqa: E501
+                     synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init, tensorize_cfg)
 
 
@@ -68,8 +70,11 @@ def evaluate(args, model, variables, dataset, mt):
 
     bs = args.eval_batch_size
     use_det = dataset.det_boxes is not None
+    from ..parallel.collectives import (gather_eval_arrays,
+                                        process_shard_indices)
+    total = len(dataset)
     logits, labels, det_labels, iou_mats = [], [], [], []
-    idx = np.arange(len(dataset))
+    idx = process_shard_indices(total)
     for i in range(0, len(idx), bs):
         chunk = idx[i:i + bs]
         if len(chunk) < bs:
@@ -86,12 +91,12 @@ def evaluate(args, model, variables, dataset, mt):
         if use_det:
             det_labels.append(batch["det_label"][:n])
             iou_mats.append(batch["iou_mat"][:n])
-    logits = np.concatenate(logits)
-    labels = np.concatenate(labels)
+    logits, labels = gather_eval_arrays(total, np.concatenate(logits),
+                                        np.concatenate(labels))
     scores = {"re_accuracy": re_score(logits, labels)}
     if use_det:
-        det_labels = np.concatenate(det_labels)
-        iou_mats = np.concatenate(iou_mats)
+        det_labels, iou_mats = gather_eval_arrays(
+            total, np.concatenate(det_labels), np.concatenate(iou_mats))
         scores["re_accuracy_det1"] = re_score_det1(logits, labels,
                                                    det_labels, iou_mats)
         scores["re_accuracy_det2"] = re_score_det2(logits, labels,
@@ -101,11 +106,12 @@ def evaluate(args, model, variables, dataset, mt):
 
 def main(argv=None):
     args = get_args(argv)
-    apply_platform(args)
+    init_runtime(args)
     logger = setup_logger("re", args.output_dir)
+    restore_training_settings(args, argv, logger=logger)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        paths = synth_root(args)
         args.train_json = args.eval_json = paths["re"]
         args.feature_tsv = paths["features"]
         args.id2phrase = paths["id2phrase"]
@@ -166,7 +172,8 @@ def main(argv=None):
 
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
-        tokenizer.save_pretrained(args.output_dir)
+        if is_main_process():
+            tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)
         params = state.params
     elif args.do_eval:

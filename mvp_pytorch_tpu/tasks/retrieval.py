@@ -23,10 +23,12 @@ import numpy as np
 from ..data.datasets import (FeatureStore, RetrievalDataset,
                              load_phrase_vocab)
 from ..data.synthetic import make_synthetic_root
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.tasks import RetrievalModel
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+from .common import (restore_training_settings,  # noqa: E501
+                     synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init, tensorize_cfg)
 from .retrieval_eval import (coarse_candidates, coarse_ranks, evaluate_ranks,
                              fine_ranks_i2t, fine_ranks_t2i)
@@ -187,13 +189,21 @@ def two_stage_eval(args, model, variables, dataset, logger,
     pad = (-n_pairs) % bs
     cap_idx = np.concatenate([cap_idx, np.zeros(pad, cap_idx.dtype)])
     img_idx = np.concatenate([img_idx, np.zeros(pad, img_idx.dtype)])
+    # the fine rerank (the expensive stage) shards its pair batches across
+    # processes; every rank holds the full cached encodings (cheap), so
+    # the gathered score vector is identical to the single-process one
+    from ..parallel.collectives import (gather_eval_arrays,
+                                        process_shard_indices)
+    n_batches = (n_pairs + pad) // bs
     scores = []
     txt_mask = jnp.asarray(cap_arrays["input_mask_a"])
-    for i in range(0, n_pairs + pad, bs):
+    for b in process_shard_indices(n_batches):
+        i = int(b) * bs
         scores.append(fine(variables, txt_seq, txt_mask, vis, vis_mask,
                            jnp.asarray(cap_idx[i:i + bs]),
                            jnp.asarray(img_idx[i:i + bs])))
-    scores = np.asarray(jnp.concatenate(scores))[:n_pairs]
+    (scores,) = gather_eval_arrays(
+        n_pairs, np.asarray(jnp.concatenate(scores)))
 
     i2t_scores = scores[: n_img * k_i2t].reshape(n_img, k_i2t)
     if skip_t2i:
@@ -220,11 +230,12 @@ def two_stage_eval(args, model, variables, dataset, logger,
 
 def main(argv=None):
     args = get_args(argv)
-    apply_platform(args)
+    init_runtime(args)
     logger = setup_logger("retrieval", args.output_dir)
+    restore_training_settings(args, argv, logger=logger)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"),
+        paths = synth_root(args,
                                     caps_per_img=args.num_captions_per_img)
         args.captions_json = paths["captions"]
         args.feature_tsv = paths["features"]
@@ -290,7 +301,8 @@ def main(argv=None):
 
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
-        tokenizer.save_pretrained(args.output_dir)
+        if is_main_process():
+            tokenizer.save_pretrained(args.output_dir)
 
         def eval_hook(step, p):
             if not args.do_eval:
@@ -303,8 +315,10 @@ def main(argv=None):
     if args.do_eval and not args.do_train:
         res = two_stage_eval(args, model, {"params": params}, eval_dataset,
                              logger, caption_index=caption_index)
-        with open(os.path.join(args.output_dir, "test_eval.json"), "w") as f:
-            json.dump(res, f, indent=2)
+        if is_main_process():
+            with open(os.path.join(args.output_dir, "test_eval.json"),
+                      "w") as f:
+                json.dump(res, f, indent=2)
     logger.info("retrieval done")
 
 

@@ -19,10 +19,12 @@ import optax
 
 from ..data.datasets import FeatureStore, VEDataset, load_phrase_vocab
 from ..data.synthetic import make_synthetic_root
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.tasks import ClassificationModel, ClassificationPlusModel
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+from .common import (restore_training_settings,  # noqa: E501
+                     synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init, tensorize_cfg)
 
 
@@ -54,8 +56,14 @@ def evaluate(args, model, variables, dataset, mt):
                            batch["img_feat"], max_tag_length=mt)
 
     bs = args.eval_batch_size
-    correct = total = 0
-    idx = np.arange(len(dataset))
+    # under multi-process: this rank scores its sequential shard, the
+    # per-example correctness flags are gathered+unpadded across ranks
+    # (reference SequentialDistributedSampler + distributed_concat)
+    from ..parallel.collectives import (gather_eval_arrays,
+                                        process_shard_indices)
+    total = len(dataset)
+    idx = process_shard_indices(total)
+    corr = []
     for i in range(0, len(idx), bs):
         chunk = idx[i:i + bs]
         if len(chunk) < bs:
@@ -65,18 +73,19 @@ def evaluate(args, model, variables, dataset, mt):
         logits = np.asarray(fwd(variables,
                                 jax.tree_util.tree_map(jnp.asarray, batch)))
         n = min(bs, len(idx) - i)
-        correct += int((logits[:n].argmax(1) == batch["label"][:n]).sum())
-        total += n
-    return correct / max(total, 1)
+        corr.append((logits[:n].argmax(1) == batch["label"][:n]))
+    (corr,) = gather_eval_arrays(total, np.concatenate(corr))
+    return float(corr.sum()) / max(total, 1)
 
 
 def main(argv=None):
     args = get_args(argv)
-    apply_platform(args)
+    init_runtime(args)
     logger = setup_logger("ve", args.output_dir)
+    restore_training_settings(args, argv, logger=logger)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        paths = synth_root(args)
         args.train_jsonl = args.eval_jsonl = paths["ve"]
         args.feature_tsv = paths["features"]
         args.id2phrase = paths["id2phrase"]
@@ -139,7 +148,8 @@ def main(argv=None):
                 loop.trainer.tx, "bert", args.freeze_steps)
             loop.state = loop.trainer.init_state(
                 params, jax.random.PRNGKey(args.seed))
-        tokenizer.save_pretrained(args.output_dir)
+        if is_main_process():
+            tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)
         params = state.params
     elif args.do_eval:

@@ -21,10 +21,12 @@ import numpy as np
 
 from ..data.datasets import FeatureStore, VQADataset, load_phrase_vocab
 from ..data.synthetic import make_synthetic_root
-from ..data.tokenization import BertTokenizer
+from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.tasks import VQAModel
 from ..utils.logger import setup_logger
-from .common import (TrainLoop, add_common_args, apply_platform, build_config,
+from .common import (restore_training_settings,  # noqa: E501
+                     synth_root, is_main_process,  # noqa: F401
+                     TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init, tensorize_cfg)
 
 
@@ -69,8 +71,13 @@ def evaluate(args, model, variables, dataset, mt):
                            batch["img_feat"], max_tag_length=mt)
 
     bs = args.eval_batch_size
+    # process-sharded eval + rank-ordered gather (reference
+    # SequentialDistributedSampler + distributed_concat)
+    from ..parallel.collectives import (gather_eval_arrays,
+                                        process_shard_indices)
+    total = len(dataset)
     logits, targets, qids = [], [], []
-    idx = np.arange(len(dataset))
+    idx = process_shard_indices(total)
     for i in range(0, len(idx), bs):
         chunk = idx[i:i + bs]
         if len(chunk) < bs:  # pad for static shapes
@@ -83,18 +90,19 @@ def evaluate(args, model, variables, dataset, mt):
         logits.append(out[:n])
         targets.append(batch["label"][:n])
         qids.append(batch["question_id"][:n])
-    logits = np.concatenate(logits)
-    targets = np.concatenate(targets)
-    return logits, targets, np.concatenate(qids)
+    return gather_eval_arrays(total, np.concatenate(logits),
+                              np.concatenate(targets),
+                              np.concatenate(qids))
 
 
 def main(argv=None):
     args = get_args(argv)
-    apply_platform(args)
+    init_runtime(args)
     logger = setup_logger("vqa", args.output_dir)
+    restore_training_settings(args, argv, logger=logger)
 
     if args.synthetic:
-        paths = make_synthetic_root(os.path.join(args.output_dir, "synth"))
+        paths = synth_root(args)
         args.train_jsonl = args.eval_jsonl = paths["vqa"]
         args.feature_tsv = paths["features"]
         args.id2phrase = paths["id2phrase"]
@@ -181,7 +189,8 @@ def main(argv=None):
 
     if args.do_train:
         loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
-        tokenizer.save_pretrained(args.output_dir)
+        if is_main_process():
+            tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)
         params = state.params
     elif args.do_eval:
@@ -196,9 +205,10 @@ def main(argv=None):
                    for q, a in zip(qids, logits.argmax(1))]
         split = os.path.splitext(os.path.basename(args.test_jsonl))[0]
         out = os.path.join(args.output_dir, f"{split}_results.json")
-        with open(out, "w") as f:
-            json.dump(results, f)
-        logger.info(f"wrote {out}")
+        if is_main_process():
+            with open(out, "w") as f:
+                json.dump(results, f)
+            logger.info(f"wrote {out}")
     logger.info("vqa done")
 
 

@@ -30,6 +30,8 @@ from ..models.config import ModelConfig
 
 WEIGHTS_NAME = "params.msgpack"
 OPT_NAME = "opt_state.msgpack"
+OPT_SHARDS_DIR = "opt_shards"
+PARAM_SHARDS_DIR = "param_shards"
 LAST_CHECKPOINT = "last_checkpoint"
 TRAIN_STATE_NAME = "train_meta.json"
 ARGS_NAME = "training_args.json"
@@ -91,6 +93,59 @@ def load_pretrained(directory: str,
     else:
         params = state
     return config, params
+
+
+def _fully_readable(tree) -> bool:
+    """True if every jax.Array leaf can be host-gathered from THIS process
+    (fully addressable, or fully replicated so the local replica suffices)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not (
+                leaf.is_fully_addressable or leaf.is_fully_replicated):
+            return False
+    return True
+
+
+def save_train_state(mgr: "CheckpointManager", step: int, state,
+                     config: Optional[ModelConfig] = None,
+                     extra: Optional[dict] = None,
+                     args: Optional[dict] = None) -> str:
+    """Process-topology-aware checkpoint save (the reference's
+    model_engine.save_checkpoint + rank-0 gating,
+    run_pretrain_ml.py:712-753). COLLECTIVE under multi-process: every
+    process must call it.
+
+    - single process: classic single-file save (unchanged format);
+    - multi-process: optimizer state goes through the sharded collective
+      writer (ZeRO leaves are not fully addressable from any one host);
+      params — replicated in the DP deployment — are written by process 0
+      alone; if params themselves are cross-process sharded (TP over DCN),
+      they are shard-saved and process 0 consolidates them back into the
+      single-file `from_pretrained` contract. File writes other than each
+      process's own shard file happen on process 0 only.
+    """
+    if jax.process_count() == 1:
+        return mgr.save(step, jax.device_get(state.params),
+                        opt_state=jax.device_get(state.opt_state),
+                        config=config, extra=extra, args=args)
+
+    from jax.experimental import multihost_utils
+
+    from . import sharded_checkpoint as sc
+    d = mgr._ckpt_dir(step)
+    os.makedirs(d, exist_ok=True)
+    sc.save_sharded(os.path.join(d, OPT_SHARDS_DIR), state.opt_state)
+    if _fully_readable(state.params):
+        if jax.process_index() == 0:
+            mgr.save(step, jax.device_get(state.params), opt_state=None,
+                     config=config, extra=extra, args=args)
+    else:
+        sc.save_sharded(os.path.join(d, PARAM_SHARDS_DIR), state.params)
+        if jax.process_index() == 0:   # barrier in save_sharded: files ready
+            params_host = sc.consolidate(os.path.join(d, PARAM_SHARDS_DIR))
+            mgr.save(step, params_host, opt_state=None, config=config,
+                     extra=extra, args=args)
+    multihost_utils.sync_global_devices(f"ckpt:{d}")
+    return d
 
 
 class CheckpointManager:
@@ -187,8 +242,12 @@ class CheckpointManager:
                 opt_target: Any = None):
         config, params = load_pretrained(directory, params_target)
         opt_state = None
+        opt_dir = os.path.join(directory, OPT_SHARDS_DIR)
         opt_path = os.path.join(directory, OPT_NAME)
-        if os.path.exists(opt_path):
+        if os.path.isdir(opt_dir):
+            from . import sharded_checkpoint as sc
+            opt_state = sc.consolidate(opt_dir, opt_target)
+        elif os.path.exists(opt_path):
             with open(opt_path, "rb") as f:
                 blob = f.read()
             state = serialization.msgpack_restore(blob)

@@ -57,15 +57,20 @@ def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
 def evaluate_captions(predictions: Dict[str, List[str]],
                       references: Dict[str, List[List[str]]]
                       ) -> Dict[str, float]:
-    """{'Bleu_1'..'Bleu_4', 'CIDEr'} over tokenized captions
-    (the reference's evaluate_on_coco_caption metric surface; METEOR/SPICE
-    need external artifacts and are omitted by contract)."""
+    """{'Bleu_1'..'Bleu_4', 'METEOR', 'ROUGE_L', 'CIDEr'} over tokenized
+    captions — the reference's evaluate_on_coco_caption metric surface
+    (`oscar/utils/caption_evaluate.py:59-92`) minus SPICE, which needs the
+    external jar (declared contract in tools_tpu/). METEOR here runs the
+    exact+stem stages only (no WordNet offline; see utils/meteor_rouge.py)."""
+    from .meteor_rouge import meteor, rouge_l
     keys = sorted(predictions.keys())
     cands = [predictions[k] for k in keys]
     refs = [references[k] for k in keys]
     bleu = bleu_n(cands, refs)
     cider_mean, _ = CiderScorer().compute(cands, refs)
     out = {f"Bleu_{i+1}": b for i, b in enumerate(bleu)}
+    out["METEOR"] = meteor(cands, refs)
+    out["ROUGE_L"] = rouge_l(cands, refs)
     out["CIDEr"] = cider_mean
     return out
 

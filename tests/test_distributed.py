@@ -15,6 +15,9 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 200-step smokes / subprocess tests (VERDICT r2 #9)
+
+
 WORKER = r"""
 import sys
 sys.path.insert(0, "/root/repo")

@@ -10,6 +10,9 @@ import json
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 200-step smokes / subprocess tests (VERDICT r2 #9)
+
+
 
 def _run(module, extra, out):
     args = ["--output_dir", out, "--synthetic", "--tiny",

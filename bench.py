@@ -23,9 +23,10 @@ Baseline: BASELINE.json north star = 5,000 image-text pairs/sec/chip.
 
 `BENCH_BUDGET_S` (default 480 s) bounds the run: each secondary stage only
 starts if its estimated cold cost fits in the remaining budget; skipped
-stages are reported in the final detail. The JAX persistent compilation
-cache (/tmp/jax_bench_cache) makes warm reruns skip the ~40 s/graph
-tunnel compiles.
+stages are reported in the final detail. Stage timestamps go to stderr.
+(The JAX persistent compile cache is enabled but measured NOT to skip the
+~40 s/graph compiles through the axon tunnel — remote compilation — so
+budgets assume cold compiles every run.)
 """
 
 import functools
@@ -51,6 +52,15 @@ def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
+def _note(msg):
+    """Stage timestamps on stderr — diagnosing driver-side timeouts needs
+    to know where the wall time went (tunnel compiles are ~40 s/graph and
+    the local persistent cache cannot skip them: compilation happens on
+    the far side of the axon tunnel — measured, two-process probe)."""
+    print(f"[bench +{time.time() - _T0:5.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def _headline(pairs_per_sec, detail):
     return {
         "metric": "flickr30k_two_stage_retrieval_scoring",
@@ -64,8 +74,11 @@ def _headline(pairs_per_sec, detail):
 def main():
     import jax
 
-    # persistent compile cache: the driver's cold run reuses compiles from
-    # any earlier run on this host (tests/conftest.py does the same)
+    # persistent compile cache. NOTE (measured, two-process probe): through
+    # the axon tunnel this does NOT skip the ~40 s/graph remote compile —
+    # compilation happens server-side — so the real driver-timeout defense
+    # is the streaming emit protocol below. Kept because it is free and
+    # pays off on locally-compiled backends (cpu/real TPU hosts).
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -197,39 +210,48 @@ def main():
 
     # best-of-N (intermittent chip throttling); drop to 2 reps under budget
     # pressure — each rep is a few seconds, compiles were the real cost
+    _note("headline compiles + warmup done")
     n_reps = 4 if _remaining() > 60 else 2
     results = [run_once() for _ in range(n_reps)]
     dt = min(r[0] for r in results)
     n_pairs = results[0][1]
     pairs_per_sec = n_pairs / dt
-
-    # secondary BASELINE metric: p50 single-pair MLM-style latency (full
-    # 3-encoder forward on one example — the InferencePipeline device step)
-    @jax.jit
-    def _one_pair(v, ca, cm, ct, ib, mb, tb, f):
-        return model.apply(v, ca, cm, ct, ib, mb, tb, f, max_tag_length=T,
-                           method=RetrievalModel.score)
-
-    one = (caps["input_ids_a"][:1], caps["attention_mask_a"][:1],
-           caps["token_type_ids_a"][:1], imgs["input_ids_b"][:1],
-           imgs["attention_mask_b"][:1], imgs["token_type_ids_b"][:1],
-           imgs["img_feats"][:1])
-    float(_one_pair(variables, *one).sum())
-    lats = []
-    for _ in range(20):
-        t0 = time.time()
-        float(_one_pair(variables, *one).sum())
-        lats.append(time.time() - t0)
-    p50_ms = sorted(lats)[len(lats) // 2] * 1000
+    _note(f"headline timed: {pairs_per_sec:.0f} pairs/s")
 
     detail = {"n_fine_pairs": n_pairs, "wall_s": round(dt, 2),
               "n_cap": N_CAP, "n_img": N_IMG,
-              "p50_single_pair_ms": round(p50_ms, 2),
               "backend": jax.default_backend()}
 
-    # EMIT THE HEADLINE NOW — if a driver timeout kills the secondaries
-    # below, the round's score is already on stdout (VERDICT r2 weak #1)
+    # EMIT THE HEADLINE NOW — everything after this line (the p50 probe
+    # compiles one more graph, each secondary several) is expendable under
+    # a driver timeout (VERDICT r2 weak #1)
     _emit(_headline(pairs_per_sec, dict(detail)))
+
+    # secondary BASELINE metric: p50 single-pair MLM-style latency (full
+    # 3-encoder forward on one example — the InferencePipeline device step);
+    # costs one more ~40 s tunnel compile, so it runs AFTER the first emit
+    if _remaining() > 60:
+        @jax.jit
+        def _one_pair(v, ca, cm, ct, ib, mb, tb, f):
+            return model.apply(v, ca, cm, ct, ib, mb, tb, f,
+                               max_tag_length=T,
+                               method=RetrievalModel.score)
+
+        one = (caps["input_ids_a"][:1], caps["attention_mask_a"][:1],
+               caps["token_type_ids_a"][:1], imgs["input_ids_b"][:1],
+               imgs["attention_mask_b"][:1], imgs["token_type_ids_b"][:1],
+               imgs["img_feats"][:1])
+        float(_one_pair(variables, *one).sum())
+        lats = []
+        for _ in range(20):
+            t0 = time.time()
+            float(_one_pair(variables, *one).sum())
+            lats.append(time.time() - t0)
+        detail["p50_single_pair_ms"] = round(
+            sorted(lats)[len(lats) // 2] * 1000, 2)
+        _note("p50 single-pair done")
+    else:
+        detail["p50_single_pair_ms"] = None
 
     # secondary regression metrics, each gated on the remaining budget
     # (estimated cold cost incl. compiles) and streamed as its own line
@@ -251,6 +273,7 @@ def main():
             detail[name] = fn()
         except Exception as e:  # noqa: BLE001 — secondary metric
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
+        _note(f"secondary {name} done")
         _emit({"metric": f"secondary_{name}", **detail[name]})
 
     # final line repeats the headline with full detail: drivers that parse

@@ -163,6 +163,7 @@ class BiEncoder(nn.Module):
                  use_b: bool = False, encode_hn: bool = False,
                  hn_mod: str = "hard", logit=None,
                  phrase_layer: Optional[int] = None,
+                 hn_dice: Optional[jax.Array] = None,
                  deterministic: bool = True) -> BiEncoderOutput:
         cfg = self.config
         if attention_mask_a is None:
@@ -209,7 +210,12 @@ class BiEncoder(nn.Module):
             else:
                 raise NotImplementedError(hn_mod)
 
-            dice = jax.random.permutation(self.make_rng("hardneg"), n)
+            # hn_dice overrides the random slot permutation with a fixed
+            # one — used by cross-framework trajectory-parity tests to
+            # freeze the hard-neg choice on both sides (reference draws
+            # torch.randperm at modeling_vlbert.py:556)
+            dice = (jax.random.permutation(self.make_rng("hardneg"), n)
+                    if hn_dice is None else hn_dice)
             slot = jnp.arange(n)
             is_hard_img = slot < (n // 2)   # first half: text_i + hard image
             hard_txt_full = jnp.where(is_hard_img, dice, hard_txt_index[dice])

@@ -169,7 +169,7 @@ class BiPretrainModel(nn.Module):
                  max_tag_length: int = 20, max_pred_a: int = 20,
                  max_pred_b: int = 10, hn_mod: str = "hard",
                  phrase_mod: str = "sample", wra_phrase_width: int = 10,
-                 phrase_layer: Optional[int] = None,
+                 phrase_layer: Optional[int] = None, hn_dice=None,
                  deterministic: bool = False) -> PretrainOutput:
         cfg = self.config
         # clamp at 100 (CLIP's training guard; the reference omits it
@@ -182,7 +182,7 @@ class BiPretrainModel(nn.Module):
             input_ids_a, attention_mask_a, token_type_ids_a,
             input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
             max_tag_length=max_tag_length, encode_hn=True, hn_mod=hn_mod,
-            logit=scale, phrase_layer=phrase_layer,
+            logit=scale, phrase_layer=phrase_layer, hn_dice=hn_dice,
             deterministic=deterministic)
 
         word_table = self.bert.word_table()

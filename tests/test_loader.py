@@ -135,3 +135,67 @@ def test_driver_resume_consumes_same_batches(tmp_path):
     l2.close()
     for a, b in zip(straight, resumed):
         np.testing.assert_array_equal(a, b)
+
+
+def test_process_loader_matches_thread_loader(tmp_path):
+    """ProcessPrefetchLoader (fork + shared-memory ring) yields byte-
+    identical batches in the same step order as the thread loader — the
+    per-index seeded RNG makes worker assignment irrelevant."""
+    import numpy as np
+
+    from mvp_pytorch_tpu.data.loader import (BatchSampler, PrefetchLoader,
+                                             ProcessPrefetchLoader)
+
+    class DS:
+        def fetch(self, idx):
+            idx = np.asarray(idx)
+            rs = np.random.RandomState(idx.sum() % 1000)
+            return {"x": idx.astype(np.int64),
+                    "f": rs.randn(len(idx), 7).astype(np.float32)}
+
+    ds = DS()
+    t = PrefetchLoader(ds.fetch, BatchSampler(50, 8, seed=3), num_threads=2)
+    p = ProcessPrefetchLoader(ds.fetch, BatchSampler(50, 8, seed=3),
+                              prefetch=4, num_procs=2)
+    it_t, it_p = iter(t), iter(p)
+    for _ in range(9):
+        st, bt = next(it_t)
+        sp, bp = next(it_p)
+        assert st == sp
+        for k in bt:
+            np.testing.assert_array_equal(bt[k], bp[k])
+    t.close()
+    p.close()
+
+
+def test_process_loader_error_propagates():
+    from mvp_pytorch_tpu.data.loader import BatchSampler, ProcessPrefetchLoader
+
+    def bad(idx):
+        raise ValueError("boom")
+
+    loader = ProcessPrefetchLoader(bad, BatchSampler(50, 4, seed=0),
+                                   num_procs=2)
+    import pytest
+    with pytest.raises(RuntimeError, match="boom"):
+        next(iter(loader))
+    loader.close()
+
+
+def test_process_loader_resume_start_step():
+    import numpy as np
+
+    from mvp_pytorch_tpu.data.loader import BatchSampler, ProcessPrefetchLoader
+
+    class DS:
+        def fetch(self, idx):
+            return {"x": np.asarray(idx)}
+
+    sampler = BatchSampler(40, 4, seed=1)
+    loader = ProcessPrefetchLoader(DS().fetch, sampler, start_step=7,
+                                   num_procs=2)
+    it = iter(loader)
+    step, batch = next(it)
+    assert step == 7
+    np.testing.assert_array_equal(batch["x"], sampler.batch_at(7))
+    loader.close()

@@ -281,7 +281,7 @@ def main():
     _emit(_headline(pairs_per_sec, detail))
 
 
-def bench_pretrain_step(batch: int = 96):
+def bench_pretrain_step(batch: int = 96, **cfg_overrides):
     """Secondary regression metric (VERDICT r1 weak #4): the 5-loss
     pretraining train step (fwd + bwd + AdamW) at MVPTR-base shapes —
     examples/s/chip + MFU from the compiled HLO's own flop count.
@@ -300,7 +300,7 @@ def bench_pretrain_step(batch: int = 96):
     LA, T, R, P = 75, 20, 50, 5
     cfg = ModelConfig(vocab_size=86051, only_word_size=30522,
                       dtype="bfloat16", hidden_dropout_prob=0.0,
-                      attention_probs_dropout_prob=0.0)
+                      attention_probs_dropout_prob=0.0, **cfg_overrides)
     model = BiPretrainModel(cfg)
     rs = np.random.RandomState(0)
     b = batch

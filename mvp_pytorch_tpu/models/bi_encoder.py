@@ -221,26 +221,40 @@ class BiEncoder(nn.Module):
             hard_txt_full = jnp.where(is_hard_img, dice, hard_txt_index[dice])
             hard_img_full = jnp.where(is_hard_img, hard_img_index[dice], dice)
 
-            # ONE batched fusion pass over [true pairs ; hard pairs] (2B
-            # rows) instead of two B-row mul_encoder calls: same numerics
-            # (rows are independent), but the per-layer matmuls double in
-            # batch — better MXU tiling and half the kernel dispatches
-            # (VERDICT r2 next #6, pretrain MFU lever 1)
-            both_txt = jnp.concatenate([txt_seq, txt_seq[hard_txt_full]], 0)
-            both_txt_mask = jnp.concatenate(
-                [attention_mask_a, attention_mask_a[hard_txt_full]], 0)
-            both_vis = jnp.concatenate([only_vis, only_vis[hard_img_full]], 0)
-            both_vis_mask = jnp.concatenate(
-                [only_vis_mask, only_vis_mask[hard_img_full]], 0)
-            both_seq, both_pooled, both_mid = self.fuse(
-                both_txt, both_txt_mask, both_vis, both_vis_mask,
-                return_at_layer=phrase_layer, deterministic=deterministic)
-            seq_out, hard_seq_out = both_seq[:n], both_seq[n:]
-            pooled, hard_pooled = both_pooled[:n], both_pooled[n:]
-            mid_joint = mid_hard = None
-            if both_mid is not None:
-                mid_joint, mid_hard = both_mid[:n], both_mid[n:]
-        else:
+            if cfg.fused_hn_pass:
+                # ONE batched fusion pass over [true pairs ; hard pairs]
+                # (2B rows) instead of two B-row mul_encoder calls — same
+                # numerics (rows are independent). A/B'd on chip at B=96:
+                # ~3% SLOWER (the gather+concat copies outweigh the bigger
+                # matmuls), so default off; see config.fused_hn_pass.
+                both_txt = jnp.concatenate(
+                    [txt_seq, txt_seq[hard_txt_full]], 0)
+                both_txt_mask = jnp.concatenate(
+                    [attention_mask_a, attention_mask_a[hard_txt_full]], 0)
+                both_vis = jnp.concatenate(
+                    [only_vis, only_vis[hard_img_full]], 0)
+                both_vis_mask = jnp.concatenate(
+                    [only_vis_mask, only_vis_mask[hard_img_full]], 0)
+                both_seq, both_pooled, both_mid = self.fuse(
+                    both_txt, both_txt_mask, both_vis, both_vis_mask,
+                    return_at_layer=phrase_layer,
+                    deterministic=deterministic)
+                seq_out, hard_seq_out = both_seq[:n], both_seq[n:]
+                pooled, hard_pooled = both_pooled[:n], both_pooled[n:]
+                mid_joint = mid_hard = None
+                if both_mid is not None:
+                    mid_joint, mid_hard = both_mid[:n], both_mid[n:]
+            else:
+                hard_seq_out, hard_pooled, mid_hard = self.fuse(
+                    txt_seq[hard_txt_full], attention_mask_a[hard_txt_full],
+                    only_vis[hard_img_full], only_vis_mask[hard_img_full],
+                    return_at_layer=phrase_layer,
+                    deterministic=deterministic)
+                seq_out, pooled, mid_joint = self.fuse(
+                    txt_seq, attention_mask_a, only_vis, only_vis_mask,
+                    return_at_layer=phrase_layer,
+                    deterministic=deterministic)
+        if not encode_hn:
             seq_out, pooled, mid_joint = self.fuse(
                 txt_seq, attention_mask_a, only_vis, only_vis_mask,
                 return_at_layer=phrase_layer, deterministic=deterministic)

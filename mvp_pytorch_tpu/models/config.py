@@ -61,6 +61,14 @@ class ModelConfig:
     dtype: str = "float32"               # computation dtype: float32 | bfloat16
     attention_impl: str = "auto"         # auto | xla (pallas retired, see ops/attention.py)
     remat: bool = False                  # jax.checkpoint each encoder layer
+    fused_hn_pass: bool = False          # run true+hard fusion as ONE 2B-row
+                                         # mul_encoder call. A/B'd on chip at
+                                         # B=96: LOSES ~3% (103.3/101.5 vs
+                                         # 100.1/98.0 ms) — the gather+concat
+                                         # copies cost more than the bigger
+                                         # matmuls save; B=96 already tiles
+                                         # the MXU. Kept as a knob for small-
+                                         # batch regimes.
 
     # --- Mixture-of-Experts FFN (new capability; reference has none) ---
     moe_experts: int = 0                 # 0 = dense FFN everywhere

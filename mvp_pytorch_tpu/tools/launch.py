@@ -1,0 +1,87 @@
+"""Multi-process launcher: the reference's `torch.distributed.launch` /
+`deepspeed` role (reference COMMANDS recipes launch run_pretrain_ml.py
+through both).
+
+Spawns N local worker processes with the WORLD_SIZE / RANK /
+COORDINATOR_ADDRESS env contract that `tasks/common.init_runtime` (and
+`parallel/distributed.initialize`) rendezvous on, streams rank 0's output
+through, prefixes other ranks, and propagates the first failure.
+
+    python -m mvp_pytorch_tpu.tools.launch --nproc 2 -- \
+        -m mvp_pytorch_tpu.tasks.pretrain --synthetic --tiny \
+        --output_dir /tmp/run --do_train --platform cpu --num_cpu_devices 4
+
+Multi-HOST launches don't need this tool: start one process per host
+with the same env contract (RANK = host index, COORDINATOR_ADDRESS =
+host0:port); on Cloud TPU pods, `jax.distributed.initialize()`
+autodetects everything and WORLD_SIZE>1 is the only requirement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import threading
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="local multi-process launcher (env:// rendezvous)")
+    p.add_argument("--nproc", type=int, required=True,
+                   help="number of worker processes")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port (default localhost:<free port>)")
+    p.add_argument("cmd", nargs=argparse.REMAINDER,
+                   help="-- followed by the python args of the worker "
+                        "(e.g. -- -m mvp_pytorch_tpu.tasks.pretrain ...)")
+    args = p.parse_args(argv)
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        p.error("no worker command given (append: -- -m <module> ...)")
+
+    coord = args.coordinator or f"localhost:{_free_port()}"
+    procs = []
+    for rank in range(args.nproc):
+        env = dict(os.environ,
+                   WORLD_SIZE=str(args.nproc), RANK=str(rank),
+                   COORDINATOR_ADDRESS=coord)
+        procs.append(subprocess.Popen(
+            [sys.executable] + cmd, env=env,
+            stdout=None if rank == 0 else subprocess.PIPE,
+            stderr=None if rank == 0 else subprocess.STDOUT,
+            text=rank != 0))
+
+    def pump(rank, proc):
+        for line in proc.stdout:
+            sys.stderr.write(f"[rank {rank}] {line}")
+
+    threads = []
+    for rank, proc in enumerate(procs):
+        if rank == 0:
+            continue
+        t = threading.Thread(target=pump, args=(rank, proc), daemon=True)
+        t.start()
+        threads.append(t)
+
+    rcs = [proc.wait() for proc in procs]
+    for t in threads:
+        t.join(timeout=5)
+    bad = [(r, rc) for r, rc in enumerate(rcs) if rc != 0]
+    if bad:
+        print(f"launch: ranks failed: {bad}", file=sys.stderr)
+        sys.exit(bad[0][1] or 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -164,3 +164,67 @@ def test_sharded_checkpoint_roundtrip_topologies(tmp_path, devices):
     # restores via from_state_dict without length mismatches
     assert jax.tree_util.tree_structure(restored) \
         == jax.tree_util.tree_structure(jax.device_get(opt))
+
+
+def test_launcher_env_contract(tmp_path):
+    """tools/launch spawns N workers with the WORLD_SIZE/RANK/
+    COORDINATOR_ADDRESS rendezvous env (torch.distributed.launch role)."""
+    import subprocess
+    code = ("import os;"
+            "assert os.environ['WORLD_SIZE']=='2';"
+            "assert 'COORDINATOR_ADDRESS' in os.environ;"
+            "print('worker-ok', os.environ['RANK'])")
+    p = subprocess.run(
+        [sys.executable, "-m", "mvp_pytorch_tpu.tools.launch",
+         "--nproc", "2", "--", "-c", code],
+        cwd="/root/repo", env=_env(), text=True, capture_output=True,
+        timeout=120)
+    assert p.returncode == 0, p.stdout + p.stderr
+    out = p.stdout + p.stderr
+    assert "worker-ok 0" in out and "worker-ok 1" in out, out
+
+
+def test_launcher_propagates_failure():
+    import subprocess
+    p = subprocess.run(
+        [sys.executable, "-m", "mvp_pytorch_tpu.tools.launch",
+         "--nproc", "2", "--", "-c", "import sys; sys.exit(3)"],
+        cwd="/root/repo", env=_env(), text=True, capture_output=True,
+        timeout=120)
+    assert p.returncode != 0
+    assert "ranks failed" in p.stdout + p.stderr
+
+
+def test_consolidate_cli_roundtrip(tmp_path, devices):
+    """opt_shards/ -> opt_state.msgpack (zero_to_fp32 role): the
+    consolidated file restores identically through CheckpointManager."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mvp_pytorch_tpu.parallel.mesh import make_mesh, replicated
+    from mvp_pytorch_tpu.training import sharded_checkpoint as sc
+    from mvp_pytorch_tpu.training.checkpoint import (OPT_SHARDS_DIR,
+                                                     CheckpointManager)
+    from mvp_pytorch_tpu.training.consolidate import consolidate_checkpoint
+
+    mesh = make_mesh()
+    params = {"w": jnp.arange(16, dtype=jnp.float32)}
+    tx = optax.adamw(1e-3)
+    opt = jax.device_put(tx.init(params), replicated(mesh))
+
+    from mvp_pytorch_tpu.models.config import tiny_config
+    mgr = CheckpointManager(str(tmp_path))
+    d = mgr.save(3, jax.device_get(params), config=tiny_config())
+    sc.save_sharded(os.path.join(d, OPT_SHARDS_DIR), opt)
+
+    # shard-dir restore and consolidated-file restore agree
+    target = jax.device_get(opt)
+    _, _, opt_a, _ = mgr.restore(d, opt_target=target)
+    out = consolidate_checkpoint(d, remove_shards=True)
+    assert out.endswith("opt_state.msgpack")
+    assert not os.path.isdir(os.path.join(d, OPT_SHARDS_DIR))
+    _, _, opt_b, _ = mgr.restore(d, opt_target=target)
+    for a, b in zip(__import__("jax").tree_util.tree_leaves(opt_a),
+                    __import__("jax").tree_util.tree_leaves(opt_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -115,6 +115,7 @@ def make_batch(cfg, rng=0):
     )
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_qa_contrastive_head():
     cfg = tiny_config()
     model = BiPretrainModel(cfg)
@@ -178,7 +179,8 @@ def test_caption_eval_bleu_cider():
     preds = {"a": ["two", "dogs", "play"], "b": ["junk", "words", "here"]}
     refs = {"a": [["two", "dogs", "play"]], "b": [["a", "man", "rides"]]}
     res = evaluate_captions(preds, refs)
-    assert set(res) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "CIDEr"}
+    assert set(res) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
+                        "ROUGE_L", "CIDEr"}
     assert 0 < res["Bleu_1"] <= 1.0
     # perfect-match corpus scores Bleu_1 == 1 relative weight
     perfect = evaluate_captions({"a": ["two", "dogs"]},

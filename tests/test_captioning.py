@@ -293,6 +293,7 @@ def _caption_model_and_vars(cfg):
     return model, v, ctx
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_cached_decode_step_matches_full_forward(cfg):
     """decode_step logits at position t must equal the full seq2seq forward's
     logits at t for the same committed prefix (exact KV-cache parity)."""
@@ -325,6 +326,7 @@ def test_cached_decode_step_matches_full_forward(cfg):
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_cached_generate_matches_recompute(cfg):
     from mvp_pytorch_tpu.models.generation import (beam_search_cached,
                                                    generate_cached)

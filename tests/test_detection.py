@@ -123,6 +123,7 @@ def test_detector_forward_contract(det):
                                   np.asarray(out2.boxes))
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_detector_learns_synthetic_boxes():
     """60 training steps on colored rectangles: loss drops and the top
     detection overlaps a gt box (the stage is genuinely trainable)."""
@@ -242,6 +243,7 @@ def test_train_transforms(tmp_path):
     assert corr > 0.98, corr                      # brightness-only delta
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_detector_train_cli(tmp_path):
     """Train -> save -> load through the frontend (the jax:<ckpt> path)."""
     from mvp_pytorch_tpu.detection import train_cli

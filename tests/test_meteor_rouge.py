@@ -34,6 +34,7 @@ def test_porter_published_cases(word, stem):
     assert porter_stem(word) == stem
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_porter_matches_nltk_original_algorithm():
     """Property sweep: our stemmer agrees with NLTK's ORIGINAL_ALGORITHM
     mode on a broad caption-style vocabulary."""

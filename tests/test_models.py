@@ -173,6 +173,7 @@ def test_pretrain_losses(cfg):
                                    np.asarray(parts), rtol=1e-6)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_pretrain_gradients_flow(cfg):
     model = BiPretrainModel(cfg)
     batch = make_batch(cfg)

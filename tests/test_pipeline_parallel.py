@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # parallelism equivalence oracles: minutes of CPU-mesh compiles
+
+
 from mvp_pytorch_tpu.models import ModelConfig
 from mvp_pytorch_tpu.models.layers import StreamEncoder, mask_to_bias
 from mvp_pytorch_tpu.parallel.pipeline import (

@@ -150,6 +150,7 @@ def test_only_qa_only_cap_and_exclusion(synth):
     assert filtered.n_excluded == 5 * len(excl)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_qa_rel_loss_learns(synth):
     """Driver-level smoke: qa_seq_relation receives real labels and its loss
     decreases well below ln(2) on the learnable synthetic rule (true answer

@@ -97,6 +97,7 @@ def test_re_dataset_missing_det_entry_is_a_miss(tmp_path):
     assert acc_all <= (len(ds) - 1) / len(ds)   # the miss is counted
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (full suite still runs it)
 def test_re_driver_det_smoke(tmp_path):
     """Driver end to end with --det_json on the CPU platform."""
     from mvp_pytorch_tpu.tasks import re_task

@@ -10,6 +10,9 @@ import optax
 import pytest
 from jax.sharding import PartitionSpec as P
 
+pytestmark = pytest.mark.slow  # parallelism equivalence oracles: minutes of CPU-mesh compiles
+
+
 from mvp_pytorch_tpu.models import BiPretrainModel, ModelConfig
 from mvp_pytorch_tpu.parallel import (MODEL_AXIS, make_mesh,
                                       param_shardings, tp_param_pspec)

@@ -287,10 +287,14 @@ def bench_pretrain_step(batch: int = 96, **cfg_overrides):
     examples/s/chip + MFU from the compiled HLO's own flop count.
 
     B=96 is the measured single-chip throughput sweet spot (1,025 ex/s vs
-    898 at B=48; B>=192 needs remat and drops to ~790). Probed and
-    neutral: buffer donation and bf16 first moments (93.6/93.9/93.7 ms) —
-    the step is fwd/bwd compute-bound, not optimizer-bound, at this
-    batch."""
+    898 at B=48); scaling further is exactly flat (r3 probe: 1.030 ms/ex
+    at B=96, 1.034 at B=192, 1.028 at B=256) — the step is op-mix-bound,
+    not batch-bound. Probed and neutral: buffer donation and bf16 first
+    moments (93.6/93.9/93.7 ms); attention layout without head transposes
+    (xla_blhd: 98.2 vs 97.9 ms, XLA fuses the transposes anyway). Probed
+    attribution (r3): WRA costs 0.8 ms/step, the whole 86k-vocab cost
+    (CE width + table grads + AdamW over the 66M-param table) ~9 ms of
+    which CE itself ~1 ms."""
     import jax
     import jax.numpy as jnp
     import optax

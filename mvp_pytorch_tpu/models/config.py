@@ -59,7 +59,7 @@ class ModelConfig:
 
     # --- TPU-native knobs (new; no reference equivalent) ---
     dtype: str = "float32"               # computation dtype: float32 | bfloat16
-    attention_impl: str = "auto"         # auto | xla (pallas retired, see ops/attention.py)
+    attention_impl: str = "auto"         # auto | xla | xla_blhd (pallas retired, see ops/attention.py)
     remat: bool = False                  # jax.checkpoint each encoder layer
     fused_hn_pass: bool = False          # run true+hard fusion as ONE 2B-row
                                          # mul_encoder call. A/B'd on chip at

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import dot_product_attention, mask_to_bias
+from ..ops.attention import (dot_product_attention, mask_to_bias,
+                             xla_attention_blhd)
 from ..parallel.activation_sharding import shard_seq
 from .config import ModelConfig
 
@@ -118,16 +119,28 @@ class SelfAttention(nn.Module):
             return nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
                             dtype=dt, name=name)
 
-        def split_heads(x):
+        def split4(x):
             return x.reshape(x.shape[0], x.shape[1],
-                             cfg.num_attention_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+                             cfg.num_attention_heads, cfg.head_dim)
+
+        def split_heads(x):
+            return split4(x).transpose(0, 2, 1, 3)
+
+        impl = cfg.attention_impl
+        drop_attn = (cfg.attention_probs_dropout_prob > 0
+                     and not deterministic)
+        if impl == "xla_blhd" and not drop_attn:
+            # layout variant: q/k/v stay [B, L, H, D]; no head transposes
+            ctx = xla_attention_blhd(
+                split4(proj("query")(hidden)), split4(proj("key")(kv_input)),
+                split4(proj("value")(kv_input)), bias)
+            return ctx.reshape(b, l, cfg.hidden_size)
 
         q = split_heads(proj("query")(hidden))
         k = split_heads(proj("key")(kv_input))
         v = split_heads(proj("value")(kv_input))
 
-        impl = cfg.attention_impl
-        if cfg.attention_probs_dropout_prob > 0 and not deterministic:
+        if drop_attn:
             # attention-prob dropout forces the XLA path (kernel has no RNG plumbing)
             scale = cfg.head_dim ** -0.5
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale

@@ -82,12 +82,42 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
 
 
+def xla_attention_blhd(q: jax.Array, k: jax.Array, v: jax.Array,
+                       bias: Optional[jax.Array] = None,
+                       *, precision=None) -> jax.Array:
+    """Same math as `xla_attention` but q,k,v in [B, L, H, D] layout and the
+    context returned as [B, Lq, H, D] — the head axis never moves through an
+    explicit `transpose(0, 2, 1, 3)`; the batched score/context einsums read
+    the projection output layout directly and XLA picks the physical layouts.
+    Candidate forward-MFU lever (the bhld path materializes two transposed
+    copies of q/k/v per layer); A/B'd on chip — see models/layers.py."""
+    scale = q.shape[-1] ** -0.5
+    if q.dtype == jnp.bfloat16:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
+        scores = scores * jnp.bfloat16(scale)
+        if bias is not None:
+            scores = scores + bias.astype(jnp.bfloat16)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp((scores - m).astype(jnp.float32))
+        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=precision)
+    scores = scores.astype(jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=precision)
+
+
 def dot_product_attention(q, k, v, bias=None, *, impl: str = "auto"):
-    """Dispatch. 'auto' resolves to the XLA path (see the module docstring
-    for the measured A/B that retired the Pallas kernels)."""
-    if impl in ("auto", "xla"):
+    """Dispatch on [B, H, L, D] inputs. 'auto' resolves to the XLA path (see
+    the module docstring for the measured A/B that retired the Pallas
+    kernels). The 'xla_blhd' layout variant is dispatched one level up in
+    models/layers.py (its inputs never take the [B, H, L, D] form)."""
+    if impl in ("auto", "xla", "xla_blhd"):
         return xla_attention(q, k, v, bias)
     raise ValueError(
         f"unknown attention impl {impl!r}: the Pallas kernels were retired "
         "after losing the on-chip A/B (see ops/attention.py docstring); "
-        "use 'auto' or 'xla'")
+        "use 'auto', 'xla', or 'xla_blhd'")

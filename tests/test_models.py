@@ -279,6 +279,35 @@ def test_bf16_attention_matches_fp32_reference():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_blhd_attention_layout_matches_default():
+    """attention_impl='xla_blhd' (no explicit head transposes; A/B'd on
+    chip as a wash — see ops/attention.py) must be numerically identical
+    to the default layout, including the KV-history path."""
+    from mvp_pytorch_tpu.models.layers import SelfAttention
+    from mvp_pytorch_tpu.ops.attention import mask_to_bias
+    r = np.random.RandomState(3)
+    h = jnp.asarray(r.randn(4, 13, 64), jnp.float32)
+    bias = mask_to_bias(jnp.asarray((r.rand(4, 13) > 0.2).astype(np.int32)))
+    hist = jnp.asarray(r.randn(4, 5, 64), jnp.float32)
+    for dt, tol in (("float32", 1e-6), ("bfloat16", 0.0)):
+        outs = {}
+        for impl in ("xla", "xla_blhd"):
+            c = tiny_config(hidden_size=64, num_attention_heads=8,
+                            dtype=dt, attention_probs_dropout_prob=0.0,
+                            attention_impl=impl)
+            m = SelfAttention(c)
+            x = h.astype(jnp.dtype(dt))
+            p = m.init(jax.random.PRNGKey(0), x, bias, deterministic=True)
+            outs[impl] = (m.apply(p, x, bias, deterministic=True),
+                          m.apply(p, x, None,
+                                  history_state=hist.astype(jnp.dtype(dt)),
+                                  deterministic=True))
+        for a, b in zip(outs["xla"], outs["xla_blhd"]):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=tol)
+
+
 def test_t2i_sim_few_valid_regions():
     """With fewer than 3 valid regions the random top-3 pick must always
     land on a REAL similarity (the reference top-ks over the actual region

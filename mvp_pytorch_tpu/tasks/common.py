@@ -20,8 +20,8 @@ from ..data.loader import BatchSampler, PrefetchLoader
 from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.config import ModelConfig
 from ..parallel.mesh import make_mesh
-from ..training.checkpoint import (CheckpointManager, load_pretrained,
-                                   save_train_state)
+from ..training.checkpoint import (AsyncSaver, CheckpointManager,
+                                   load_pretrained, save_train_state)
 from ..training.metrics import MetricLogger, MetricsWriter
 from ..training.optim import make_optimizer
 from ..training.trainer import Trainer
@@ -57,6 +57,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--log_period", type=int, default=10)
     parser.add_argument("--ckpt_period", type=int, default=200)
+    parser.add_argument("--async_ckpt", action="store_true",
+                        help="overlap checkpoint serialization/disk IO "
+                             "with training on a background writer thread "
+                             "(single-process only; multi-process saves "
+                             "are collective and stay synchronous)")
     parser.add_argument("--num_workers", type=int, default=4,
                         help="loader workers; clamped to the host's CPU "
                              "count (extra workers only add GIL/context-"
@@ -250,6 +255,10 @@ class TrainLoop:
                                sequence_parallel=getattr(
                                    args, "sequence_parallel", False))
         self.ckpt = CheckpointManager(args.output_dir)
+        # async writer only where save_train_state can use it (1 process)
+        self.async_saver = (AsyncSaver()
+                            if getattr(args, "async_ckpt", False)
+                            and jax.process_count() == 1 else None)
         self.config = config
         self.dataset = dataset
         self.extra_meta = extra_meta or {}
@@ -354,7 +363,8 @@ class TrainLoop:
                     # manifest under multi-process)
                     save_train_state(self.ckpt, step + 1, self.state,
                                      config=self.config,
-                                     extra=self.extra_meta, args=vars(args))
+                                     extra=self.extra_meta, args=vars(args),
+                                     async_saver=self.async_saver)
                     if eval_hook is not None:
                         res = eval_hook(step + 1, self.state.params)
                         if res and self.is_main:
@@ -368,6 +378,9 @@ class TrainLoop:
                                 json.dump(logs, f, indent=2)
         finally:
             loader.close()
+            if self.async_saver is not None:
+                # flush the in-flight write; re-raises a background failure
+                self.async_saver.wait()
             if writer is not None:
                 writer.close()
         return self.state

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any, Optional, Tuple
 
@@ -105,10 +106,66 @@ def _fully_readable(tree) -> bool:
     return True
 
 
+class AsyncSaver:
+    """Overlap checkpoint serialization + disk IO with training.
+
+    The host snapshot (`jax.device_get`) stays synchronous — it must
+    complete before the caller's next optimizer step replaces the arrays —
+    but the expensive part of a save (msgpack-serializing ~2 GB of fp32
+    state and writing it) then runs on a single background thread while
+    the accelerator keeps training. The reference blocks the whole train
+    loop for its torch.save (run_pretrain_ml.py:712-753); here the device
+    never idles for the write.
+
+    At most ONE save is in flight: a new submit first joins the previous
+    write, so checkpoints land in order, a slow disk back-pressures
+    instead of piling up host copies, and memory holds at most one extra
+    snapshot. Background failures are re-raised at the next submit() or
+    wait(); callers must wait() before exiting.
+
+    Single-process only by design: the multi-process save path is a
+    cross-host collective with barriers (save_train_state below) where a
+    lagging writer thread on one host would stall every other host's next
+    collective — multi-process saves stay synchronous.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def _join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, fn) -> None:
+        """Run fn() on the writer thread after the previous write ends."""
+        self._join()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                self._err = e
+
+        self._thread = threading.Thread(target=run, name="ckpt-writer",
+                                        daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) finishes; re-raise its
+        error."""
+        self._join()
+
+
 def save_train_state(mgr: "CheckpointManager", step: int, state,
                      config: Optional[ModelConfig] = None,
                      extra: Optional[dict] = None,
-                     args: Optional[dict] = None) -> str:
+                     args: Optional[dict] = None,
+                     async_saver: Optional[AsyncSaver] = None) -> str:
     """Process-topology-aware checkpoint save (the reference's
     model_engine.save_checkpoint + rank-0 gating,
     run_pretrain_ml.py:712-753). COLLECTIVE under multi-process: every
@@ -124,8 +181,14 @@ def save_train_state(mgr: "CheckpointManager", step: int, state,
       process's own shard file happen on process 0 only.
     """
     if jax.process_count() == 1:
-        return mgr.save(step, jax.device_get(state.params),
-                        opt_state=jax.device_get(state.opt_state),
+        params_h = jax.device_get(state.params)
+        opt_h = jax.device_get(state.opt_state)
+        if async_saver is not None:
+            async_saver.submit(lambda: mgr.save(
+                step, params_h, opt_state=opt_h, config=config, extra=extra,
+                args=args))
+            return mgr._ckpt_dir(step)
+        return mgr.save(step, params_h, opt_state=opt_h,
                         config=config, extra=extra, args=args)
 
     from jax.experimental import multihost_utils

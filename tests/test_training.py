@@ -141,6 +141,49 @@ def test_checkpoint_manager_resume(tmp_path, setup):
     assert meta["step"] == 30
 
 
+def test_async_checkpoint_save(tmp_path, setup):
+    """AsyncSaver path: same files/contents as the synchronous save,
+    ordered back-to-back saves, and background errors surfaced on wait()."""
+    from collections import namedtuple
+
+    from mvp_pytorch_tpu.training.checkpoint import (AsyncSaver,
+                                                     save_train_state)
+    cfg, model, params, batch, loss_fn = setup
+    State = namedtuple("State", ["params", "opt_state"])
+    opt = {"mu": jax.tree_util.tree_map(jnp.zeros_like, params)}
+    state = State(params=params, opt_state=opt)
+
+    sync_mgr = CheckpointManager(str(tmp_path / "sync"))
+    async_mgr = CheckpointManager(str(tmp_path / "async"))
+    saver = AsyncSaver()
+    d_sync = save_train_state(sync_mgr, 5, state, config=cfg)
+    d_async = save_train_state(async_mgr, 5, state, config=cfg,
+                               async_saver=saver)
+    # a second save queues behind the first and both land in order
+    save_train_state(async_mgr, 6, state, config=cfg, async_saver=saver)
+    saver.wait()
+    assert os.path.basename(d_async) == "checkpoint-0000005"
+    for name in ("params.msgpack", "opt_state.msgpack", "config.json"):
+        a = os.path.join(d_sync, name)
+        b = os.path.join(d_async, name)
+        assert os.path.exists(b), name
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), name
+    step, d = async_mgr.latest()
+    assert step == 6
+    _, p2, opt2, _ = async_mgr.restore(d, params_target=params,
+                                       opt_target=opt)
+    for x, y in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # background failure is re-raised at wait()
+    saver.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(OSError, match="disk full"):
+        saver.wait()
+    saver.wait()   # error is consumed; saver remains usable
+
+
 def test_sequential_shards_roundtrip():
     idx, total = sequential_shards(10, 4)
     assert idx.shape == (4, 3)

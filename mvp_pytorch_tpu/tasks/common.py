@@ -378,9 +378,10 @@ class TrainLoop:
                                 json.dump(logs, f, indent=2)
         finally:
             loader.close()
-            if self.async_saver is not None:
-                # flush the in-flight write; re-raises a background failure
-                self.async_saver.wait()
             if writer is not None:
                 writer.close()
+            if self.async_saver is not None:
+                # flush the in-flight write; re-raises a background failure
+                # (last: a raise here must not leak the loader/writer)
+                self.async_saver.wait()
         return self.state

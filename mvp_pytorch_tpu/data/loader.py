@@ -221,12 +221,18 @@ class ProcessPrefetchLoader:
                  sampler: BatchSampler, start_step: int = 0,
                  prefetch: int = 4, num_procs: int = 4):
         import multiprocessing as mp
+        import uuid
         self._ctx = mp.get_context("fork")
         self.fetch = fetch
         self.sampler = sampler
         self.start_step = start_step
         self.num_procs = max(1, num_procs)
         self.n_slots = max(2, prefetch // self.num_procs + 1)
+        # deterministic segment names (tag + worker + slot): close() can
+        # unlink every segment even for a worker whose spec message the
+        # consumer never received (worker crashed/killed early) — without
+        # this, those segments would outlive the process in /dev/shm
+        self._tag = uuid.uuid4().hex[:10]
         self._qs = [self._ctx.Queue() for _ in range(self.num_procs)]
         self._sems = [self._ctx.BoundedSemaphore(self.n_slots)
                       for _ in range(self.num_procs)]
@@ -234,6 +240,9 @@ class ProcessPrefetchLoader:
         self._procs: list = []
         self._shms: list = []          # consumer-side handles
         self._specs: list = []         # per-worker (keys, shapes, dtypes, offsets)
+
+    def _slot_name(self, worker_id: int, slot: int) -> str:
+        return f"mvppl_{self._tag}_{worker_id}_{slot}"
 
     # ---------------- worker side ----------------
     @staticmethod
@@ -258,7 +267,9 @@ class ProcessPrefetchLoader:
             batch = self.fetch(self.sampler.batch_at(step))
             keys, shapes, dtypes, offsets, total = self._layout(batch)
             for s in range(self.n_slots):
-                shm = shared_memory.SharedMemory(create=True, size=total)
+                shm = shared_memory.SharedMemory(
+                    create=True, size=total,
+                    name=self._slot_name(worker_id, s))
                 # the CONSUMER owns unlink; unregister from this worker's
                 # resource tracker or it warns about the already-unlinked
                 # segment at exit
@@ -295,11 +306,31 @@ class ProcessPrefetchLoader:
                 shm.close()   # consumer owns unlink
 
     # ---------------- consumer side ----------------
+    def _get_msg(self, worker_id: int):
+        """Queue get with worker-liveness checks: a hard-killed worker
+        (OOM killer — exactly the ~40 MB-batch regime this loader serves)
+        never enqueues its ('error', ...) sentinel, and a bare q.get()
+        would block training forever."""
+        import queue as _q
+        q = self._qs[worker_id]
+        while True:
+            try:
+                msg = q.get(timeout=1.0)
+            except _q.Empty:
+                p = self._procs[worker_id]
+                if not p.is_alive():
+                    raise RuntimeError(
+                        f"loader worker {worker_id} died (exitcode "
+                        f"{p.exitcode}) without reporting an error — "
+                        "likely killed by the OS (OOM?)")
+                continue
+            if msg[0] == "error":
+                raise RuntimeError(f"loader worker failed: {msg[1]}")
+            return msg
+
     def _open_spec(self, worker_id: int):
         from multiprocessing import shared_memory
-        msg = self._qs[worker_id].get()
-        if msg[0] == "error":
-            raise RuntimeError(f"loader worker failed: {msg[1]}")
+        msg = self._get_msg(worker_id)
         assert msg[0] == "spec", msg
         _, names, keys, shapes, dtypes, offsets = msg
         shms = [shared_memory.SharedMemory(name=n) for n in names]
@@ -320,9 +351,7 @@ class ProcessPrefetchLoader:
         try:
             while True:
                 w = (next_step - self.start_step) % self.num_procs
-                msg = self._qs[w].get()
-                if msg[0] == "error":
-                    raise RuntimeError(f"loader worker failed: {msg[1]}")
+                msg = self._get_msg(w)
                 step, slot = msg
                 assert step == next_step, (step, next_step)
                 keys, shapes, dtypes, offsets, shms = self._specs[w]
@@ -359,11 +388,23 @@ class ProcessPrefetchLoader:
         for shms in self._shms:
             for shm in shms:
                 shm.close()
+        self._shms = []
+        # unlink by deterministic name — covers segments of workers whose
+        # spec the consumer never opened (worker crashed before/while the
+        # spec was in flight), which handle-based unlink would leak
+        from multiprocessing import shared_memory
+        for w in range(self.num_procs):
+            for s in range(self.n_slots):
+                try:
+                    shm = shared_memory.SharedMemory(
+                        name=self._slot_name(w, s))
+                except FileNotFoundError:
+                    continue
+                shm.close()
                 try:
                     shm.unlink()
                 except FileNotFoundError:
                     pass
-        self._shms = []
         for q in self._qs:
             q.close()
             q.cancel_join_thread()

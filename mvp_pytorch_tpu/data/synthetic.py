@@ -84,11 +84,21 @@ def make_synthetic_root(root: str, n_images: int = 12,
     Idempotent: a completed root (paths.json marker, written last) is
     returned as-is without regeneration — this makes concurrent callers
     safe when generation is gated to one process (tasks/common.synth_root)
-    and repeat smoke runs fast."""
+    and repeat smoke runs fast. The marker records the generation
+    parameters: reusing the root with DIFFERENT parameters regenerates
+    instead of silently returning stale data of the old shape."""
+    gen_params = {"n_images": n_images, "caps_per_img": caps_per_img,
+                  "n_answers": n_answers, "feature_dim": feature_dim,
+                  "seed": seed}
     marker = os.path.join(root, "paths.json")
     if os.path.exists(marker):
         with open(marker) as f:
-            return json.load(f)
+            saved = json.load(f)
+        if saved.get("gen_params") == gen_params:
+            return saved
+        # parameters changed: wipe and regenerate
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
     rng = random.Random(seed)
     nprng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
@@ -254,6 +264,7 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["tag2id"], "w") as f:
         json.dump({t: i for i, t in enumerate(TAGS)}, f)
 
+    paths["gen_params"] = gen_params
     with open(marker + ".tmp", "w") as f:
         json.dump(paths, f)
     os.replace(marker + ".tmp", marker)

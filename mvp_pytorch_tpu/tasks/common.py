@@ -17,6 +17,9 @@ import jax
 import numpy as np
 
 from ..data.loader import BatchSampler, PrefetchLoader
+# single definition in parallel/distributed.py; re-exported because every
+# driver imports it from tasks.common
+from ..parallel.distributed import is_main_process
 from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.config import ModelConfig
 from ..parallel.mesh import make_mesh
@@ -127,8 +130,6 @@ def init_runtime(args, logger=None) -> dict:
     return info
 
 
-def is_main_process() -> bool:
-    return jax.process_index() == 0
 
 
 def synth_root(args, **kw) -> dict:
@@ -179,7 +180,10 @@ def restore_training_settings(args, argv=None, extra_keys=(), logger=None):
         if k not in saved or not hasattr(args, k):
             continue
         cur = getattr(args, k)
-        if f"--{k}" in given:
+        # both argparse spellings count as explicit: "--key value" and
+        # "--key=value" (a missed "=" form would be silently overridden
+        # by the snapshot — the exact divergence this guards against)
+        if any(a == f"--{k}" or a.startswith(f"--{k}=") for a in given):
             if logger and cur != saved[k]:
                 logger.info(f"training_args: keeping explicit --{k}={cur} "
                             f"(checkpoint trained with {saved[k]})")

@@ -25,6 +25,7 @@ import socket
 import subprocess
 import sys
 import threading
+import time
 
 
 def _free_port() -> int:
@@ -74,13 +75,42 @@ def main(argv=None):
         t.start()
         threads.append(t)
 
-    rcs = [proc.wait() for proc in procs]
+    # poll instead of sequential wait(): a rank that dies mid-run leaves
+    # the survivors blocked in their next collective forever — tear the
+    # job down as soon as ANY rank exits nonzero (torch.distributed.launch
+    # semantics)
+    rcs = [None] * len(procs)
+    induced: set = set()    # ranks WE terminated after another rank failed
+    while any(rc is None for rc in rcs):
+        for r, proc in enumerate(procs):
+            if rcs[r] is None:
+                rcs[r] = proc.poll()
+        failed = [(r, rc) for r, rc in enumerate(rcs) if rc not in (None, 0)]
+        if failed and any(rc is None for rc in rcs):
+            print(f"launch: rank {failed[0][0]} exited rc={failed[0][1]}; "
+                  f"terminating surviving ranks", file=sys.stderr)
+            for r, proc in enumerate(procs):
+                if rcs[r] is None:
+                    induced.add(r)
+                    proc.terminate()
+            for r, proc in enumerate(procs):
+                if rcs[r] is None:
+                    try:
+                        rcs[r] = proc.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                        rcs[r] = proc.wait()
+            break
+        time.sleep(0.2)
     for t in threads:
         t.join(timeout=5)
     bad = [(r, rc) for r, rc in enumerate(rcs) if rc != 0]
     if bad:
         print(f"launch: ranks failed: {bad}", file=sys.stderr)
-        sys.exit(bad[0][1] or 1)
+        # exit with the ORIGINAL failure, not the -SIGTERM of a rank we
+        # tore down ourselves
+        original = [b for b in bad if b[0] not in induced] or bad
+        sys.exit(original[0][1] or 1)
 
 
 if __name__ == "__main__":

@@ -225,3 +225,47 @@ def test_dis_code_img_bert():
     v = model.init(jax.random.PRNGKey(0), ids, img_feats=codes)
     seq, pooled = model.apply(v, ids, img_feats=codes)
     assert seq.shape == (2, 10, cfg.hidden_size)
+
+
+def test_synthetic_root_regenerates_on_changed_params(tmp_path):
+    """The paths.json marker records generation params: reusing a root
+    with different kwargs must regenerate, not return stale data of the
+    old shape (caption-per-image grouping would silently disagree)."""
+    import json as _json
+
+    root = str(tmp_path / "synth")
+    p1 = make_synthetic_root(root, n_images=6, caps_per_img=5)
+    with open(p1["captions"]) as f:
+        caps1 = _json.load(f)
+    # same params: marker hit, fast read-only return
+    p1b = make_synthetic_root(root, n_images=6, caps_per_img=5)
+    assert p1b["gen_params"] == p1["gen_params"]
+    # changed params: regenerated with the new shape
+    p2 = make_synthetic_root(root, n_images=6, caps_per_img=3)
+    with open(p2["captions"]) as f:
+        caps2 = _json.load(f)
+    assert all(len(v) == 5 for v in caps1.values())
+    assert all(len(v) == 3 for v in caps2.values())
+
+
+def test_launch_tears_down_survivors_on_rank_failure():
+    """A rank that dies mid-run must fail the whole launch promptly —
+    the survivors would otherwise block in their next collective forever
+    and the launcher would hang in wait()."""
+    import subprocess
+    import sys
+    import time as _time
+
+    code = ("import os, sys, time\n"
+            "if os.environ['RANK'] == '1':\n"
+            "    sys.exit(3)\n"
+            "time.sleep(60)\n")
+    t0 = _time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "mvp_pytorch_tpu.tools.launch",
+         "--nproc", "2", "--", "-c", code],
+        capture_output=True, text=True, timeout=30,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 3, proc.stderr
+    assert _time.time() - t0 < 25          # did not wait out rank 0's sleep
+    assert "terminating surviving ranks" in proc.stderr

@@ -182,6 +182,39 @@ def test_process_loader_error_propagates():
     loader.close()
 
 
+def test_process_loader_detects_killed_worker():
+    """A SIGKILLed worker (the OOM-killer scenario) never enqueues its
+    error sentinel; the consumer must detect the dead process instead of
+    blocking in q.get() forever — and close() must leave no /dev/shm
+    segments behind."""
+    import signal
+
+    import numpy as np
+    import pytest
+
+    from mvp_pytorch_tpu.data.loader import BatchSampler, ProcessPrefetchLoader
+
+    class DS:
+        def fetch(self, idx):
+            return {"x": np.asarray(idx)}
+
+    loader = ProcessPrefetchLoader(DS().fetch, BatchSampler(500, 4, seed=0),
+                                   prefetch=2, num_procs=2)
+    it = iter(loader)
+    next(it)
+    for p in loader._procs:
+        os.kill(p.pid, signal.SIGKILL)
+    with pytest.raises(RuntimeError, match="died"):
+        for _ in range(20):   # a few buffered batches may still drain
+            next(it)
+    loader.close()
+    # deterministic-name cleanup: nothing left in /dev/shm
+    for w in range(loader.num_procs):
+        for s in range(loader.n_slots):
+            assert not os.path.exists(
+                "/dev/shm/" + loader._slot_name(w, s))
+
+
 def test_process_loader_resume_start_step():
     import numpy as np
 

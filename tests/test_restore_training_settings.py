@@ -60,6 +60,17 @@ def test_explicit_cli_flags_win_and_are_logged(tmp_path, caplog):
                for r in caplog.records)
 
 
+def test_equals_form_flag_counts_as_explicit(tmp_path):
+    """'--key=value' must count as explicit exactly like '--key value' —
+    a missed '=' spelling would be silently overridden by the snapshot."""
+    d = str(tmp_path)
+    _write_snapshot(d)
+    args = restore_training_settings(
+        _args(d, max_seq_length=40), argv=["--max_seq_length=40"])
+    assert args.max_seq_length == 40          # kept, not reset to 17
+    assert args.max_tag_length == 9           # others still restored
+
+
 def test_noop_when_training_or_no_snapshot(tmp_path):
     d = str(tmp_path)
     _write_snapshot(d)

@@ -91,6 +91,26 @@ def _parse_slices(key: str):
                  for a, b in (p.split(":") for p in key.split(",")))
 
 
+def _npz_safe(arr: np.ndarray) -> np.ndarray:
+    """npz serializes extension dtypes (ml_dtypes bfloat16, kind 'V') as
+    raw void, silently losing the dtype on load — store them as the
+    same-width uint view instead; the manifest keeps the true dtype."""
+    if arr.dtype.kind == "V":
+        return arr.view(f"u{arr.dtype.itemsize}")
+    return arr
+
+
+def _from_saved(arr: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Undo _npz_safe: reinterpret (not cast) same-width uint/void bits
+    back to the manifest dtype; plain dtype mismatches cast as before."""
+    if arr.dtype == dtype:
+        return arr
+    if arr.dtype.kind in ("V", "u") and dtype.kind == "V" \
+            and arr.dtype.itemsize == dtype.itemsize:
+        return arr.view(dtype)
+    return arr.astype(dtype, copy=False)
+
+
 def save_sharded(directory: str, tree: Any) -> None:
     """Collective save: every process writes its replica-0 addressable
     shards; process 0 writes the manifest. Callers must not gate this to
@@ -111,13 +131,13 @@ def save_sharded(directory: str, tree: Any) -> None:
                 if sh.replica_id != 0:
                     continue
                 arrays[f"{path}|{_slices_key(sh.index, leaf.shape)}"] = \
-                    np.asarray(sh.data)
+                    _npz_safe(np.asarray(sh.data))
         else:
             arr = np.asarray(leaf)
             manifest["leaves"][path] = {"shape": list(arr.shape),
                                         "dtype": str(arr.dtype)}
             if rank == 0:   # host values are identical everywhere
-                arrays[f"{path}|"] = arr
+                arrays[f"{path}|"] = _npz_safe(arr)
 
     tmp = os.path.join(directory, f".shard-{rank:05d}.npz.tmp")
     with open(tmp, "wb") as f:
@@ -154,11 +174,11 @@ def _read_host_leaves(directory: str) -> Dict[str, np.ndarray]:
                 f"sharded checkpoint {directory}: no data for leaf {path}")
         if len(got) == 1 and _parse_slices(got[0][0]) in ((), None) \
                 and got[0][1].shape == shape:
-            leaves[path] = got[0][1].astype(dtype, copy=False)
+            leaves[path] = _from_saved(got[0][1], dtype)
             continue
         full = np.empty(shape, dtype)
         for idx, arr in got:
-            full[_parse_slices(idx)] = arr
+            full[_parse_slices(idx)] = _from_saved(arr, dtype)
         leaves[path] = full
     return leaves
 

@@ -166,6 +166,39 @@ def test_sharded_checkpoint_roundtrip_topologies(tmp_path, devices):
         == jax.tree_util.tree_structure(jax.device_get(opt))
 
 
+def test_sharded_checkpoint_bfloat16_leaves(tmp_path, devices):
+    """npz stores extension dtypes (bfloat16, numpy kind 'V') as raw void,
+    silently dropping the dtype — the shard writer must view them as uints
+    and the reader must view them back, bit-exact, for both sharded and
+    replicated leaves."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mvp_pytorch_tpu.parallel.mesh import make_mesh, replicated
+    from mvp_pytorch_tpu.training import sharded_checkpoint as sc
+
+    mesh = make_mesh()
+    tree = {
+        "w": jax.device_put(
+            jnp.linspace(-3.0, 7.0, 64, dtype=jnp.bfloat16).reshape(8, 8),
+            NamedSharding(mesh, P("data", None))),
+        "b": jax.device_put(jnp.array([1.5, -2.25, 0.125], jnp.bfloat16),
+                            replicated(mesh)),
+        "step": np.int32(7),
+    }
+    d = str(tmp_path / "bf16_shards")
+    sc.save_sharded(d, tree)
+    host = sc.consolidate(d)
+    for k in ("w", "b"):
+        expect = np.asarray(jax.device_get(tree[k]))
+        got = host[k]
+        assert got.dtype == expect.dtype == jnp.bfloat16, (k, got.dtype)
+        np.testing.assert_array_equal(got.view(np.uint16),
+                                      expect.view(np.uint16))
+    assert host["step"] == 7
+
+
 def test_launcher_env_contract(tmp_path):
     """tools/launch spawns N workers with the WORLD_SIZE/RANK/
     COORDINATOR_ADDRESS rendezvous env (torch.distributed.launch role)."""

@@ -199,6 +199,58 @@ def test_sharded_checkpoint_bfloat16_leaves(tmp_path, devices):
     assert host["step"] == 7
 
 
+@pytest.mark.slow
+def test_two_process_eval_gather_matches_single(tmp_path):
+    """Driver eval under 2 processes: each rank scores its sequential
+    shard and gather_eval_arrays (process_allgather + unpad) assembles
+    the full metric — the result must equal the single-process eval of
+    the same trained params (losses are already proven identical, so any
+    difference is the gather). Reference: SequentialDistributedSampler +
+    distributed_concat (oscar/sequential_eval_utils.py:11-80)."""
+    ve_args = [
+        "-m", "mvp_pytorch_tpu.tasks.ve", "--synthetic", "--tiny",
+        "--train_batch_size", "8", "--eval_batch_size", "8", "--do_train",
+        "--do_eval", "--dtype", "float32", "--platform", "cpu",
+        "--log_period", "2", "--hidden_dropout_prob", "0.0",
+        "--max_steps", "4", "--ckpt_period", "4",
+    ]
+
+    def read_eval(outdir):
+        with open(os.path.join(outdir, "eval_logs.json")) as f:
+            logs = json.load(f)
+        return {r["step"]: r["ve_accuracy"] for r in logs}
+
+    sp_dir, mp_dir = str(tmp_path / "sp"), str(tmp_path / "mp")
+    p = subprocess.run(
+        [sys.executable] + ve_args + ["--output_dir", sp_dir,
+                                      "--num_cpu_devices", "8"],
+        cwd="/root/repo", env=_env(), text=True, capture_output=True,
+        timeout=600)
+    assert p.returncode == 0, p.stdout + p.stderr
+
+    port = _free_port()
+    procs = []
+    for r in range(2):
+        env = dict(_env(), WORLD_SIZE="2", RANK=str(r),
+                   COORDINATOR_ADDRESS=f"localhost:{port}")
+        procs.append(subprocess.Popen(
+            [sys.executable] + ve_args + ["--output_dir", mp_dir,
+                                          "--num_cpu_devices", "4"],
+            cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [pr.communicate(timeout=600)[0] for pr in procs]
+    for r, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"rank {r}:\n{out}"
+
+    sp, mp = read_eval(sp_dir), read_eval(mp_dir)
+    assert set(sp) == set(mp) == {4}
+    assert np.isclose(sp[4], mp[4], atol=1e-9), (sp, mp)
+    # eval_logs.json written once (rank-0 gated), and the synthetic VE
+    # eval set is small enough that a dropped/duplicated shard example
+    # would move the accuracy
+    assert not os.path.exists(os.path.join(mp_dir, "eval_logs.json.tmp"))
+
+
 def test_launcher_env_contract(tmp_path):
     """tools/launch spawns N workers with the WORLD_SIZE/RANK/
     COORDINATOR_ADDRESS rendezvous env (torch.distributed.launch role)."""

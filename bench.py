@@ -209,22 +209,34 @@ def main():
         return time.time() - t0, n_pairs
 
     # best-of-N (intermittent chip throttling); drop to 2 reps under budget
-    # pressure — each rep is a few seconds, compiles were the real cost
+    # pressure — each rep is a few seconds, compiles were the real cost.
+    # EMIT AFTER THE FIRST REP: the tunnel shows multi-minute stall
+    # windows that can land INSIDE a rep (observed mid-round-3: reps that
+    # take 27 s healthy stalled >12 min), so waiting for all N reps before
+    # the first emit would lose the whole run to a driver timeout even
+    # though rep 1 finished. Rep 1's number is a few % below best-of-N at
+    # worst; later reps re-emit the improved headline.
     _note("headline compiles + warmup done")
     n_reps = 4 if _remaining() > 60 else 2
-    results = [run_once() for _ in range(n_reps)]
-    dt = min(r[0] for r in results)
+    results = [run_once()]
     n_pairs = results[0][1]
-    pairs_per_sec = n_pairs / dt
-    _note(f"headline timed: {pairs_per_sec:.0f} pairs/s")
-
-    detail = {"n_fine_pairs": n_pairs, "wall_s": round(dt, 2),
-              "n_cap": N_CAP, "n_img": N_IMG,
+    pairs_per_sec = n_pairs / results[0][0]
+    detail = {"n_fine_pairs": n_pairs, "n_cap": N_CAP, "n_img": N_IMG,
               "backend": jax.default_backend()}
+    _note(f"headline rep 1: {pairs_per_sec:.0f} pairs/s — emitting")
+    _emit(_headline(pairs_per_sec,
+                    dict(detail, wall_s=round(results[0][0], 2), reps=1)))
+    while len(results) < n_reps and _remaining() > 30:
+        results.append(run_once())
+    dt = min(r[0] for r in results)
+    pairs_per_sec = n_pairs / dt
+    detail.update(wall_s=round(dt, 2), reps=len(results))
+    _note(f"headline timed: {pairs_per_sec:.0f} pairs/s "
+          f"(best of {len(results)})")
 
-    # EMIT THE HEADLINE NOW — everything after this line (the p50 probe
-    # compiles one more graph, each secondary several) is expendable under
-    # a driver timeout (VERDICT r2 weak #1)
+    # re-emit the best-of-N headline — everything after this line (the
+    # p50 probe compiles one more graph, each secondary several) is
+    # expendable under a driver timeout (VERDICT r2 weak #1)
     _emit(_headline(pairs_per_sec, dict(detail)))
 
     # secondary BASELINE metric: p50 single-pair MLM-style latency (full

@@ -170,6 +170,7 @@ class BiPretrainModel(nn.Module):
                  max_pred_b: int = 10, hn_mod: str = "hard",
                  phrase_mod: str = "sample", wra_phrase_width: int = 10,
                  phrase_layer: Optional[int] = None, hn_dice=None,
+                 debug_mlm: bool = False,
                  deterministic: bool = False) -> PretrainOutput:
         cfg = self.config
         # clamp at 100 (CLIP's training guard; the reference omits it
@@ -205,6 +206,14 @@ class BiPretrainModel(nn.Module):
             out.sequence_output[:, :la], lm_label_ids_a, max_pred_a)
         mlm_logits = self.cls_predictions(mlm_h, word_table)
         masked_lm_loss = masked_cross_entropy(mlm_logits, mlm_labels, mlm_w)
+        if debug_mlm:
+            # the reference's --mlm_debug dump (run_pretrain_ml.py:170,
+            # 544-550, mlm_res.pt): expose per-position MLM predictions
+            # via the intermediates collection. Gated by a static flag —
+            # the logits tensor is large and must never ride along with
+            # the MoE aux-loss intermediates during training.
+            self.sow("intermediates", "mlm_debug",
+                     (jnp.argmax(mlm_logits, -1), mlm_labels, mlm_w))
 
         # 4. ITM over [true ; hard] pooled outputs; labels 0 = true, 1 = hard
         pooled_all = jnp.concatenate(

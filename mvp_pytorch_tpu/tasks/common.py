@@ -361,6 +361,11 @@ class TrainLoop:
                         self.logger.info(
                             f"step {step + 1}/{args.max_steps} "
                             + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                        # philly-scraper console marker (reference
+                        # run_pretrain_ml.py:698-701)
+                        self.logger.info(
+                            "PROGRESS: "
+                            f"{100.0 * (step + 1) / args.max_steps:.2f}%")
                 if (step + 1) % args.ckpt_period == 0 or step + 1 == args.max_steps:
                     # collective, process-aware save (rank-0 single-file in
                     # the 1-process case; sharded ZeRO state + rank-0-gated
@@ -372,6 +377,13 @@ class TrainLoop:
                     if eval_hook is not None:
                         res = eval_hook(step + 1, self.state.params)
                         if res and self.is_main:
+                            # EVALERR marker (reference :698-701): error% =
+                            # 100*(1 - the first accuracy-like metric)
+                            for k, v in res.items():
+                                if "acc" in k and np.isscalar(v):
+                                    self.logger.info(
+                                        f"EVALERR: {100.0 * (1 - v):.2f}%")
+                                    break
                             path = os.path.join(args.output_dir, "eval_logs.json")
                             logs = []
                             if os.path.exists(path):

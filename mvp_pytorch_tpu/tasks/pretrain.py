@@ -86,6 +86,11 @@ def get_args(argv=None):
     p.add_argument("--extra_loss_weight", type=float, default=0.2)
     p.add_argument("--extra_batch_divisor", type=int, default=5,
                    help="extra batch = train_batch / divisor (reference 1/5)")
+    p.add_argument("--mlm_debug", action="store_true",
+                   help="after training, dump one batch of MLM inputs + "
+                        "top-1 predictions to output_dir/mlm_res.npz and "
+                        "log the first tensorized example (the reference's "
+                        "--mlm_debug mlm_res.pt dump + guid<1 sample dump)")
     return p.parse_args(argv)
 
 
@@ -279,10 +284,52 @@ def main(argv=None):
             metrics["moe_aux"] = aux
         return total, metrics
 
+    if args.mlm_debug and is_main_process():
+        # the reference's guid<1 sample dump (oscar_tsv4.py:1063-1077):
+        # log the first tensorized example's text tokens for sanity
+        raw = dataset.fetch(np.arange(1))
+        ex = raw["main"] if extra_dataset is not None else raw
+        ids = [int(i) for i in ex["input_ids_a"][0] if i != 0]
+        logger.info("mlm_debug sample 0 tokens_a: "
+                    f"{tokenizer.convert_ids_to_tokens(ids)}")
+
     loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
     if is_main_process():
         tokenizer.save_pretrained(args.output_dir)
-    loop.run()
+    state = loop.run()
+
+    if args.mlm_debug and is_main_process():
+        # one deterministic forward with the intermediates collection
+        # mutable: dump inputs + top-1 MLM predictions (reference
+        # mlm_res.pt contract, run_pretrain_ml.py:544-550)
+        raw = dataset.fetch(np.arange(min(args.train_batch_size,
+                                          len(dataset))))
+        if extra_dataset is not None:
+            raw = raw["main"]
+        batch = jax.tree_util.tree_map(jnp.asarray, raw)
+
+        @jax.jit
+        def dbg(p, b):
+            _, mut = model.apply(
+                {"params": p}, **model_kwargs(b), max_tag_length=mt,
+                hn_mod=args.hn_mod, phrase_mod=args.phrase_mod,
+                max_pred_a=args.max_pred_a, max_pred_b=args.max_pred_b,
+                phrase_layer=args.wra_layer, debug_mlm=True,
+                deterministic=True,
+                rngs={"hardneg": jax.random.PRNGKey(0),
+                      "wra": jax.random.PRNGKey(0)},
+                mutable=["intermediates"])
+            return mut["intermediates"]["mlm_debug"][0]
+
+        pred, labels, weights = jax.device_get(dbg(state.params, batch))
+        path = os.path.join(args.output_dir, "mlm_res.npz")
+        np.savez(path, input_ids_a=raw["input_ids_a"],
+                 lm_label_ids_a=raw["lm_label_ids_a"],
+                 mlm_pred=pred, mlm_labels=labels, mlm_weights=weights)
+        n = max(weights.sum(), 1.0)
+        acc = float(((pred == labels) * weights).sum() / n)
+        logger.info(f"mlm_debug: dumped {path} (masked-token top-1 "
+                    f"acc {acc:.4f} over {int(weights.sum())} positions)")
     logger.info("pretraining done")
 
 

@@ -313,3 +313,20 @@ def test_consolidate_cli_roundtrip(tmp_path, devices):
     for a, b in zip(__import__("jax").tree_util.tree_leaves(opt_a),
                     __import__("jax").tree_util.tree_leaves(opt_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_mlm_debug_dump(tmp_path):
+    """--mlm_debug writes the reference's mlm_res dump (run_pretrain_ml.py:
+    170,544-550: inputs + top-1 MLM predictions) and logs the first sample's
+    tokens (oscar_tsv4.py:1063-1077 guid<1 dump)."""
+    out = str(tmp_path / "dbg")
+    p = _run_single(out, 2, extra=("--mlm_debug",))
+    text = p.stdout + p.stderr
+    assert "mlm_debug sample 0 tokens_a" in text
+    data = np.load(os.path.join(out, "mlm_res.npz"))
+    assert set(data.files) >= {"input_ids_a", "lm_label_ids_a", "mlm_pred",
+                               "mlm_labels", "mlm_weights"}
+    assert data["mlm_pred"].shape == data["mlm_labels"].shape
+    # predictions are vocab ids at masked positions only (weights gate)
+    assert data["mlm_weights"].sum() > 0

@@ -231,7 +231,8 @@ class PretrainDataset:
                  qa_pairs: bool = False, only_qa: bool = False,
                  only_cap: bool = False,
                  exclude_ids: Optional[set] = None,
-                 gt_labels_json: Optional[str] = None):
+                 gt_labels_json: Optional[str] = None,
+                 visual_learning: bool = False):
         # use_gtlabels (reference oscar_tsv4.py:201-207): when a
         # ground-truth label map {image_id: [class, ...]} is provided,
         # its (deduplicated) classes replace the predicted tags
@@ -249,6 +250,9 @@ class PretrainDataset:
         self.seed = seed
         self.mask_prob = mask_prob
         self.mask_visual = mask_visual
+        # emit masked-region supervision (reference --visual_learning,
+        # oscar_tsv4.py:343-356); tag2id must then be the raw class map
+        self.visual_learning = visual_learning
         self.epoch = 0
         self.qa_pairs = qa_pairs
         self._index: Optional[List[int]] = None   # row filter (None = all)
@@ -322,7 +326,8 @@ class PretrainDataset:
         return convert_example_to_features(
             ex, self.tokenizer, cfg=self.cfg, tag2id=self.tag2id,
             phrase_vocab_size=self.phrase_vocab_size, rng=rng,
-            mask_prob=self.mask_prob, mask_visual=self.mask_visual)
+            mask_prob=self.mask_prob, mask_visual=self.mask_visual,
+            visual_learning=self.visual_learning)
 
     def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         return collate([self[int(i)] for i in indices])

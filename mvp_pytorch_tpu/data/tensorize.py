@@ -159,13 +159,22 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
                                 phrase_vocab_size: int = 0,
                                 rng: Optional[random.Random] = None,
                                 mask_prob: float = 0.15,
-                                mask_visual: bool = False
+                                mask_visual: bool = False,
+                                visual_learning: bool = False
                                 ) -> Dict[str, np.ndarray]:
     """Pretraining tensorization with masking
     (reference oscar_tsv4.py:896-1092). Differences by design:
     - deterministic rng threaded in (resumable pipeline),
     - phrase labels are dropped (-1) exactly like the reference (:961),
     - region masking (random_visual) is optional like the legacy path.
+
+    visual_learning additionally emits the masked-region supervision the
+    reference's --visual_learning dataset path produces
+    (oscar_tsv4.py:343-356): `target_img_feat` (the pre-mask features,
+    zero-padded like img_feat), `visual_labels` (tag class id per masked
+    region, -1 elsewhere/padding) and `mask_region_id` (1 at masked
+    regions, 0 elsewhere). tag2id must then map tag -> CLASS id (the raw
+    tag2id.json), not wordpiece id.
     """
     rng = rng or random.Random()
     tokens_a = list(example.tokens_a)
@@ -191,9 +200,11 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
     phrase_label = [-1] * len(phrase_nodes)   # parity: not predicted
 
     img_feat = np.array(example.img_feat, np.float32, copy=True)
+    target_feat = img_feat.copy() if visual_learning else None
     vis_label: List[int] = []
+    vis_flags: List[int] = []
     if mask_visual and tag2id is not None:
-        img_feat, vis_label, _ = random_visual(
+        img_feat, vis_label, vis_flags = random_visual(
             img_feat, example.od_tags, tag2id, rng, mask_prob=mask_prob)
 
     lm_label_ids_a = [-1] + t1_label + phrase_label + [-1]
@@ -241,7 +252,26 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
     vis_label = vis_label[:cfg.max_img_seq_length]
     lm_label_ids_b += vis_label + [-1] * (cfg.max_img_seq_length - len(vis_label))
 
+    extras = {}
+    if visual_learning:
+        n_img = cfg.max_img_seq_length
+        if target_feat.shape[0] > n_img:
+            target_feat = target_feat[:n_img]
+        elif target_feat.shape[0] < n_img:
+            target_feat = np.concatenate(
+                [target_feat, np.zeros((n_img - target_feat.shape[0],
+                                        target_feat.shape[1]),
+                                       target_feat.dtype)], 0)
+        vis_flags = vis_flags[:n_img]
+        extras = dict(
+            target_img_feat=np.asarray(target_feat, np.float32),
+            visual_labels=np.asarray(
+                vis_label + [-1] * (n_img - len(vis_label)), np.int32),
+            mask_region_id=np.asarray(
+                vis_flags + [0] * (n_img - len(vis_flags)), np.int32))
+
     return dict(
+        **extras,
         input_ids_a=np.asarray(input_ids_a, np.int32),
         input_mask_a=np.asarray(input_mask_a, np.int32),
         segment_ids_a=np.asarray(segment_ids_a, np.int32),

@@ -86,6 +86,14 @@ def get_args(argv=None):
     p.add_argument("--extra_loss_weight", type=float, default=0.2)
     p.add_argument("--extra_batch_divisor", type=int, default=5,
                    help="extra batch = train_batch / divisor (reference 1/5)")
+    p.add_argument("--visual_learning", action="store_true",
+                   help="single-stream masked-region pretraining (MLM + "
+                        "seq-rel + MRC tag classification + MRF feature "
+                        "regression) over ImgBertForPreTraining — the "
+                        "reference's --visual_learning mode "
+                        "(run_pretrain_ml.py:161,596-600, "
+                        "modeling_vlbert_pretrain.py:2107-2223); requires "
+                        "--tag2id (raw tag->class-id json)")
     p.add_argument("--mlm_debug", action="store_true",
                    help="after training, dump one batch of MLM inputs + "
                         "top-1 predictions to output_dir/mlm_res.npz and "
@@ -143,6 +151,19 @@ def main(argv=None):
     wp_tag2id = {t: tokenizer.vocab.get(t, tokenizer.vocab["[UNK]"])
                  for t in (tag2id or {})}
 
+    if args.visual_learning:
+        # reference asserts tag2id under --visual_learning
+        # (run_pretrain_ml.py:306-308); the MRC head classifies over the
+        # RAW class ids, so the dataset gets tag2id, not wp_tag2id
+        assert tag2id, "--visual_learning requires --tag2id"
+        for bad in ("use_qa", "use_qa_pairs", "mlm_debug"):
+            assert not getattr(args, bad), \
+                f"--visual_learning is incompatible with --{bad}"
+        assert args.extra_mode is None or args.extra_mode == "none", \
+            "--visual_learning is incompatible with --extra_mode"
+        assert not (args.moe_experts or 0), \
+            "--visual_learning is incompatible with --moe_experts"
+
     # moe flags override the (checkpoint) config ONLY when explicitly
     # given — resuming an MoE run must not stomp moe_experts back to 0
     # (the param tree would no longer match the checkpoint)
@@ -171,16 +192,46 @@ def main(argv=None):
         dataset = PretrainDataset(
             args.corpus_tsv, FeatureStore(args.feature_tsv,
                                           feature_dim=args.img_feature_dim),
-            tokenizer, sg2id=sg2id, cfg=tcfg, tag2id=wp_tag2id,
+            tokenizer, sg2id=sg2id, cfg=tcfg,
+            tag2id=(tag2id if args.visual_learning else wp_tag2id),
             phrase_vocab_size=phrase_vocab_size, seed=args.seed,
             mask_prob=args.mask_prob, mask_visual=True,
             qa_pairs=args.use_qa_pairs, only_qa=args.only_qa,
             only_cap=args.only_cap, exclude_ids=exclude_ids,
-            gt_labels_json=args.gt_labels_json)
+            gt_labels_json=args.gt_labels_json,
+            visual_learning=args.visual_learning)
     logger.info(f"corpus: {len(dataset)} examples")
 
-    model = BiPretrainModel(cfg)
+    if args.visual_learning:
+        from ..models.img_bert import ImgBertForPreTraining
+        model = ImgBertForPreTraining(cfg, use_mrfr=True,
+                                      od_tag_size=len(tag2id))
+    else:
+        model = BiPretrainModel(cfg)
     mt = args.max_tag_length
+    vl_max_pred = args.max_pred_a + args.max_pred_b
+
+    def vl_kwargs(batch):
+        """Single-stream batch for the visual-learning model: fuse the two
+        tensorized streams ([a_text ; b_text] then regions — input_mask_b
+        already spans b_text + regions) and attach the masked-region
+        supervision. The reference's own glue here is broken (its
+        forward_backward_v call at run_pretrain_ml.py:597-600 reads
+        never-assigned names); this is the working equivalent."""
+        return dict(
+            input_ids=jnp.concatenate(
+                [batch["input_ids_a"], batch["input_ids_b"]], 1),
+            attention_mask=jnp.concatenate(
+                [batch["input_mask_a"], batch["input_mask_b"]], 1),
+            token_type_ids=jnp.concatenate(
+                [batch["segment_ids_a"], batch["segment_ids_b"]], 1),
+            img_feats=batch["img_feat"],
+            masked_lm_labels=jnp.concatenate(
+                [batch["lm_label_ids_a"], batch["lm_label_ids_b"][:, :mt]], 1),
+            next_sentence_label=batch["is_next"],
+            masked_region_labels=batch["visual_labels"],
+            masked_region_targets=batch["target_img_feat"],
+            masked_region_flags=batch["mask_region_id"])
 
     def model_kwargs(batch):
         kw = dict(
@@ -225,13 +276,18 @@ def main(argv=None):
         rngs = {"params": jax.random.PRNGKey(args.seed),
                 "hardneg": jax.random.PRNGKey(1), "wra": jax.random.PRNGKey(2),
                 "dropout": jax.random.PRNGKey(3)}
-        variables = jax.jit(
-            lambda: model.init(rngs, **model_kwargs(sample),
-                               max_tag_length=mt, hn_mod=args.hn_mod,
-                               phrase_mod=args.phrase_mod,
-                               max_pred_a=args.max_pred_a,
-                               max_pred_b=args.max_pred_b,
-                               phrase_layer=args.wra_layer))()
+        if args.visual_learning:
+            variables = jax.jit(
+                lambda: model.init(rngs, **vl_kwargs(sample),
+                                   max_pred=vl_max_pred))()
+        else:
+            variables = jax.jit(
+                lambda: model.init(rngs, **model_kwargs(sample),
+                                   max_tag_length=mt, hn_mod=args.hn_mod,
+                                   phrase_mod=args.phrase_mod,
+                                   max_pred_a=args.max_pred_a,
+                                   max_pred_b=args.max_pred_b,
+                                   phrase_layer=args.wra_layer))()
         return variables["params"]
 
     params = load_params_or_init(args, model, init_fn)
@@ -259,6 +315,13 @@ def main(argv=None):
         return model.apply({"params": p}, **kw, **apply_kw), 0.0
 
     def loss_fn(p, batch, rng):
+        if args.visual_learning:
+            out = model.apply({"params": p}, **vl_kwargs(batch),
+                              max_pred=vl_max_pred, deterministic=False,
+                              rngs={"dropout": rng})
+            metrics = {"mlm": out["mlm_loss"], "itm": out["itm_loss"],
+                       "mrc": out["mrc_loss"], "mrf": out["mrf_loss"]}
+            return out["total_loss"], metrics
         if extra_dataset is not None:
             k_main, k_extra = jax.random.split(rng)
             out, aux = forward(p, batch["main"], k_main)

@@ -249,3 +249,49 @@ def test_tsv_ops_helpers(tmp_path):
     tsv_delete(cat, [1], de)
     td = TSVFile(de)
     assert len(td) == 2 and td.seek(1) == ["b0", "z"]
+
+
+def test_convert_example_visual_learning(tok):
+    """--visual_learning tensorization (reference oscar_tsv4.py:343-356 +
+    random_visual :868-893): target_img_feat preserves pre-mask features,
+    masked rows are zeroed except the 6 geometry dims, labels/flags pad
+    with -1/0."""
+    cfg = TensorizeConfig(max_seq_length=8, max_tag_length=5,
+                          max_img_seq_length=4, max_phrases=2,
+                          img_feature_dim=10)
+    feats = np.random.RandomState(0).randn(3, 10).astype(np.float32)
+    ex = PretrainExample(
+        tokens_a=["two", "dogs", "playing"], tokens_b=["dog", "grass"],
+        img_feat=feats, od_tags=["dog", "grass", "dog"])
+    # scan seeds until at least one region is masked (p=0.15 each)
+    for seed in range(50):
+        f = convert_example_to_features(
+            ex, tok, cfg=cfg, rng=random.Random(seed),
+            tag2id={"dog": 0, "grass": 1}, mask_visual=True,
+            visual_learning=True)
+        if f["mask_region_id"].sum() > 0:
+            break
+    else:
+        raise AssertionError("no masked region in 50 seeds")
+    assert f["target_img_feat"].shape == (4, 10)
+    assert f["visual_labels"].shape == (4,)
+    assert f["mask_region_id"].shape == (4,)
+    # target preserves the ORIGINAL features for the 3 real regions
+    np.testing.assert_array_equal(f["target_img_feat"][:3], feats)
+    np.testing.assert_array_equal(f["target_img_feat"][3], 0)
+    for i in range(3):
+        if f["mask_region_id"][i]:
+            # masked: ROI features zeroed, geometry tail kept
+            np.testing.assert_array_equal(f["img_feat"][i, :-6], 0)
+            np.testing.assert_array_equal(f["img_feat"][i, -6:], feats[i, -6:])
+            assert f["visual_labels"][i] in (0, 1)
+        else:
+            np.testing.assert_array_equal(f["img_feat"][i], feats[i])
+            assert f["visual_labels"][i] == -1
+    # padding slots: label -1, flag 0
+    assert f["visual_labels"][3] == -1 and f["mask_region_id"][3] == 0
+    # default path emits none of the three keys (bit-parity contract)
+    f0 = convert_example_to_features(
+        ex, tok, cfg=cfg, rng=random.Random(0),
+        tag2id={"dog": 0, "grass": 1}, mask_visual=True)
+    assert "target_img_feat" not in f0 and "visual_labels" not in f0

@@ -330,3 +330,17 @@ def test_mlm_debug_dump(tmp_path):
     assert data["mlm_pred"].shape == data["mlm_labels"].shape
     # predictions are vocab ids at masked positions only (weights gate)
     assert data["mlm_weights"].sum() > 0
+
+
+@pytest.mark.slow
+def test_visual_learning_driver(tmp_path):
+    """--visual_learning trains single-stream MLM+ITM+MRC+MRF end to end —
+    the reference's mode (run_pretrain_ml.py:161,596-600) whose own glue
+    is broken (forward_backward_v reads never-assigned names). Healthy
+    init: mrc ~ ln(n_tags), itm ~ ln 2."""
+    out = str(tmp_path / "vl")
+    p = _run_single(out, 4, extra=("--visual_learning",))
+    text = p.stdout + p.stderr
+    assert "mrc=" in text and "mrf=" in text and "mlm=" in text
+    ckpts = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+    assert ckpts, text

@@ -111,6 +111,7 @@ class RetrievalModel(nn.Module):
     def train_step(self, input_ids_a, attention_mask_a, token_type_ids_a,
                    input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
                    *, max_tag_length: int = 20, hn_mod: str = "hard",
+                   no_itm: bool = False,
                    deterministic: bool = False) -> RetrievalTrainOutput:
         # clamp at 100 (CLIP's training guard; the reference omits it
         # and an unconstrained scale drifts up until the softmax is
@@ -120,12 +121,23 @@ class RetrievalModel(nn.Module):
         out = self.bert(input_ids_a, attention_mask_a, token_type_ids_a,
                         input_ids_b, attention_mask_b, token_type_ids_b,
                         img_feats, max_tag_length=max_tag_length,
-                        encode_hn=True, hn_mod=hn_mod, logit=scale,
+                        encode_hn=not no_itm, hn_mod=hn_mod, logit=scale,
                         deterministic=deterministic)
         logits_mat = out.sim_mat * scale
         labels = jnp.arange(logits_mat.shape[0])
         retrieval_loss = (cross_entropy(logits_mat, labels)
                           + cross_entropy(logits_mat.T, labels)) / 2.0
+        if no_itm:
+            # CLIP-only training (reference --no_itm,
+            # modeling_vlbert_pretrain.py:3062: forward_train skips the
+            # fusion/ITM branch entirely)
+            b = input_ids_a.shape[0]
+            return RetrievalTrainOutput(
+                total_loss=retrieval_loss,
+                itm_logits=jnp.zeros((2 * b, 2), jnp.float32),
+                retrieval_loss=retrieval_loss,
+                itm_loss=jnp.zeros((), jnp.float32),
+                itm_labels=jnp.zeros((2 * b,), jnp.int32))
         pooled_all = self.dropout(
             jnp.concatenate([out.pooled_output, out.hard_pooled_output], 0),
             deterministic=deterministic)

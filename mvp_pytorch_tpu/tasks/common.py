@@ -48,6 +48,15 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--warmup_steps", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=100)
     parser.add_argument("--max_grad_norm", type=float, default=1.0)
+    parser.add_argument("--adam_epsilon", type=float, default=1e-8,
+                        help="AdamW epsilon (reference --adam_epsilon)")
+    parser.add_argument("--classifier", type=str, default=None,
+                        choices=["linear", "mlp"],
+                        help="classification head type (reference "
+                             "--classifier, run_vqa.py:1076)")
+    parser.add_argument("--cls_hidden_scale", type=int, default=None,
+                        help="mlp classifier widening factor (reference "
+                             "--cls_hidden_scale, run_vqa.py:1077)")
     parser.add_argument("--scheduler", type=str, default="linear",
                         choices=["linear", "constant", "cosine"])
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
@@ -223,6 +232,12 @@ def build_config(args, tokenizer, **overrides) -> ModelConfig:
         base["hidden_dropout_prob"] = args.hidden_dropout_prob
     if getattr(args, "attention_dropout_prob", None) is not None:
         base["attention_probs_dropout_prob"] = args.attention_dropout_prob
+    # classifier-head knobs (reference run_vqa.py:1224-1225: argparse
+    # values copied onto the config)
+    if getattr(args, "classifier", None) is not None:
+        base["classifier"] = args.classifier
+    if getattr(args, "cls_hidden_scale", None) is not None:
+        base["cls_hidden_scale"] = args.cls_hidden_scale
     base.update(overrides)
     return ModelConfig(**base)
 
@@ -252,6 +267,7 @@ class TrainLoop:
             args.learning_rate, warmup_steps=args.warmup_steps,
             total_steps=total, schedule=args.scheduler,
             weight_decay=args.weight_decay,
+            eps=getattr(args, "adam_epsilon", 1e-8),
             max_grad_norm=args.max_grad_norm)
         self.trainer = Trainer(loss_fn, tx, self.mesh,
                                grad_accum=args.gradient_accumulation_steps,

@@ -53,6 +53,10 @@ def get_args(argv=None):
                    help="t2i rerank shortlist size")
     p.add_argument("--hn_mod", type=str, default="hard",
                    choices=["hard", "sample"])
+    p.add_argument("--no_itm", action="store_true",
+                   help="train the contrastive (CLIP) loss only, skipping "
+                        "the fusion/ITM branch (reference --no_itm, "
+                        "run_retrieval.py:1009)")
     p.add_argument("--cross_image_eval", action="store_true",
                    help="fine-score EVERY image x caption pair instead of "
                         "the coarse top-K shortlists (reference "
@@ -289,7 +293,7 @@ def main(argv=None):
         k1, k2 = jax.random.split(rng)
         out = model.apply({"params": p}, *model_inputs(batch),
                           max_tag_length=mt, hn_mod=args.hn_mod,
-                          deterministic=False,
+                          no_itm=args.no_itm, deterministic=False,
                           rngs={"hardneg": k1, "dropout": k2})
         return out.total_loss, {"clip": out.retrieval_loss,
                                 "itm": out.itm_loss}

@@ -57,6 +57,16 @@ def test_retrieval_modes(cfg):
                          method=RetrievalModel.score)
     assert scores.shape == (B, 2)
 
+    # --no_itm: CLIP-only loss; itm contributes nothing (reference
+    # modeling_vlbert_pretrain.py:3062)
+    out_ni = model.apply(v, **batch, max_tag_length=MAX_TAG, no_itm=True,
+                         deterministic=True, rngs=rngs)
+    assert float(out_ni.itm_loss) == 0.0
+    np.testing.assert_allclose(float(out_ni.total_loss),
+                               float(out_ni.retrieval_loss), rtol=1e-6)
+    np.testing.assert_allclose(float(out_ni.retrieval_loss),
+                               float(out.retrieval_loss), rtol=1e-5)
+
     # coarse encode must agree with encode_text_only/encode_image_only
     gt2 = model.apply(v, batch["input_ids_a"], batch["attention_mask_a"],
                       batch["token_type_ids_a"],

@@ -393,7 +393,14 @@ class VEDataset:
     def __init__(self, jsonl_path: str, features: FeatureStore, tokenizer,
                  sg2id: Optional[Dict[tuple, int]] = None,
                  cfg: TensorizeConfig = TensorizeConfig(),
-                 use_b_text: bool = False, b_as_list: bool = False):
+                 use_b_text: bool = False, b_as_list: bool = False,
+                 mask_training: bool = False, seed: int = 0):
+        # mask_training (reference run_ve.py:163-168): during fine-tune
+        # TRAINING, replace hypothesis/phrase tokens with [MASK] at p=0.15
+        # as regularization (never on eval splits)
+        self.mask_training = mask_training
+        self.seed = seed
+        self.epoch = 0
         self.items = []
         with open(jsonl_path) as f:
             for line in f:
@@ -420,6 +427,19 @@ class VEDataset:
             phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg,
             text_a_tags=tags_for_text_a(tags, self.use_b_text,
                                         self.b_as_list))
+        if self.mask_training:
+            rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
+            mask_id = self.tokenizer.vocab["[MASK]"]
+            sep_id = self.tokenizer.vocab[self.tokenizer.sep_token]
+            ids = ex["input_ids_a"].copy()
+            # positions 1..first-[SEP] — the reference masks over
+            # range(1, len(input_ids_a)-1) before the tag append
+            for i in range(1, len(ids)):
+                if ids[i] == sep_id:
+                    break
+                if rng.random() < 0.15:
+                    ids[i] = mask_id
+            ex["input_ids_a"] = ids
         ex["label"] = np.int32(VE_LABELS[item["gold_label"]])
         return ex
 

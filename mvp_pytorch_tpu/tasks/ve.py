@@ -40,6 +40,10 @@ def get_args(argv=None):
                         "README.md:241)")
     p.add_argument("--b_as_list", action="store_true",
                    help="with --use_b_text: keep duplicate tags")
+    p.add_argument("--mask_training", action="store_true",
+                   help="randomly [MASK] 15% of hypothesis tokens during "
+                        "training as regularization (reference "
+                        "--mask_training, run_ve.py:163-168)")
     p.add_argument("--use_single", action="store_true",
                    help="Plus model w/ single-stream interaction features")
     p.add_argument("--freeze_steps", type=int, default=0,
@@ -102,9 +106,15 @@ def main(argv=None):
                             feature_dim=args.img_feature_dim)
     ds_kw = dict(sg2id=sg2id, cfg=tcfg, use_b_text=args.use_b_text,
                  b_as_list=args.b_as_list)
-    dataset = VEDataset(args.train_jsonl, features, tokenizer, **ds_kw)
+    # mask_training applies to the TRAIN split only (reference
+    # run_ve.py:163: `and 'train' in self.name`)
+    dataset = VEDataset(args.train_jsonl, features, tokenizer,
+                        mask_training=args.mask_training, seed=args.seed,
+                        **ds_kw)
     eval_dataset = (VEDataset(args.eval_jsonl, features, tokenizer, **ds_kw)
-                    if args.eval_jsonl else dataset)
+                    if args.eval_jsonl else
+                    (VEDataset(args.train_jsonl, features, tokenizer, **ds_kw)
+                     if args.mask_training else dataset))
 
     model_cls = (ClassificationPlusModel if args.use_single
                  else ClassificationModel)

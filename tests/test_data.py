@@ -295,3 +295,35 @@ def test_convert_example_visual_learning(tok):
         ex, tok, cfg=cfg, rng=random.Random(0),
         tag2id={"dog": 0, "grass": 1}, mask_visual=True)
     assert "target_img_feat" not in f0 and "visual_labels" not in f0
+
+
+def test_ve_mask_training(tmp_path):
+    """--mask_training (reference run_ve.py:163-168): train split replaces
+    ~15% of hypothesis tokens with [MASK]; eval datasets never mask."""
+    from mvp_pytorch_tpu.data.datasets import FeatureStore, VEDataset
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+
+    paths = make_synthetic_root(str(tmp_path / "s"), n_images=6)
+    tok = BertTokenizer(paths["vocab"])
+    feats = FeatureStore(paths["features"])
+    plain = VEDataset(paths["ve"], feats, tok)
+    masked = VEDataset(paths["ve"], feats, tok, mask_training=True, seed=0)
+    mask_id = tok.vocab["[MASK]"]
+    sep_id = tok.vocab[tok.sep_token]
+    n_mask = n_tok = 0
+    for i in range(len(masked)):
+        a, b = plain[i]["input_ids_a"], masked[i]["input_ids_a"]
+        # CLS untouched; only positions before the first [SEP] may differ
+        assert b[0] == a[0]
+        sep_pos = int(np.argmax(a == sep_id))
+        assert (a[sep_pos:] == b[sep_pos:]).all()
+        diff = a[1:sep_pos] != b[1:sep_pos]
+        assert (b[1:sep_pos][diff] == mask_id).all()
+        n_mask += int(diff.sum())
+        n_tok += sep_pos - 1
+    assert 0.05 < n_mask / max(n_tok, 1) < 0.30, (n_mask, n_tok)
+    # deterministic per (seed, epoch, index)
+    again = VEDataset(paths["ve"], feats, tok, mask_training=True, seed=0)
+    np.testing.assert_array_equal(masked[0]["input_ids_a"],
+                                  again[0]["input_ids_a"])

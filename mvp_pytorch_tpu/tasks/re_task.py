@@ -42,6 +42,11 @@ def get_args(argv=None):
                         "(normalized xyxy); adds re_score_det1/2 eval "
                         "(reference run_re.py:142-186,396-421)")
     p.add_argument("--max_det", type=int, default=20)
+    p.add_argument("--test_jsons", type=str, default=None,
+                   help="comma-separated extra eval splits (refcoco "
+                        "testA,testB) evaluated alongside eval_json — the "
+                        "reference's --eval_test test_ds pair "
+                        "(run_re.py:621-623,643-645)")
     return p.parse_args(argv)
 
 
@@ -134,6 +139,13 @@ def main(argv=None):
                               sg2id=sg2id, cfg=tcfg, det_json=args.det_json,
                               max_det=args.max_det)
                     if args.eval_json else dataset)
+    test_datasets = {}
+    if args.test_jsons:
+        for path in args.test_jsons.split(","):
+            name = os.path.splitext(os.path.basename(path))[0]
+            test_datasets[name] = REDataset(
+                path, features, tokenizer, sg2id=sg2id, cfg=tcfg,
+                det_json=args.det_json, max_det=args.max_det)
 
     model = REModel(cfg)
     mt = args.max_tag_length
@@ -166,6 +178,10 @@ def main(argv=None):
         if not args.do_eval:
             return None
         scores = evaluate(args, model, {"params": p}, eval_dataset, mt)
+        # extra test splits (refcoco testA/testB; reference --eval_test)
+        for name, ds in test_datasets.items():
+            for k, v in evaluate(args, model, {"params": p}, ds, mt).items():
+                scores[f"{name}/{k}"] = v
         logger.info(f"step {step}: " + "  ".join(
             f"{k}={v:.4f}" for k, v in scores.items()))
         return scores

@@ -1,7 +1,8 @@
 from .config import ModelConfig, tiny_config
 from .bi_encoder import BiEncoder, BiEncoderOutput
 from .pretrain import BiPretrainModel, PretrainOutput
-from .img_bert import (CaptioningModel, ImgBertForPreTraining,
+from .img_bert import (CaptioningModel, ImgBertForMultipleChoice,
+                       ImgBertForPreTraining,
                        ImgBertForSequenceClassification, ImgBertModel)
 from .tasks import (ClassificationModel, ClassificationPlusModel, MLMModel,
                     REModel, RepModel, RetrievalModel, VQAModel, WREModel)
@@ -9,7 +10,8 @@ from .tasks import (ClassificationModel, ClassificationPlusModel, MLMModel,
 __all__ = [
     "ModelConfig", "tiny_config", "BiEncoder", "BiEncoderOutput",
     "BiPretrainModel", "PretrainOutput", "CaptioningModel",
-    "ImgBertForPreTraining", "ImgBertForSequenceClassification",
+    "ImgBertForMultipleChoice", "ImgBertForPreTraining",
+    "ImgBertForSequenceClassification",
     "ImgBertModel", "ClassificationModel", "ClassificationPlusModel",
     "MLMModel", "REModel", "RepModel", "RetrievalModel", "VQAModel",
     "WREModel",

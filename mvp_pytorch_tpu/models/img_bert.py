@@ -196,6 +196,49 @@ class ImgBertForSequenceClassification(nn.Module):
         return classification_loss(self.config, logits, labels), logits
 
 
+class ImgBertForMultipleChoice(nn.Module):
+    """VCR-style multiple choice (reference ImageBertForMultipleChoice /
+    OscarForMultipleChoice, modeling_vlbert_pretrain.py:1319-1499): the
+    choice axis is flattened into the batch, each (question, choice, image)
+    encoded single-stream, and the per-choice pooled outputs concatenated
+    into one [B, num_choice*H] classifier input. loss_type 'bce' uses the
+    VQA instance BCE, anything else plain CE (reference :1386-1392)."""
+
+    config: ModelConfig
+    num_choice: int = 4
+
+    def setup(self):
+        cfg = self.config
+        self.bert = ImgBertModel(cfg, name="bert")
+        self.classifier = ClassifierHead(cfg, name="classifier")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids, attention_mask, token_type_ids, img_feats,
+                 labels=None, *, deterministic: bool = True):
+        b, c = input_ids.shape[:2]
+        assert c == self.num_choice, (c, self.num_choice)
+
+        def flat(x):
+            return x.reshape((b * c,) + x.shape[2:])
+
+        _, pooled = self.bert(flat(input_ids), flat(attention_mask),
+                              flat(token_type_ids),
+                              img_feats=(flat(img_feats)
+                                         if img_feats is not None else None),
+                              deterministic=deterministic)
+        pooled = self.dropout(pooled, deterministic=deterministic)
+        logits = self.classifier(pooled.reshape(b, c * pooled.shape[-1]))
+        if labels is None:
+            return logits
+        if self.config.loss_type == "bce":
+            from .tasks import instance_bce_with_logits
+            loss = instance_bce_with_logits(logits, labels)
+        else:
+            loss = masked_cross_entropy(logits, labels,
+                                        jnp.ones(b, jnp.float32))
+        return loss, logits
+
+
 # ---------------------------------------------------------------------------
 # captioning
 # ---------------------------------------------------------------------------

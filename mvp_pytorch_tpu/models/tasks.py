@@ -93,6 +93,7 @@ class RetrievalTrainOutput(NamedTuple):
     retrieval_loss: jax.Array
     itm_loss: jax.Array
     itm_labels: jax.Array
+    wra_loss: Optional[jax.Array] = None
 
 
 class RetrievalModel(nn.Module):
@@ -110,34 +111,65 @@ class RetrievalModel(nn.Module):
 
     def train_step(self, input_ids_a, attention_mask_a, token_type_ids_a,
                    input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
+                   phrase_index=None, image_index=None,
                    *, max_tag_length: int = 20, hn_mod: str = "hard",
-                   no_itm: bool = False,
+                   no_itm: bool = False, phrase_layer=None,
+                   wra_phrase_width: int = 10,
                    deterministic: bool = False) -> RetrievalTrainOutput:
         # clamp at 100 (CLIP's training guard; the reference omits it
         # and an unconstrained scale drifts up until the softmax is
         # one-hot — inactive at the init/parity value exp(2.66)=14.3)
         scale = jnp.exp(jnp.minimum(self.logit_scale,
                                     jnp.log(100.0)))
+        # the WRA 'hard' branch needs the hard-negative fused pass even
+        # when --no_itm skips the ITM loss (reference forward_train always
+        # runs encode_hn=True, modeling_vlbert_pretrain.py:3040-3043)
+        use_phrase = phrase_index is not None
         out = self.bert(input_ids_a, attention_mask_a, token_type_ids_a,
                         input_ids_b, attention_mask_b, token_type_ids_b,
                         img_feats, max_tag_length=max_tag_length,
-                        encode_hn=not no_itm, hn_mod=hn_mod, logit=scale,
+                        encode_hn=(not no_itm) or use_phrase, hn_mod=hn_mod,
+                        logit=scale, phrase_layer=phrase_layer,
                         deterministic=deterministic)
         logits_mat = out.sim_mat * scale
         labels = jnp.arange(logits_mat.shape[0])
         retrieval_loss = (cross_entropy(logits_mat, labels)
                           + cross_entropy(logits_mat.T, labels)) / 2.0
+        wra_loss = None
+        if use_phrase:
+            # --use_phrase fine-tuning: hard-mode WRA margin loss over
+            # phrase/region spans, optionally read at fusion mid-layer
+            # `phrase_layer`. The reference ships this flag on
+            # run_retrieval.py:1008 but its imported model
+            # (modeling_vlbert.py:1640-1646 forward signature) accepts no
+            # phrase args, so --use_phrase crashes as released; semantics
+            # here follow the working pretrain-file variant
+            # (modeling_vlbert_pretrain.py:3069-3086, phrase_mod='hard').
+            from .pretrain import wra_hard_loss
+            wra_seq = (out.sequence_output if phrase_layer is None
+                       else out.mid_joint)
+            wra_hard_seq = (out.hard_sequence_output if phrase_layer is None
+                            else out.mid_hard)
+            wra_loss = wra_hard_loss(
+                wra_seq, wra_hard_seq, phrase_index, image_index,
+                out.hard_txt_index, out.hard_img_index,
+                self.make_rng("wra"), phrase_width=wra_phrase_width,
+                img_width=img_feats.shape[1])
         if no_itm:
             # CLIP-only training (reference --no_itm,
             # modeling_vlbert_pretrain.py:3062: forward_train skips the
             # fusion/ITM branch entirely)
             b = input_ids_a.shape[0]
+            total = retrieval_loss
+            if wra_loss is not None:
+                total = total + wra_loss
             return RetrievalTrainOutput(
-                total_loss=retrieval_loss,
+                total_loss=total,
                 itm_logits=jnp.zeros((2 * b, 2), jnp.float32),
                 retrieval_loss=retrieval_loss,
                 itm_loss=jnp.zeros((), jnp.float32),
-                itm_labels=jnp.zeros((2 * b,), jnp.int32))
+                itm_labels=jnp.zeros((2 * b,), jnp.int32),
+                wra_loss=wra_loss)
         pooled_all = self.dropout(
             jnp.concatenate([out.pooled_output, out.hard_pooled_output], 0),
             deterministic=deterministic)
@@ -147,10 +179,13 @@ class RetrievalModel(nn.Module):
             [jnp.ones(out.pooled_output.shape[0], jnp.int32),
              jnp.zeros(out.hard_pooled_output.shape[0], jnp.int32)])
         itm_loss = cross_entropy(itm_logits, itm_labels)
+        total = retrieval_loss + itm_loss
+        if wra_loss is not None:
+            total = total + wra_loss
         return RetrievalTrainOutput(
-            total_loss=retrieval_loss + itm_loss, itm_logits=itm_logits,
+            total_loss=total, itm_logits=itm_logits,
             retrieval_loss=retrieval_loss, itm_loss=itm_loss,
-            itm_labels=itm_labels)
+            itm_labels=itm_labels, wra_loss=wra_loss)
 
     def encode(self, input_ids_a, attention_mask_a, token_type_ids_a,
                input_ids_b, attention_mask_b, token_type_ids_b, img_feats):

@@ -47,6 +47,13 @@ def get_args(argv=None):
                         "testA,testB) evaluated alongside eval_json — the "
                         "reference's --eval_test test_ds pair "
                         "(run_re.py:621-623,643-645)")
+    p.add_argument("--adjust_dp_step", type=int, default=None,
+                   help="raise dropout to 0.3 from this step on (reference "
+                        "--adjust_dp epoch>=3 attribute mutation, "
+                        "run_re.py:526-535; see tasks/vqa.py for the "
+                        "lax.cond mechanics). The reference's sibling "
+                        "--adjust_loss is parser ballast here: RE loss "
+                        "mods use IoU/bce region heads, not kl")
     return p.parse_args(argv)
 
 
@@ -148,6 +155,11 @@ def main(argv=None):
                 det_json=args.det_json, max_det=args.max_det)
 
     model = REModel(cfg)
+    model_hi_dp = None
+    if args.adjust_dp_step is not None:
+        import dataclasses
+        model_hi_dp = REModel(
+            dataclasses.replace(cfg, hidden_dropout_prob=0.3))
     mt = args.max_tag_length
 
     def model_inputs(batch):
@@ -166,13 +178,25 @@ def main(argv=None):
 
     params = load_params_or_init(args, model, init_fn)
 
-    def loss_fn(p, batch, rng):
-        loss, logits = model.apply(
-            {"params": p}, *model_inputs(batch), labels=batch["label"],
-            max_tag_length=mt, mod=args.loss_mod,
-            phrase_layer=args.phrase_layer, deterministic=False,
-            rngs={"dropout": rng})
-        return loss, {}
+    if model_hi_dp is not None:
+        def loss_fn(p, batch, rng, step):
+            def fwd(m):
+                return lambda _: m.apply(
+                    {"params": p}, *model_inputs(batch),
+                    labels=batch["label"], max_tag_length=mt,
+                    mod=args.loss_mod, phrase_layer=args.phrase_layer,
+                    deterministic=False, rngs={"dropout": rng})
+            loss, _ = jax.lax.cond(step < args.adjust_dp_step,
+                                   fwd(model), fwd(model_hi_dp), None)
+            return loss, {}
+    else:
+        def loss_fn(p, batch, rng):
+            loss, logits = model.apply(
+                {"params": p}, *model_inputs(batch), labels=batch["label"],
+                max_tag_length=mt, mod=args.loss_mod,
+                phrase_layer=args.phrase_layer, deterministic=False,
+                rngs={"dropout": rng})
+            return loss, {}
 
     def eval_hook(step, p):
         if not args.do_eval:

@@ -53,6 +53,17 @@ def get_args(argv=None):
                    help="t2i rerank shortlist size")
     p.add_argument("--hn_mod", type=str, default="hard",
                    choices=["hard", "sample"])
+    p.add_argument("--use_phrase", action="store_true",
+                   help="add the hard-mode WRA phrase-region margin loss "
+                        "during training (reference --use_phrase, "
+                        "run_retrieval.py:1008 — broken as released: the "
+                        "imported model accepts no phrase args; semantics "
+                        "follow modeling_vlbert_pretrain.py:3069-3086)")
+    p.add_argument("--phrase_layer", type=int, default=None,
+                   help="read WRA spans from this fusion mid-layer instead "
+                        "of the final output (reference --phrase_layer, "
+                        "default 2 in its parser); only used with "
+                        "--use_phrase")
     p.add_argument("--no_itm", action="store_true",
                    help="train the contrastive (CLIP) loss only, skipping "
                         "the fusion/ITM branch (reference --no_itm, "
@@ -271,32 +282,45 @@ def main(argv=None):
     model = RetrievalModel(cfg)
     mt = args.max_tag_length
 
+    use_phrase = getattr(args, "use_phrase", False)
+    if not use_phrase:
+        args.phrase_layer = None    # mid-layer readout is WRA-only
+
     def model_inputs(batch):
-        return (batch["input_ids_a"], batch["input_mask_a"],
+        base = (batch["input_ids_a"], batch["input_mask_a"],
                 batch["segment_ids_a"], batch["input_ids_b"],
                 batch["input_mask_b"], batch["segment_ids_b"],
                 batch["img_feat"])
+        if use_phrase:
+            base = base + (batch["phrase_index"], batch["image_index"])
+        return base
 
     def init_fn():
         sample = jax.tree_util.tree_map(jnp.asarray,
                                         dataset.fetch(np.arange(2)))
         rngs = {"params": jax.random.PRNGKey(args.seed),
                 "hardneg": jax.random.PRNGKey(1),
-                "dropout": jax.random.PRNGKey(2)}
+                "dropout": jax.random.PRNGKey(2),
+                "wra": jax.random.PRNGKey(3)}
         return jax.jit(lambda: model.init(
             rngs, *model_inputs(sample), max_tag_length=mt,
-            hn_mod=args.hn_mod, deterministic=True))()["params"]
+            hn_mod=args.hn_mod, phrase_layer=args.phrase_layer,
+            deterministic=True))()["params"]
 
     params = load_params_or_init(args, model, init_fn)
 
     def loss_fn(p, batch, rng):
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         out = model.apply({"params": p}, *model_inputs(batch),
                           max_tag_length=mt, hn_mod=args.hn_mod,
-                          no_itm=args.no_itm, deterministic=False,
-                          rngs={"hardneg": k1, "dropout": k2})
-        return out.total_loss, {"clip": out.retrieval_loss,
-                                "itm": out.itm_loss}
+                          no_itm=args.no_itm,
+                          phrase_layer=args.phrase_layer,
+                          deterministic=False,
+                          rngs={"hardneg": k1, "dropout": k2, "wra": k3})
+        metrics = {"clip": out.retrieval_loss, "itm": out.itm_loss}
+        if out.wra_loss is not None:
+            metrics["wra"] = out.wra_loss
+        return out.total_loss, metrics
 
     caption_index = None
     if args.eval_caption_index_json:

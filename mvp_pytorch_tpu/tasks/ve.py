@@ -48,6 +48,15 @@ def get_args(argv=None):
                    help="Plus model w/ single-stream interaction features")
     p.add_argument("--freeze_steps", type=int, default=0,
                    help="freeze the backbone for the first N steps")
+    p.add_argument("--adjust_dp_step", type=int, default=None,
+                   help="raise dropout to 0.3 from this step on (reference "
+                        "--adjust_dp epoch>=3 attribute mutation, "
+                        "run_ve.py:492-501; see tasks/vqa.py for the "
+                        "lax.cond mechanics and the documented deviation). "
+                        "The reference's sibling --adjust_loss kl->bce is "
+                        "NOT carried here: VE labels are class ints and "
+                        "the bce branch would crash — parser ballast "
+                        "copy-pasted from run_vqa.py")
     return p.parse_args(argv)
 
 
@@ -119,6 +128,11 @@ def main(argv=None):
     model_cls = (ClassificationPlusModel if args.use_single
                  else ClassificationModel)
     model = model_cls(cfg)
+    model_hi_dp = None
+    if args.adjust_dp_step is not None:
+        import dataclasses
+        model_hi_dp = model_cls(
+            dataclasses.replace(cfg, hidden_dropout_prob=0.3))
     mt = args.max_tag_length
 
     def model_inputs(batch):
@@ -136,12 +150,25 @@ def main(argv=None):
 
     params = load_params_or_init(args, model, init_fn)
 
-    def loss_fn(p, batch, rng):
-        loss, logits = model.apply(
-            {"params": p}, *model_inputs(batch), labels=batch["label"],
-            max_tag_length=mt, deterministic=False, rngs={"dropout": rng})
-        acc = jnp.mean((jnp.argmax(logits, 1) == batch["label"]))
-        return loss, {"acc": acc}
+    if model_hi_dp is not None:
+        def loss_fn(p, batch, rng, step):
+            def fwd(m):
+                return lambda _: m.apply(
+                    {"params": p}, *model_inputs(batch),
+                    labels=batch["label"], max_tag_length=mt,
+                    deterministic=False, rngs={"dropout": rng})
+            loss, logits = jax.lax.cond(step < args.adjust_dp_step,
+                                        fwd(model), fwd(model_hi_dp), None)
+            acc = jnp.mean((jnp.argmax(logits, 1) == batch["label"]))
+            return loss, {"acc": acc}
+    else:
+        def loss_fn(p, batch, rng):
+            loss, logits = model.apply(
+                {"params": p}, *model_inputs(batch), labels=batch["label"],
+                max_tag_length=mt, deterministic=False,
+                rngs={"dropout": rng})
+            acc = jnp.mean((jnp.argmax(logits, 1) == batch["label"]))
+            return loss, {"acc": acc}
 
     def eval_hook(step, p):
         if not args.do_eval:

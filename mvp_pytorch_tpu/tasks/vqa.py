@@ -53,6 +53,25 @@ def get_args(argv=None):
                         "mid-training `model.loss_type = 'bce'` mutation "
                         "(run_vqa.py:629-631); the schedule is part of the "
                         "jitted step, selected by the step counter")
+    p.add_argument("--adjust_dp_step", type=int, default=None,
+                   help="raise dropout to 0.3 from this step on — the "
+                        "functional re-expression of the reference's "
+                        "epoch>=3 `.p = 0.3` attribute mutation "
+                        "(run_vqa.py:618-627); selected per step via "
+                        "lax.cond between two traced dropout variants. "
+                        "Deviation: ours raises every hidden dropout; the "
+                        "reference reaches only the three dropouts its "
+                        "attribute paths name")
+    p.add_argument("--use_single", action="store_true",
+                   help="classify with the fusion++single-stream Plus head "
+                        "(reference --use_single -> BiImageBertFor"
+                        "SequenceClassificationPlus, run_vqa.py:1208-1209)")
+    p.add_argument("--use_cls", action="store_true",
+                   help="plain pooled-output classification head (the "
+                        "reference's default model when neither "
+                        "--use_pretrain nor --use_single is given, "
+                        "run_vqa.py:36,1207); our default stays the "
+                        "recipe's --use_pretrain QA head")
     return p.parse_args(argv)
 
 
@@ -132,7 +151,20 @@ def main(argv=None):
                                **ds_kw)
                     if args.eval_jsonl else dataset)
 
-    model = VQAModel(cfg)
+    assert not (args.use_single and args.use_cls), \
+        "--use_single and --use_cls are mutually exclusive"
+    if args.use_single:
+        from ..models.tasks import ClassificationPlusModel as ModelCls
+    elif args.use_cls:
+        from ..models.tasks import ClassificationModel as ModelCls
+    else:
+        ModelCls = VQAModel
+    model = ModelCls(cfg)
+    model_hi_dp = None
+    if args.adjust_dp_step is not None:
+        import dataclasses
+        model_hi_dp = ModelCls(
+            dataclasses.replace(cfg, hidden_dropout_prob=0.3))
     mt = args.max_tag_length
 
     def model_inputs(batch):
@@ -150,22 +182,36 @@ def main(argv=None):
 
     params = load_params_or_init(args, model, init_fn)
 
-    if args.adjust_loss_step is not None:
-        # the reference schedule is specifically kl -> bce
-        # (run_vqa.py:629-631); soft-score labels are required
-        assert args.loss_type == "kl", (
-            "--adjust_loss_step implements the reference's kl->bce "
-            f"switch; start with --loss_type kl (got {args.loss_type})")
-        from ..models.tasks import instance_bce_with_logits, kl_div_loss
+    if args.adjust_loss_step is not None or args.adjust_dp_step is not None:
+        from ..models.tasks import (classification_loss,
+                                    instance_bce_with_logits, kl_div_loss)
+        if args.adjust_loss_step is not None:
+            # the reference schedule is specifically kl -> bce
+            # (run_vqa.py:629-631); soft-score labels are required
+            assert args.loss_type == "kl", (
+                "--adjust_loss_step implements the reference's kl->bce "
+                f"switch; start with --loss_type kl (got {args.loss_type})")
 
         def loss_fn(p, batch, rng, step):
-            logits = model.apply(
-                {"params": p}, *model_inputs(batch), max_tag_length=mt,
-                deterministic=False, rngs={"dropout": rng})
-            loss = jnp.where(step < args.adjust_loss_step,
-                             kl_div_loss(logits, batch["label"]),
-                             instance_bce_with_logits(logits,
-                                                      batch["label"]))
+            def fwd(m):
+                return lambda _: m.apply(
+                    {"params": p}, *model_inputs(batch), max_tag_length=mt,
+                    deterministic=False, rngs={"dropout": rng})
+            if model_hi_dp is None:
+                logits = fwd(model)(None)
+            else:
+                # dropout rate is a trace-time constant, so the schedule
+                # is a cond between the two traced variants (params are
+                # identical; dropout owns no params)
+                logits = jax.lax.cond(step < args.adjust_dp_step,
+                                      fwd(model), fwd(model_hi_dp), None)
+            if args.adjust_loss_step is not None:
+                loss = jnp.where(step < args.adjust_loss_step,
+                                 kl_div_loss(logits, batch["label"]),
+                                 instance_bce_with_logits(logits,
+                                                          batch["label"]))
+            else:
+                loss = classification_loss(cfg, logits, batch["label"])
             return loss, {}
     else:
         def loss_fn(p, batch, rng):

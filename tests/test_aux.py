@@ -256,16 +256,17 @@ def test_launch_tears_down_survivors_on_rank_failure():
     import sys
     import time as _time
 
+    # rank 0 sleeps far longer than the subprocess timeout: the test can
+    # only pass if the launcher tears it down.  Generous budgets — the
+    # 1-core CI host can stretch bare python startup to ~8 s under load.
     code = ("import os, sys, time\n"
             "if os.environ['RANK'] == '1':\n"
             "    sys.exit(3)\n"
-            "time.sleep(60)\n")
-    t0 = _time.time()
+            "time.sleep(600)\n")
     proc = subprocess.run(
         [sys.executable, "-m", "mvp_pytorch_tpu.tools.launch",
          "--nproc", "2", "--", "-c", code],
-        capture_output=True, text=True, timeout=30,
+        capture_output=True, text=True, timeout=120,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 3, proc.stderr
-    assert _time.time() - t0 < 25          # did not wait out rank 0's sleep
     assert "terminating surviving ranks" in proc.stderr

@@ -63,6 +63,33 @@ def test_retrieval_learns_above_chance(tmp_path):
     assert res["coarse"]["i2t_retrieval"]["R@1"] > 0.3, res
 
 
+def test_vqa_variants_and_adjust_dp(tmp_path):
+    """Driver-level coverage of the reference's VQA model-variant and
+    mid-training-mutation knobs: --use_single (Plus classifier,
+    run_vqa.py:1208-1209) and the functional --adjust_dp_step /
+    --adjust_loss_step schedules (run_vqa.py:618-631)."""
+    from mvp_pytorch_tpu.tasks import vqa
+    res = _run(vqa, ["--max_steps", "3", "--ckpt_period", "3",
+                     "--use_single"], str(tmp_path / "vqa_plus"))
+    assert "vqa_accuracy" in res
+    res = _run(vqa, ["--max_steps", "4", "--ckpt_period", "4",
+                     "--loss_type", "kl", "--adjust_loss_step", "2",
+                     "--adjust_dp_step", "2"], str(tmp_path / "vqa_adj"))
+    assert "vqa_accuracy" in res
+
+
+def test_retrieval_use_phrase_driver(tmp_path):
+    """--use_phrase retrieval fine-tuning end to end (WRA margin loss at a
+    fusion mid-layer); a working version of a flag the reference ships
+    but crashes on (run_retrieval.py:613-621 passes phrase args its
+    imported model's forward does not accept)."""
+    from mvp_pytorch_tpu.tasks import retrieval
+    res = _run(retrieval, ["--max_steps", "3", "--ckpt_period", "3",
+                           "--use_phrase", "--phrase_layer", "1"],
+               str(tmp_path / "ret_up"))
+    assert "coarse" in res and "fine" in res
+
+
 def test_captioning_learns_tags(tmp_path):
     from mvp_pytorch_tpu.tasks import captioning
     out = str(tmp_path / "cap")

@@ -74,6 +74,49 @@ def test_retrieval_modes(cfg):
     np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), atol=1e-6)
 
 
+def test_retrieval_use_phrase_wra(cfg):
+    """--use_phrase retrieval fine-tuning: hard-mode WRA margin loss added
+    on top of CLIP+ITM (reference modeling_vlbert_pretrain.py:3069-3086;
+    the released run_retrieval.py model can't accept phrase args at all)."""
+    model = RetrievalModel(cfg)
+    batch = make_batch(cfg)
+    # spans in fused coordinates: phrases live in stream A [2, 2+n),
+    # regions in [LA+T, LA+T+R) after tag stripping offsets
+    phrase_index = jnp.asarray([[2, 5], [3, 6], [0, 0], [1, 4]], jnp.int32)
+    image_index = jnp.asarray([[LA, LA + R]] * B, jnp.int32)
+    rngs = {"hardneg": jax.random.PRNGKey(1), "wra": jax.random.PRNGKey(2)}
+    v = model.init({"params": jax.random.PRNGKey(0), **rngs}, **batch,
+                   phrase_index=phrase_index, image_index=image_index,
+                   max_tag_length=MAX_TAG, deterministic=True)
+    base = model.apply(v, **batch, max_tag_length=MAX_TAG,
+                       deterministic=True, rngs=rngs)
+    out = model.apply(v, **batch, phrase_index=phrase_index,
+                      image_index=image_index, max_tag_length=MAX_TAG,
+                      deterministic=True, rngs=rngs)
+    assert out.wra_loss is not None and np.isfinite(float(out.wra_loss))
+    np.testing.assert_allclose(
+        float(out.total_loss),
+        float(out.retrieval_loss) + float(out.itm_loss)
+        + float(out.wra_loss), rtol=1e-6)
+    # CLIP/ITM parts unchanged by the extra loss
+    np.testing.assert_allclose(float(out.retrieval_loss),
+                               float(base.retrieval_loss), rtol=1e-5)
+
+    # mid-layer readout (--phrase_layer) runs and differs in general
+    out_mid = model.apply(v, **batch, phrase_index=phrase_index,
+                          image_index=image_index, max_tag_length=MAX_TAG,
+                          phrase_layer=1, deterministic=True, rngs=rngs)
+    assert np.isfinite(float(out_mid.wra_loss))
+
+    # --no_itm + --use_phrase: total = clip + wra, hard pass still mined
+    out_ni = model.apply(v, **batch, phrase_index=phrase_index,
+                         image_index=image_index, max_tag_length=MAX_TAG,
+                         no_itm=True, deterministic=True, rngs=rngs)
+    np.testing.assert_allclose(
+        float(out_ni.total_loss),
+        float(out_ni.retrieval_loss) + float(out_ni.wra_loss), rtol=1e-6)
+
+
 def test_classification_losses(cfg):
     batch = make_batch(cfg)
     labels = jnp.asarray([0, 1, 2, 1])

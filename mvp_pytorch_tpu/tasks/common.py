@@ -47,6 +47,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--weight_decay", type=float, default=0.05)
     parser.add_argument("--warmup_steps", type=int, default=0)
     parser.add_argument("--max_steps", type=int, default=100)
+    parser.add_argument("--num_train_epochs", type=float, default=None,
+                        help="train for N epochs of the dataset instead of "
+                             "--max_steps (reference --num_train_epochs; "
+                             "steps/epoch = ceil(len(dataset)/global "
+                             "batch)); overrides --max_steps")
     parser.add_argument("--max_grad_norm", type=float, default=1.0)
     parser.add_argument("--adam_epsilon", type=float, default=1e-8,
                         help="AdamW epsilon (reference --adam_epsilon)")
@@ -105,6 +110,14 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "contrastive training — measured cliff; fine "
                              "at base width)")
     parser.add_argument("--attention_dropout_prob", type=float, default=None)
+    parser.add_argument("--use_img_layernorm", type=int, default=None,
+                        choices=[0, 1],
+                        help="LayerNorm after the image-feature projection "
+                             "(reference --use_img_layernorm, "
+                             "run_retrieval.py:957)")
+    parser.add_argument("--img_layer_norm_eps", type=float, default=None,
+                        help="epsilon for the image-projection LayerNorm "
+                             "(reference run_retrieval.py:959)")
 
 
 def apply_platform(args) -> None:
@@ -163,7 +176,8 @@ def synth_root(args, **kw) -> dict:
 # time these must match training or features silently diverge (reference
 # restore_training_settings, run_retrieval.py:885-899)
 RESTORE_KEYS = ("max_seq_length", "max_tag_length", "max_img_seq_length",
-                "max_phrases", "img_feature_dim", "use_b_text", "b_as_list")
+                "max_phrases", "img_feature_dim", "use_b_text", "b_as_list",
+                "use_img_layernorm", "img_layer_norm_eps")
 
 
 def restore_training_settings(args, argv=None, extra_keys=(), logger=None):
@@ -216,10 +230,28 @@ def tensorize_cfg(args):
 
 
 def build_config(args, tokenizer, **overrides) -> ModelConfig:
+    # explicit CLI knobs apply in BOTH paths — the reference copies its
+    # argparse values onto the config AFTER from_pretrained too
+    # (run_vqa.py:1221-1229, run_retrieval.py:1031-1036), so a fine-tune
+    # from a checkpoint must not silently ignore e.g. --hidden_dropout_prob
+    cli = {}
+    if getattr(args, "hidden_dropout_prob", None) is not None:
+        cli["hidden_dropout_prob"] = args.hidden_dropout_prob
+    if getattr(args, "attention_dropout_prob", None) is not None:
+        cli["attention_probs_dropout_prob"] = args.attention_dropout_prob
+    # classifier-head knobs (reference run_vqa.py:1224-1225)
+    if getattr(args, "classifier", None) is not None:
+        cli["classifier"] = args.classifier
+    if getattr(args, "cls_hidden_scale", None) is not None:
+        cli["cls_hidden_scale"] = args.cls_hidden_scale
+    if getattr(args, "use_img_layernorm", None) is not None:
+        cli["use_img_layernorm"] = bool(args.use_img_layernorm)
+    if getattr(args, "img_layer_norm_eps", None) is not None:
+        cli["img_layer_norm_eps"] = args.img_layer_norm_eps
     if args.model_name_or_path:
-        cfg = ModelConfig.from_pretrained(args.model_name_or_path,
-                                          dtype=args.dtype, **overrides)
-        return cfg
+        return ModelConfig.from_pretrained(args.model_name_or_path,
+                                           dtype=args.dtype,
+                                           **{**cli, **overrides})
     base = dict(vocab_size=max(tokenizer.vocab_size, 86051),
                 only_word_size=tokenizer.vocab_size,
                 img_feature_dim=args.img_feature_dim, dtype=args.dtype)
@@ -228,16 +260,7 @@ def build_config(args, tokenizer, **overrides) -> ModelConfig:
                     num_attention_heads=4, intermediate_size=128,
                     vocab_size=tokenizer.vocab_size + 64,
                     max_position_embeddings=128)
-    if getattr(args, "hidden_dropout_prob", None) is not None:
-        base["hidden_dropout_prob"] = args.hidden_dropout_prob
-    if getattr(args, "attention_dropout_prob", None) is not None:
-        base["attention_probs_dropout_prob"] = args.attention_dropout_prob
-    # classifier-head knobs (reference run_vqa.py:1224-1225: argparse
-    # values copied onto the config)
-    if getattr(args, "classifier", None) is not None:
-        base["classifier"] = args.classifier
-    if getattr(args, "cls_hidden_scale", None) is not None:
-        base["cls_hidden_scale"] = args.cls_hidden_scale
+    base.update(cli)
     base.update(overrides)
     return ModelConfig(**base)
 
@@ -262,6 +285,12 @@ class TrainLoop:
         self.logger = logger or setup_logger("train", args.output_dir)
         mp = max(1, getattr(args, "model_parallel", 1))
         self.mesh = make_mesh(model=mp)
+        epochs = getattr(args, "num_train_epochs", None)
+        if epochs:
+            spe = max(1, -(-len(dataset) // args.train_batch_size))
+            args.max_steps = int(spe * epochs)
+            self.logger.info(f"num_train_epochs={epochs}: {spe} steps/epoch"
+                             f" -> max_steps={args.max_steps}")
         total = args.max_steps
         tx = make_optimizer(
             args.learning_rate, warmup_steps=args.warmup_steps,

@@ -20,7 +20,8 @@ def _args(ckpt_dir, **kw):
     ns = argparse.Namespace(
         do_train=False, model_name_or_path=ckpt_dir, max_seq_length=35,
         max_tag_length=20, max_img_seq_length=50, max_phrases=5,
-        img_feature_dim=2054, use_b_text=False, b_as_list=False)
+        img_feature_dim=2054, use_b_text=False, b_as_list=False,
+        use_img_layernorm=None, img_layer_norm_eps=None)
     for k, v in kw.items():
         setattr(ns, k, v)
     return ns
@@ -29,7 +30,8 @@ def _args(ckpt_dir, **kw):
 def _write_snapshot(d, **kw):
     snap = dict(max_seq_length=17, max_tag_length=9, max_img_seq_length=12,
                 max_phrases=3, img_feature_dim=2054, use_b_text=True,
-                b_as_list=False)
+                b_as_list=False, use_img_layernorm=1,
+                img_layer_norm_eps=1e-12)
     snap.update(kw)
     with open(os.path.join(d, ARGS_NAME), "w") as f:
         json.dump(snap, f)
@@ -85,6 +87,31 @@ def test_noop_when_training_or_no_snapshot(tmp_path):
 
 
 import pytest as _pytest
+
+
+def test_build_config_cli_overrides_apply_on_checkpoint(tmp_path):
+    """CLI config knobs must apply when loading a checkpoint config too —
+    the reference copies argparse values onto the config AFTER
+    from_pretrained (run_vqa.py:1221-1229); silently ignoring
+    --hidden_dropout_prob at fine-tune time was a real divergence."""
+    from mvp_pytorch_tpu.models.config import ModelConfig
+    from mvp_pytorch_tpu.tasks.common import build_config
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    ModelConfig(hidden_dropout_prob=0.1,
+                use_img_layernorm=False).save_pretrained(ck)
+    ns = argparse.Namespace(model_name_or_path=ck, dtype="float32",
+                            hidden_dropout_prob=0.3,
+                            use_img_layernorm=1, img_layer_norm_eps=1e-5)
+    cfg = build_config(ns, tokenizer=None)
+    assert cfg.hidden_dropout_prob == 0.3
+    assert cfg.use_img_layernorm is True
+    assert cfg.img_layer_norm_eps == 1e-5
+    # unset CLI knobs keep the checkpoint values
+    ns2 = argparse.Namespace(model_name_or_path=ck, dtype="float32")
+    cfg2 = build_config(ns2, tokenizer=None)
+    assert cfg2.hidden_dropout_prob == 0.1
+    assert cfg2.use_img_layernorm is False
 
 
 @_pytest.mark.slow

@@ -60,7 +60,7 @@ def _run_single(outdir, max_steps, extra=()):
         "--ckpt_period", str(max_steps), "--num_cpu_devices", "8",
         *extra]
     p = subprocess.run(cmd, cwd="/root/repo", env=_env(), text=True,
-                       capture_output=True, timeout=600)
+                       capture_output=True, timeout=1500)
     assert p.returncode == 0, p.stdout + p.stderr
     return p
 
@@ -81,7 +81,7 @@ def test_two_process_pretrain_matches_single(tmp_path):
         procs.append(subprocess.Popen(cmd, cwd="/root/repo", env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r}:\n{out}"
 
@@ -225,7 +225,7 @@ def test_two_process_eval_gather_matches_single(tmp_path):
         [sys.executable] + ve_args + ["--output_dir", sp_dir,
                                       "--num_cpu_devices", "8"],
         cwd="/root/repo", env=_env(), text=True, capture_output=True,
-        timeout=600)
+        timeout=1500)
     assert p.returncode == 0, p.stdout + p.stderr
 
     port = _free_port()
@@ -238,7 +238,7 @@ def test_two_process_eval_gather_matches_single(tmp_path):
                                           "--num_cpu_devices", "4"],
             cwd="/root/repo", env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
-    outs = [pr.communicate(timeout=600)[0] for pr in procs]
+    outs = [pr.communicate(timeout=1500)[0] for pr in procs]
     for r, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"rank {r}:\n{out}"
 

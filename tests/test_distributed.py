@@ -128,7 +128,7 @@ def test_two_process_distributed(tmp_path):
         cwd="/root/repo", env=env) for r in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"

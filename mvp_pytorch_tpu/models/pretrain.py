@@ -44,13 +44,17 @@ from .heads import LMPredictionHead, SeqRelationshipHead
 # ---------------------------------------------------------------------------
 
 def t2i_sim(sims: jax.Array, phrase_valid: jax.Array, img_valid: jax.Array,
-            rng: jax.Array) -> jax.Array:
+            rng: jax.Array, pick=None) -> jax.Array:
     """Batched analogue of reference t2i_sim (modeling_vlbert.py:1544-1552).
 
     sims: [B, P, R] phrase-token x region-token similarities.
     For each valid phrase token: top-3 over valid regions, pick one of the 3
     uniformly at random, then mean over valid phrase tokens. Returns [B]
     (0 where the phrase span is empty).
+
+    `pick` (test hook): a fixed top-k slot index instead of the random
+    choice — lets parity tests pin the same slot the reference picks when
+    its torch.randint is patched (tests/test_wra_parity.py).
     """
     neg_inf = jnp.finfo(jnp.float32).min
     masked = jnp.where(img_valid[:, None, :] > 0, sims.astype(jnp.float32),
@@ -62,8 +66,11 @@ def t2i_sim(sims: jax.Array, phrase_valid: jax.Array, img_valid: jax.Array,
     # deflate the similarity to 0 (the reference top-ks over the actual
     # region count, so its pick is always a real similarity)
     slot_valid = topk > neg_inf / 2
-    choice = jax.random.categorical(
-        rng, jnp.where(slot_valid, 0.0, neg_inf))          # [B, P]
+    if pick is not None:
+        choice = jnp.full(topk.shape[:-1], pick, jnp.int32)
+    else:
+        choice = jax.random.categorical(
+            rng, jnp.where(slot_valid, 0.0, neg_inf))      # [B, P]
     picked = jnp.take_along_axis(topk, choice[..., None], axis=-1)[..., 0]
     picked = jnp.where(slot_valid.any(-1), picked, 0.0)    # no regions at all
     denom = jnp.maximum(phrase_valid.sum(-1), 1.0)
@@ -98,14 +105,16 @@ def wra_sample_loss(sequence_output, phrase_index, image_index, rng,
 
 def wra_hard_loss(sequence_output, hard_sequence_output, phrase_index,
                   image_index, hard_txt_index, hard_img_index, rng,
-                  *, phrase_width: int, img_width: int, margin: float = 0.2):
+                  *, phrase_width: int, img_width: int, margin: float = 0.2,
+                  pick=None):
     """'hard' mode: negative similarities come from the hard-negative fused
-    pass (reference modeling_vlbert.py:1272-1284)."""
+    pass (reference modeling_vlbert.py:1272-1284). `pick` pins the top-k
+    slot for parity tests (see t2i_sim)."""
     k_pos, k_neg = jax.random.split(rng)
     ph, ph_valid = span_tokens(sequence_output, phrase_index, phrase_width)
     im, im_valid = span_tokens(sequence_output, image_index, img_width)
     pos_sims = t2i_sim(jnp.einsum("bph,brh->bpr", ph, im), ph_valid, im_valid,
-                       k_pos)
+                       k_pos, pick=pick)
 
     hard_phrase_index = phrase_index[hard_txt_index]
     hard_image_index = image_index[hard_img_index]
@@ -114,7 +123,7 @@ def wra_hard_loss(sequence_output, hard_sequence_output, phrase_index,
     him, him_valid = span_tokens(hard_sequence_output, hard_image_index,
                                  img_width)
     neg_sims = t2i_sim(jnp.einsum("bph,brh->bpr", hph, him), hph_valid,
-                       him_valid, k_neg)
+                       him_valid, k_neg, pick=pick)
 
     loss = jnp.maximum(neg_sims + margin - pos_sims, 0.0)
     valid = ((phrase_index[:, 1] > phrase_index[:, 0])

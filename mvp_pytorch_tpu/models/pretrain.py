@@ -83,20 +83,25 @@ def span_tokens(seq, span, width):
 
 
 def wra_sample_loss(sequence_output, phrase_index, image_index, rng,
-                    *, phrase_width: int, img_width: int, margin: float = 0.2):
+                    *, phrase_width: int, img_width: int, margin: float = 0.2,
+                    pick=None, neg_offset=None):
     """'sample' mode: positive = own image span; negative = a uniformly random
     other example's image span (reference get_pos_neg_sims,
-    modeling_vlbert.py:1554-1596)."""
+    modeling_vlbert.py:1554-1596). `pick`/`neg_offset` pin the two random
+    choices for parity tests (tests/test_wra_parity.py)."""
     b = sequence_output.shape[0]
     k_neg, k_pos, k_negpick = jax.random.split(rng, 3)
     ph, ph_valid = span_tokens(sequence_output, phrase_index, phrase_width)
     im, im_valid = span_tokens(sequence_output, image_index, img_width)
 
     pos_sims = t2i_sim(jnp.einsum("bph,brh->bpr", ph, im), ph_valid, im_valid,
-                       k_pos)
-    neg_idx = (jnp.arange(b) + jax.random.randint(k_neg, (b,), 1, b)) % b
+                       k_pos, pick=pick)
+    if neg_offset is not None:
+        neg_idx = (jnp.arange(b) + neg_offset) % b
+    else:
+        neg_idx = (jnp.arange(b) + jax.random.randint(k_neg, (b,), 1, b)) % b
     neg_sims = t2i_sim(jnp.einsum("bph,brh->bpr", ph, im[neg_idx]),
-                       ph_valid, im_valid[neg_idx], k_negpick)
+                       ph_valid, im_valid[neg_idx], k_negpick, pick=pick)
 
     loss = jnp.maximum(neg_sims + margin - pos_sims, 0.0)
     valid = (phrase_index[:, 1] > phrase_index[:, 0]).astype(jnp.float32)

@@ -93,6 +93,51 @@ def test_pos_sims_parity(ref_funcs, monkeypatch, j):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+@pytest.mark.parametrize("j", [0, 1])
+def test_wra_sample_loss_parity(ref_funcs, monkeypatch, j):
+    """Full sample-mode WRA loss vs the reference's get_pos_neg_sims path
+    (modeling_vlbert.py:1554-1596 + the 'sample' branch of the pretrain
+    loss): negative = the NEXT example's image span (reference
+    random.choice pinned; our neg_offset=1)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from mvp_pytorch_tpu.models.pretrain import wra_sample_loss
+
+    rs = np.random.RandomState(23 + j)
+    seq = rs.randn(B, L, H).astype(np.float32)
+    phrase_index, image_index = _spans()
+
+    _pin_randint(monkeypatch, torch, j)
+    # pin random.choice to "the next example" per call order
+    calls = {"i": 0}
+
+    def next_choice(cands):
+        i = calls["i"]
+        calls["i"] += 1
+        want = (i + 1) % B
+        return want
+    monkeypatch.setattr(ref_funcs.random, "choice", next_choice)
+
+    t_seq = torch.from_numpy(seq)
+    t_pi = torch.from_numpy(phrase_index.astype(np.int64))
+    t_ii = torch.from_numpy(image_index.astype(np.int64))
+    vp = F.normalize(ref_funcs.mask_slice_and_stack(t_seq, t_pi), p=2, dim=-1)
+    vi = F.normalize(ref_funcs.mask_slice_and_stack(t_seq, t_ii), p=2, dim=-1)
+    pos, neg = ref_funcs.get_pos_neg_sims(vp @ vi.t(), t_pi, t_ii)
+    loss = torch.clamp(neg + 0.2 - pos, min=0)
+    valid = (t_pi[:, 1] - t_pi[:, 0]) > 0
+    ref_loss = torch.mean(torch.masked_select(loss, valid)).item()
+
+    ours = wra_sample_loss(jnp.asarray(seq), jnp.asarray(phrase_index),
+                           jnp.asarray(image_index), jax.random.PRNGKey(0),
+                           phrase_width=PW, img_width=IW, pick=j,
+                           neg_offset=1)
+    np.testing.assert_allclose(float(ours), ref_loss, atol=1e-5)
+
+
 @pytest.mark.parametrize("j", [0, 2])
 def test_wra_hard_loss_parity(ref_funcs, monkeypatch, j):
     import jax

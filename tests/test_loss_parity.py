@@ -1,0 +1,129 @@
+"""Loss/schedule parity vs the actual reference implementations.
+
+- BertCaptioningLoss (modeling_vlbert_pretrain.py:1537-1563): label-smoothed
+  KL + drop-worst curriculum. Our captioning_loss drops the constant
+  target-entropy term of the KL (gradient-identical, ranking-identical for
+  drop-worst); the test adds the closed-form constant back and checks exact
+  values, with and without drop-worst active.
+- Warmup schedules (vendored optimization.py): LR multiplier curves.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                                reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    from ref_import import setup_reference_imports
+    setup_reference_imports()
+    import oscar.modeling.modeling_vlbert_pretrain as mvp
+    return mvp
+
+
+@pytest.mark.parametrize("drop,active", [(0.0, False), (0.25, True),
+                                         (0.25, False)])
+def test_captioning_loss_parity(ref, drop, active):
+    import jax.numpy as jnp
+    import torch
+
+    from mvp_pytorch_tpu.models.img_bert import captioning_loss
+
+    N, V = 13, 29
+    eps = 0.1
+    rs = np.random.RandomState(3)
+    logits = rs.randn(N, V).astype(np.float32)
+    targets = rs.randint(0, V, (N,))
+
+    class Cfg:
+        label_smoothing = eps
+        drop_worst_ratio = drop
+        drop_worst_after = 10
+    crit = ref.BertCaptioningLoss(Cfg())
+    # forward() increments iter FIRST, then checks iter > drop_worst_after
+    crit.iter = Cfg.drop_worst_after if active else 0
+    ref_loss = crit(torch.from_numpy(logits),
+                    torch.from_numpy(targets)).item()
+
+    ours = captioning_loss(jnp.asarray(logits)[None],
+                           jnp.asarray(targets)[None],
+                           jnp.ones((1, N), np.float32),
+                           label_smoothing=eps, drop_worst_ratio=drop,
+                           apply_drop=jnp.asarray(active))
+    # closed-form KL target-entropy constant our loss drops
+    # (gradient-identical; ranking-identical for drop-worst)
+    const = (1 - eps) * np.log(1 - eps) + eps * np.log(eps / (V - 1))
+    np.testing.assert_allclose(float(ours) + const, ref_loss, atol=1e-6)
+
+
+def test_ciderd_parity(ref):
+    """Corpus CIDEr-D vs the reference pyciderevalcap scorer on a
+    synthetic caption set (oscar/utils/cider/pyciderevalcap/ciderD)."""
+    import random as _random
+
+    from ref_import import setup_reference_imports
+    setup_reference_imports()
+    from oscar.utils.cider.pyciderevalcap.ciderD.ciderD import CiderD
+
+    from mvp_pytorch_tpu.utils.cider import CiderScorer
+
+    words = ["a", "dog", "cat", "runs", "sits", "on", "the", "mat", "grass",
+             "red", "ball", "plays", "with"]
+    rng = _random.Random(5)
+
+    def sent(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    n_imgs = 12
+    gts = {i: [sent(rng.randint(5, 9)) for _ in range(3)]
+           for i in range(n_imgs)}
+    res = [{"image_id": i, "caption": [sent(rng.randint(4, 8))]}
+           for i in range(n_imgs)]
+    # make some candidates overlap their refs so scores are non-trivial
+    for i in range(0, n_imgs, 3):
+        res[i]["caption"] = [gts[i][0]]
+
+    cands = [r["caption"][0].split() for r in res]
+    refs = [[s.split() for s in gts[r["image_id"]]] for r in res]
+
+    ref_mean, ref_scores = CiderD(df="corpus").compute_score(gts, res)
+    our_mean, our_scores = CiderScorer(cider_d=True).compute(cands, refs)
+    np.testing.assert_allclose(our_scores, np.asarray(ref_scores), atol=1e-8)
+    np.testing.assert_allclose(our_mean, ref_mean, atol=1e-8)
+
+    # plain CIDEr (no clipping / length penalty) vs the cider/ package
+    from oscar.utils.cider.pyciderevalcap.cider.cider import Cider
+    ref_mean_c, ref_scores_c = Cider(df="corpus").compute_score(gts, res)
+    our_mean_c, our_scores_c = CiderScorer(cider_d=False).compute(cands, refs)
+    np.testing.assert_allclose(our_scores_c, np.asarray(ref_scores_c),
+                               atol=1e-8)
+    np.testing.assert_allclose(our_mean_c, ref_mean_c, atol=1e-8)
+
+
+def test_warmup_schedule_parity(ref):
+    import torch
+
+    from mvp_pytorch_tpu.training.optim import (warmup_constant,
+                                                warmup_linear)
+    from transformers.pytorch_transformers.optimization import (
+        WarmupConstantSchedule, WarmupLinearSchedule)
+
+    warmup, total = 20, 100
+    p = torch.nn.Parameter(torch.zeros(1))
+    lin = WarmupLinearSchedule(torch.optim.SGD([p], lr=1.0),
+                               warmup_steps=warmup, t_total=total)
+    const = WarmupConstantSchedule(torch.optim.SGD([p], lr=1.0),
+                                   warmup_steps=warmup)
+    our_lin = warmup_linear(1.0, warmup, total)
+    our_const = warmup_constant(1.0, warmup)
+    for step in range(total):
+        np.testing.assert_allclose(float(our_lin(step)),
+                                   lin.lr_lambda(step), atol=1e-6,
+                                   err_msg=f"linear step {step}")
+        np.testing.assert_allclose(float(our_const(step)),
+                                   const.lr_lambda(step), atol=1e-6,
+                                   err_msg=f"constant step {step}")

@@ -119,6 +119,11 @@ def generate(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
     init = (tokens, jnp.zeros((n,), bool), rng)
     (tokens, finished, _), (logps, fin_hist) = jax.lax.scan(
         step, init, jnp.arange(1, max_len))
+    # sequences that never produced EOS get one forced into the last slot
+    # (reference modeling_utils.py:359-361 masked_fill_ contract — callers
+    # may split on EOS to recover the caption)
+    tokens = tokens.at[:, -1].set(
+        jnp.where(finished, tokens[:, -1], eos_token_id))
     logprobs = jnp.concatenate(
         [jnp.zeros((n, 1)), jnp.transpose(logps)], axis=1)
     lengths = 1 + jnp.sum(~jnp.transpose(fin_hist), axis=1) + 1
@@ -176,8 +181,12 @@ def generate_cached(prefill_fn: Callable, step_fn: Callable,
 
     init = (tokens, cache, jnp.full((n,), bos_token_id, jnp.int32),
             jnp.zeros((n,), bool), rng)
-    (tokens, _, _, _, _), (logps, fin_hist) = jax.lax.scan(
+    (tokens, _, _, finished, _), (logps, fin_hist) = jax.lax.scan(
         step, init, jnp.arange(1, max_len))
+    # forced-EOS-in-last-slot, matching generate() (reference
+    # modeling_utils.py:359-361)
+    tokens = tokens.at[:, -1].set(
+        jnp.where(finished, tokens[:, -1], eos_token_id))
     logprobs = jnp.concatenate(
         [jnp.zeros((n, 1)), jnp.transpose(logps)], axis=1)
     lengths = 1 + jnp.sum(~jnp.transpose(fin_hist), axis=1) + 1

@@ -104,6 +104,87 @@ def test_ciderd_parity(ref):
     np.testing.assert_allclose(our_mean_c, ref_mean_c, atol=1e-8)
 
 
+def test_re_scoring_parity(ref):
+    """re_score / re_score_det1 / re_score_det2 vs the reference's
+    per-example loops (run_re.py:389-421); ours are the vectorized batch
+    forms with threshold folded in."""
+    import torch
+
+    from ref_import import setup_reference_imports
+    setup_reference_imports()
+    import sys
+    import types
+    sys.modules.setdefault("jsonlines", types.ModuleType("jsonlines"))
+    import oscar.run_re as rr
+
+    from mvp_pytorch_tpu.data.datasets import (re_score, re_score_det1,
+                                               re_score_det2)
+
+    Bx, R, D = 16, 7, 5
+    rs = np.random.RandomState(4)
+    logits = rs.randn(Bx, R).astype(np.float32)
+    labels = rs.rand(Bx, R).astype(np.float32)
+    det_labels = rs.rand(Bx, D).astype(np.float32)
+    iou_mats = np.zeros((Bx, R, D), np.float32)
+    ks, ds = [], []
+    for i in range(Bx):
+        k = rs.randint(3, R + 1)          # valid regions per example
+        d = rs.randint(2, D + 1)          # valid detections per example
+        labels[i, k:] = -1.0
+        det_labels[i, d:] = -1.0
+        iou_mats[i, :k, :d] = rs.rand(k, d) * 0.9 + 0.05
+        ks.append(k)
+        ds.append(d)
+
+    ref_iou = rr.re_score(torch.from_numpy(logits),
+                          torch.from_numpy(labels)).numpy()
+    ref_acc = float((ref_iou >= 0.5).mean())
+    np.testing.assert_allclose(re_score(logits, labels), ref_acc)
+
+    # the reference det fns run on TRUE per-example shapes (its REDataset
+    # never pads); slice before calling, our batch forms handle -1 pads
+    ref_d1 = [rr.re_score_det1(logits[i][:ks[i]], labels[i][:ks[i]],
+                               det_labels[i][:ds[i]],
+                               iou_mats[i][:ks[i], :ds[i]])
+              for i in range(Bx)]
+    ref_d1_acc = float((np.asarray(ref_d1) >= 0.5).mean())
+    np.testing.assert_allclose(
+        re_score_det1(logits, labels, det_labels, iou_mats), ref_d1_acc)
+
+    ref_d2 = [rr.re_score_det2(logits[i][:ks[i]], labels[i][:ks[i]],
+                               det_labels[i][:ds[i]],
+                               iou_mats[i][:ks[i], :ds[i]])
+              for i in range(Bx)]
+    ref_d2_acc = float((np.asarray(ref_d2) >= 0.5).mean())
+    np.testing.assert_allclose(
+        re_score_det2(logits, labels, det_labels, iou_mats), ref_d2_acc)
+
+
+def test_top_k_top_p_filtering_parity(ref):
+    """Same kept/filtered sets and kept values as the reference
+    top_k_top_p_filtering (modeling_utils.py:600-633)."""
+    import torch
+
+    from mvp_pytorch_tpu.models.generation import (NEG_INF,
+                                                   top_k_top_p_filtering)
+    from oscar.modeling.modeling_utils import \
+        top_k_top_p_filtering as ref_filter
+
+    rs = np.random.RandomState(6)
+    logits = rs.randn(5, 40).astype(np.float32) * 3.0
+    for top_k, top_p in [(0, 1.0), (7, 1.0), (0, 0.8), (5, 0.6), (1, 1.0)]:
+        ref_out = ref_filter(torch.from_numpy(logits.copy()),
+                             top_k=top_k, top_p=top_p).numpy()
+        ours = np.asarray(top_k_top_p_filtering(
+            np.asarray(logits), top_k=top_k, top_p=top_p))
+        ref_kept = np.isfinite(ref_out)
+        our_kept = ours > NEG_INF / 2
+        np.testing.assert_array_equal(our_kept, ref_kept,
+                                      err_msg=f"k={top_k} p={top_p}")
+        np.testing.assert_allclose(ours[our_kept], ref_out[ref_kept],
+                                   atol=1e-6)
+
+
 def test_warmup_schedule_parity(ref):
     import torch
 

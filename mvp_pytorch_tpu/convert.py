@@ -275,11 +275,194 @@ def convert_checkpoint(torch_dir: str, out_dir: str,
               f"{skipped[:10]}{'...' if len(skipped) > 10 else ''}")
 
 
+# --------------------------------------------------------------------------
+# Reverse direction: our params tree -> reference torch state dict.
+#
+# Lets a user migrate BACK to the reference (or cross-validate any checkpoint
+# trained here inside the original torch code). The mapping is the exact
+# inverse of convert_state_dict, with one addition: functionally-tied LM
+# decoders (which we never store) are MATERIALIZED as the embedding slice the
+# reference's tie_weights would produce (reference
+# transformers/pytorch_transformers/modeling_utils.py:275-288), so
+# `model.load_state_dict(exported, strict=True)` succeeds on the reference
+# classes.
+# --------------------------------------------------------------------------
+
+_INV_LAYER_SUFFIX = {
+    ("attention", "self", "query"): ("attention.self.query", "dense"),
+    ("attention", "self", "key"): ("attention.self.key", "dense"),
+    ("attention", "self", "value"): ("attention.self.value", "dense"),
+    ("attention", "output_dense"): ("attention.output.dense", "dense"),
+    ("attention", "output_norm"): ("attention.output.LayerNorm", "norm"),
+    ("intermediate_dense",): ("intermediate.dense", "dense"),
+    ("output_dense",): ("output.dense", "dense"),
+    ("output_norm",): ("output.LayerNorm", "norm"),
+}
+
+_ENCODER_NAMES = ("txt_encoder", "vis_encoder", "mul_encoder", "encoder")
+
+
+def _flatten_tree(tree: dict, prefix=()):
+    for k in sorted(tree):
+        v = tree[k]
+        if isinstance(v, dict):
+            yield from _flatten_tree(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+def _torch_leaf(kind: str, leaf: str, val: np.ndarray):
+    """flax leaf -> (torch suffix, value). kind: dense|norm|embedding|raw."""
+    if kind == "norm":
+        return ("weight" if leaf == "scale" else "bias"), val
+    if kind == "embedding":
+        return "weight", val
+    if kind == "dense":
+        if leaf == "kernel":
+            return "weight", val.T
+        return "bias", val
+    raise ValueError(f"unknown leaf kind {kind}/{leaf}")
+
+
+def export_state_dict(params: Dict[str, Any],
+                      strict: bool = True) -> Dict[str, np.ndarray]:
+    """Our flax params tree -> reference-compatible torch state dict (numpy
+    values; caller wraps in torch tensors). Inverse of convert_state_dict."""
+    sd: Dict[str, np.ndarray] = {}
+    skipped = []
+
+    def _classifier_is_mlp(sub):
+        return isinstance(sub, dict) and "dense" in sub
+
+    cls_mlp = _classifier_is_mlp(params.get("classifier", {}))
+    word_emb = None
+    bert = params.get("bert", {})
+    if isinstance(bert, dict):
+        word_emb = (bert.get("embeddings", {})
+                        .get("word_embeddings", {})
+                        .get("embedding"))
+
+    _head_prefix = {
+        "cls_predictions": "cls.predictions",
+        "half_mlm": "half_mlm",
+        "cls": "cls.predictions",      # VQAModel QAPredictionHead
+    }
+
+    for path, val in _flatten_tree(params):
+        key = None
+        if path == ("logit_scale",):
+            key, val = "logit_scale", val
+        elif path[0] == "bert":
+            p = path[1:]
+            if p[0] == "embeddings" and p[-1] == "embedding":
+                key = f"bert.embeddings.{p[1]}.weight"
+            elif p[:2] == ("embeddings", "LayerNorm"):
+                suf, val = _torch_leaf("norm", p[2], val)
+                key = f"bert.embeddings.LayerNorm.{suf}"
+            elif p[:2] == ("pooler", "dense"):
+                suf, val = _torch_leaf("dense", p[2], val)
+                key = f"bert.pooler.dense.{suf}"
+            elif p in (("txt_proj",), ("vis_proj",)):
+                key = f"bert.{p[0]}"
+            elif p[0] == "img_embedding":
+                suf, val = _torch_leaf("dense", p[1], val)
+                key = f"bert.img_embedding.{suf}"
+            elif p[0] == "img_norm":
+                suf, val = _torch_leaf("norm", p[1], val)
+                key = f"bert.LayerNorm.{suf}"
+            elif p[0] == "code_embeddings" and p[1] == "embedding":
+                key = "bert.code_embeddings.weight"
+            elif p[0] in _ENCODER_NAMES and p[1].startswith("layer_"):
+                idx = p[1][len("layer_"):]
+                sub, leaf = p[2:-1], p[-1]
+                spec = _INV_LAYER_SUFFIX.get(tuple(sub))
+                if spec is not None:
+                    tk, kind = spec
+                    suf, val = _torch_leaf(kind, leaf, val)
+                    key = f"bert.{p[0]}.layer.{idx}.{tk}.{suf}"
+        elif path[0] in _head_prefix:
+            base = _head_prefix[path[0]]
+            p = path[1:]
+            if p[:2] == ("transform", "dense"):
+                suf, val = _torch_leaf("dense", p[2], val)
+                key = f"{base}.transform.dense.{suf}"
+            elif p[:2] == ("transform", "LayerNorm"):
+                suf, val = _torch_leaf("norm", p[2], val)
+                key = f"{base}.transform.LayerNorm.{suf}"
+            elif p == ("decoder", "kernel"):    # QAPredictionHead (untied)
+                key, val = f"{base}.decoder.weight", val.T
+            elif p == ("bias",):
+                key = f"{base}.bias"
+                # materialize the tied decoder the reference stores
+                if path[0] != "cls" and word_emb is not None:
+                    sd[f"{base}.decoder.weight"] = \
+                        np.asarray(word_emb)[: val.shape[0]]
+        elif path[0] == "cls_seq_relationship":
+            suf, val = _torch_leaf("dense", path[-1], val)
+            key = f"cls.seq_relationship.{suf}"
+        elif path[0] in ("qa_head", "qa_seq_relation"):
+            suf, val = _torch_leaf("dense", path[-1], val)
+            key = f"{path[0]}.{suf}"
+        elif path[0] == "mrf_mrc":
+            if path[1] == "mrf_bias":
+                key = "cls.MRF_bias"
+            else:
+                tk = {"mrf_dense": ("cls.MRF_predictor.0", "dense"),
+                      "mrf_norm": ("cls.MRF_predictor.2", "norm"),
+                      "mrc": ("cls.MRC_predictor", "dense")}.get(path[1])
+                if tk is not None:
+                    suf, val = _torch_leaf(tk[1], path[-1], val)
+                    key = f"{tk[0]}.{suf}"
+        elif path[0] == "classifier":
+            sub, leaf = path[1], path[-1]
+            suf, val = _torch_leaf("dense", leaf, val)
+            if cls_mlp:
+                key = f"classifier.{'0' if sub == 'dense' else '2'}.{suf}"
+            else:
+                key = f"classifier.{suf}"
+
+        if key is None:
+            skipped.append("/".join(path))
+            if strict:
+                raise KeyError(f"unmapped flax path: {'/'.join(path)}")
+            continue
+        sd[key] = np.ascontiguousarray(val)
+    if skipped:
+        print(f"export: skipped {len(skipped)} unmapped paths: "
+              f"{skipped[:10]}{'...' if len(skipped) > 10 else ''}")
+    return sd
+
+
+def export_checkpoint(our_dir: str, torch_dir: str,
+                      strict: bool = True) -> None:
+    """Our save_pretrained dir -> reference-format checkpoint dir
+    (pytorch_model.bin + config.json + vocab.txt)."""
+    import shutil
+    import torch
+    from .training.checkpoint import load_pretrained
+    cfg, params = load_pretrained(our_dir)
+    sd = export_state_dict(params, strict=strict)
+    os.makedirs(torch_dir, exist_ok=True)
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               os.path.join(torch_dir, "pytorch_model.bin"))
+    if cfg is not None:
+        cfg.save_pretrained(torch_dir)
+    vocab = os.path.join(our_dir, "vocab.txt")
+    if os.path.exists(vocab):
+        shutil.copy(vocab, os.path.join(torch_dir, "vocab.txt"))
+
+
 if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("torch_dir")
+    p.add_argument("src_dir")
     p.add_argument("out_dir")
     p.add_argument("--strict", action="store_true")
+    p.add_argument("--reverse", action="store_true",
+                   help="export OUR checkpoint dir back to the reference's "
+                        "torch format instead of importing")
     a = p.parse_args()
-    convert_checkpoint(a.torch_dir, a.out_dir, strict=a.strict)
+    if a.reverse:
+        export_checkpoint(a.src_dir, a.out_dir, strict=a.strict)
+    else:
+        convert_checkpoint(a.src_dir, a.out_dir, strict=a.strict)

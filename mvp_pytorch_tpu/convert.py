@@ -458,11 +458,17 @@ if __name__ == "__main__":
     p.add_argument("src_dir")
     p.add_argument("out_dir")
     p.add_argument("--strict", action="store_true")
+    p.add_argument("--no_strict", action="store_true",
+                   help="allow the reverse export to silently drop unmapped "
+                        "params (e.g. MoE experts the reference cannot hold)")
     p.add_argument("--reverse", action="store_true",
                    help="export OUR checkpoint dir back to the reference's "
                         "torch format instead of importing")
     a = p.parse_args()
     if a.reverse:
-        export_checkpoint(a.src_dir, a.out_dir, strict=a.strict)
+        # strict BY DEFAULT going out: every one of our params should map,
+        # and a silently dropped weight surfaces much later as a degraded
+        # model inside the reference code
+        export_checkpoint(a.src_dir, a.out_dir, strict=not a.no_strict)
     else:
         convert_checkpoint(a.src_dir, a.out_dir, strict=a.strict)

@@ -65,8 +65,14 @@ def top_k_top_p_filtering(logits, top_k: int = 0, top_p: float = 1.0):
 
 class GenerateOutput(NamedTuple):
     sequences: jax.Array      # [N, max_len] token ids (inc. BOS at 0)
-    logprobs: jax.Array       # [N, max_len] per-step chosen logprob (0 at BOS/pad)
+    logprobs: jax.Array       # [N, max_len] per-step logprob of the token
+    #                           STORED at that position (0 at BOS/pad, and 0
+    #                           at a forced-EOS last slot — that token was
+    #                           never sampled, so REINFORCE-style consumers
+    #                           must not credit it)
     lengths: jax.Array        # [N] generated length incl. EOS
+    finished: jax.Array       # [N] bool: emitted EOS naturally (False means
+    #                           the last-slot EOS was force-filled)
 
 
 def generate(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
@@ -126,9 +132,13 @@ def generate(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
         jnp.where(finished, tokens[:, -1], eos_token_id))
     logprobs = jnp.concatenate(
         [jnp.zeros((n, 1)), jnp.transpose(logps)], axis=1)
+    # the force-filled slot's stored token was never sampled: zero its
+    # logprob so sum(logprobs * mask) never credits it
+    logprobs = logprobs.at[:, -1].set(
+        jnp.where(finished, logprobs[:, -1], 0.0))
     lengths = 1 + jnp.sum(~jnp.transpose(fin_hist), axis=1) + 1
     lengths = jnp.minimum(lengths, max_len)
-    return GenerateOutput(tokens, logprobs, lengths)
+    return GenerateOutput(tokens, logprobs, lengths, finished)
 
 
 def generate_cached(prefill_fn: Callable, step_fn: Callable,
@@ -189,9 +199,11 @@ def generate_cached(prefill_fn: Callable, step_fn: Callable,
         jnp.where(finished, tokens[:, -1], eos_token_id))
     logprobs = jnp.concatenate(
         [jnp.zeros((n, 1)), jnp.transpose(logps)], axis=1)
+    logprobs = logprobs.at[:, -1].set(
+        jnp.where(finished, logprobs[:, -1], 0.0))
     lengths = 1 + jnp.sum(~jnp.transpose(fin_hist), axis=1) + 1
     lengths = jnp.minimum(lengths, max_len)
-    return GenerateOutput(tokens, logprobs, lengths)
+    return GenerateOutput(tokens, logprobs, lengths, finished)
 
 
 def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
@@ -215,11 +227,9 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
     fin_tokens = jnp.full((b, k, max_len), pad_token_id, jnp.int32)
     cache = prefill_fn()
 
-    def step(carry, t):
-        tokens, cache, alive_logp, fin_tokens, fin_scores = carry
-        flat = tokens.reshape(b * k, max_len)
-        logits, cache = step_fn(cache, t, flat[:, t - 1])
+    def masked_logp(logits, tokens, t):
         logits = logits.astype(jnp.float32)
+        flat = tokens.reshape(b * k, max_len)
         logits = apply_repetition_penalty(logits, flat, t,
                                           repetition_penalty)
         v = logits.shape[-1]
@@ -227,7 +237,14 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
             logits = jnp.where(
                 (t < min_len) & (jnp.arange(v) == eos_token_id)[None, :],
                 NEG_INF, logits)
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+        return jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+
+    def step(carry, t):
+        tokens, cache, alive_logp, fin_tokens, fin_scores = carry
+        flat = tokens.reshape(b * k, max_len)
+        logits, cache = step_fn(cache, t, flat[:, t - 1])
+        logp = masked_logp(logits, tokens, t)
+        v = logp.shape[-1]
         cand = alive_logp[..., None] + logp
         flat_cand = cand.reshape(b, k * v)
         top_lp, top_idx = jax.lax.top_k(flat_cand, 2 * k)
@@ -242,8 +259,13 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
         cand_tokens = cand_tokens.at[:, :, t].set(tok_write)
         is_eos = tok_idx == eos_token_id
 
-        lp_score = top_lp / ((t + 1) ** length_penalty)
-        new_fin_scores = jnp.where(is_eos, lp_score, NEG_INF)
+        # reference candidate order: an EOS candidate is added only while
+        # fewer than K non-EOS candidates precede it (see beam_search)
+        non_eos_before = (jnp.cumsum((~is_eos).astype(jnp.int32), axis=1)
+                          - (~is_eos))
+        valid_eos = is_eos & (non_eos_before < k)
+        lp_score = top_lp / (t.astype(jnp.float32) ** length_penalty)
+        new_fin_scores = jnp.where(valid_eos, lp_score, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], 1)
         all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], 1)
         fin_top, fin_sel = jax.lax.top_k(all_fin_scores, k)
@@ -263,12 +285,21 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
         return (tokens, cache, alive_logp, fin_tokens, fin_scores), None
 
     carry = (tokens, cache, alive_logp, fin_tokens, fin_scores)
-    (tokens, _, alive_logp, fin_tokens, fin_scores), _ = jax.lax.scan(
-        step, carry, jnp.arange(1, max_len))
+    (tokens, cache, alive_logp, fin_tokens, fin_scores), _ = jax.lax.scan(
+        step, carry, jnp.arange(1, max_len - 1))
 
-    alive_score = alive_logp / (max_len ** length_penalty)
-    all_scores = jnp.concatenate([fin_scores, alive_score], 1)
-    all_tokens = jnp.concatenate([fin_tokens, tokens], 1)
+    # final step: prefix + forced EOS, candidate word's logprob counted,
+    # divisor = prefix length (reference semantics; see beam_search)
+    t_fin = max_len - 1
+    flat = tokens.reshape(b * k, max_len)
+    logits, _ = step_fn(cache, jnp.asarray(t_fin), flat[:, t_fin - 1])
+    final_lp = masked_logp(logits, tokens, jnp.asarray(t_fin))
+    final_cum = alive_logp + jnp.max(final_lp, axis=-1)
+    final_scores = final_cum / (float(t_fin) ** length_penalty)
+    final_tokens = tokens.at[:, :, t_fin].set(eos_token_id)
+
+    all_scores = jnp.concatenate([fin_scores, final_scores], 1)
+    all_tokens = jnp.concatenate([fin_tokens, final_tokens], 1)
     best, sel = jax.lax.top_k(all_scores, 1)
     seqs = jnp.take_along_axis(all_tokens, sel[..., None], axis=1)[:, 0]
     return seqs, best[:, 0]
@@ -284,7 +315,17 @@ def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
 
     logits_fn operates on flattened [B*num_beams, L] buffers.
     Standard alive/finished-beam bookkeeping; length penalty
-    score = logprob_sum / len**alpha (reference BeamHypotheses :635-678).
+    score = logprob_sum / prefix_len**alpha where prefix_len counts the
+    tokens BEFORE the finishing EOS incl. BOS (reference BeamHypotheses.add
+    :653-665 — `len(hyp)` is cur_len at the add site, :510-513).
+
+    Reference-exact finalize semantics (verified numerically against
+    _generate_beam_search on engineered bigram tables):
+    - an EOS candidate becomes a hypothesis only if it ranks before the
+      K-th non-EOS continuation in the step's top-2K (:510-519 break);
+    - at the final step EVERY candidate is added as prefix + forced EOS
+      scored cum/(max_len-1)**alpha — the candidate's own word is dropped
+      but its logprob still counts (:510-513, :593-595).
     """
     b, k = batch_size, num_beams
     tokens = jnp.full((b, k, max_len), mask_token_id, jnp.int32)
@@ -293,8 +334,7 @@ def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
     fin_scores = jnp.full((b, k), NEG_INF)
     fin_tokens = jnp.full((b, k, max_len), pad_token_id, jnp.int32)
 
-    def step(carry, t):
-        tokens, alive_logp, fin_tokens, fin_scores = carry
+    def step_logp(tokens, t):
         flat = tokens.reshape(b * k, max_len)
         logits = logits_fn(flat)[:, t, :].astype(jnp.float32)
         logits = apply_repetition_penalty(logits, flat, t,
@@ -304,7 +344,12 @@ def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
             logits = jnp.where(
                 (t < min_len) & (jnp.arange(v) == eos_token_id)[None, :],
                 NEG_INF, logits)
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+        return jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+
+    def step(carry, t):
+        tokens, alive_logp, fin_tokens, fin_scores = carry
+        logp = step_logp(tokens, t)
+        v = logp.shape[-1]
         cand = alive_logp[..., None] + logp                 # [B, K, V]
         flat_cand = cand.reshape(b, k * v)
         # take 2K to guarantee K non-EOS continuations
@@ -317,9 +362,14 @@ def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
             jnp.where(tok_idx == mask_token_id, pad_token_id, tok_idx))
         is_eos = tok_idx == eos_token_id
 
-        # finished candidates: score with length penalty
-        lp_score = top_lp / ((t + 1) ** length_penalty)
-        new_fin_scores = jnp.where(is_eos, lp_score, NEG_INF)
+        # finished candidates: reference adds an EOS candidate only while
+        # the next alive beam is not yet full, i.e. while fewer than K
+        # non-EOS candidates precede it in the ranking
+        non_eos_before = (jnp.cumsum((~is_eos).astype(jnp.int32), axis=1)
+                          - (~is_eos))
+        valid_eos = is_eos & (non_eos_before < k)
+        lp_score = top_lp / (t.astype(jnp.float32) ** length_penalty)
+        new_fin_scores = jnp.where(valid_eos, lp_score, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores], 1)
         all_fin_tokens = jnp.concatenate([fin_tokens, cand_tokens], 1)
         fin_top, fin_sel = jax.lax.top_k(all_fin_scores, k)
@@ -340,17 +390,26 @@ def beam_search(logits_fn: Callable, bos_token_id: int, eos_token_id: int,
 
     carry = (tokens, alive_logp, fin_tokens, fin_scores)
     (tokens, alive_logp, fin_tokens, fin_scores), _ = jax.lax.scan(
-        step, carry, jnp.arange(1, max_len))
+        step, carry, jnp.arange(1, max_len - 1))
 
-    # close out alive beams at max_len; sanitize [MASK] filler to PAD in
-    # BOTH buffers (finished beams carry MASK at their post-EOS future
-    # positions from the alive-restore step)
-    alive_score = alive_logp / (max_len ** length_penalty)
-    tokens = jnp.where(tokens == mask_token_id, pad_token_id, tokens)
+    # final step: every candidate decodes to prefix + forced EOS in the
+    # last slot, scored with the candidate word's logprob included and the
+    # prefix length (max_len - 1) as the penalty divisor; per beam only
+    # the best word can win, so the max over words suffices for keep-1
+    t_fin = max_len - 1
+    final_lp = step_logp(tokens, jnp.asarray(t_fin))        # [B, K, V]
+    final_cum = alive_logp + jnp.max(final_lp, axis=-1)     # [B, K]
+    final_scores = final_cum / (float(t_fin) ** length_penalty)
+    final_tokens = tokens.at[:, :, t_fin].set(eos_token_id)
+
+    # sanitize [MASK] filler to PAD in BOTH buffers (finished beams carry
+    # MASK at their post-EOS future positions from the alive-restore step)
+    final_tokens = jnp.where(final_tokens == mask_token_id, pad_token_id,
+                             final_tokens)
     fin_tokens = jnp.where(fin_tokens == mask_token_id, pad_token_id,
                            fin_tokens)
-    all_scores = jnp.concatenate([fin_scores, alive_score], 1)
-    all_tokens = jnp.concatenate([fin_tokens, tokens], 1)
+    all_scores = jnp.concatenate([fin_scores, final_scores], 1)
+    all_tokens = jnp.concatenate([fin_tokens, final_tokens], 1)
     best, sel = jax.lax.top_k(all_scores, 1)
     seqs = jnp.take_along_axis(all_tokens, sel[..., None], axis=1)[:, 0]
     return seqs, best[:, 0]

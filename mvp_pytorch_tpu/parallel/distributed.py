@@ -27,16 +27,15 @@ def initialize(coordinator_address: Optional[str] = None,
     import jax
     world = int(os.environ.get("WORLD_SIZE", num_processes or 1))
     if world > 1:
-        # JAX's defaults (heartbeat 100 s, shutdown barrier 300 s) assume
-        # every process makes steady progress. On contended hosts — the
-        # 1-core CI box running two ranks that each compile the full
-        # train graph — one rank can legitimately trail the other by
-        # many minutes, and the shutdown barrier then kills an otherwise
-        # healthy run ("Shutdown barrier has failed", observed in the
-        # full-suite 2-process test). Default wider; env-tunable both
-        # ways (production clusters that want fast failure detection can
-        # lower them; the launcher's own rank polling still tears down
-        # real failures promptly, tools/launch.py:78-104).
+        # Defaults match JAX's (heartbeat 100 s, shutdown barrier 300 s)
+        # so production failure detection stays prompt. They assume every
+        # process makes steady progress, which breaks on contended hosts —
+        # a 1-core CI box running two ranks that each compile the full
+        # train graph can trail by minutes and the shutdown barrier then
+        # kills an otherwise healthy run ("Shutdown barrier has failed").
+        # That is a TEST-environment property, so the 2-process tests set
+        # DIST_HEARTBEAT_TIMEOUT_S/DIST_SHUTDOWN_TIMEOUT_S in their env
+        # instead of this library widening everyone's defaults.
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("COORDINATOR_ADDRESS"),
@@ -46,9 +45,9 @@ def initialize(coordinator_address: Optional[str] = None,
             initialization_timeout=int(
                 os.environ.get("DIST_INIT_TIMEOUT_S", 300)),
             heartbeat_timeout_seconds=int(
-                os.environ.get("DIST_HEARTBEAT_TIMEOUT_S", 300)),
+                os.environ.get("DIST_HEARTBEAT_TIMEOUT_S", 100)),
             shutdown_timeout_seconds=int(
-                os.environ.get("DIST_SHUTDOWN_TIMEOUT_S", 900)))
+                os.environ.get("DIST_SHUTDOWN_TIMEOUT_S", 300)))
     return dict(process_index=jax.process_index(),
                 process_count=jax.process_count(),
                 local_devices=len(jax.local_devices()),

@@ -429,6 +429,12 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
         steps = np.arange(samp.sequences.shape[1])[None, :]
         lens = np.asarray(samp.lengths)[:, None]
         mask = ((steps >= 1) & (steps < lens)).astype(np.float32)
+        # a never-finished sequence's last slot holds a FORCE-filled EOS,
+        # not a sampled action — scst_grad recomputes logprobs from the
+        # returned buffer, so crediting that slot would backprop
+        # advantage-weighted log p(EOS) for a token the policy never chose
+        fin = np.asarray(samp.finished)[:, None]
+        mask *= ~((steps == samp.sequences.shape[1] - 1) & ~fin)
         loss, grads = scst_grad(params, samp.sequences,
                                 jnp.asarray(mask), jnp.asarray(adv),
                                 ids_b, ctx_mask, feats)

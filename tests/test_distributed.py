@@ -122,6 +122,10 @@ def test_two_process_distributed(tmp_path):
         port = s.getsockname()[1]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env.pop("JAX_PLATFORMS", None)
+    # widen failure-detection timeouts for contended 1-core CI hosts
+    # (test-env property; library defaults stay at JAX's production values)
+    env.setdefault("DIST_HEARTBEAT_TIMEOUT_S", "300")
+    env.setdefault("DIST_SHUTDOWN_TIMEOUT_S", "900")
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(r), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,

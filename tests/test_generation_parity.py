@@ -129,3 +129,57 @@ def test_beam_parity(toy):
                                batch_size=B, max_len=L, num_beams=3,
                                length_penalty=1.0)
     np.testing.assert_array_equal(np.asarray(seq), ref_seq)
+
+
+@pytest.mark.parametrize("case,lp", [
+    ("never_finished", 1.0),   # forced-EOS finalize of all-alive beams
+    ("early_eos", 0.2),        # lp<1 prefers the long (never-finished) beam
+    ("early_eos", 3.0),        # lp>1 prefers early EOS
+    ("mixed", 1.0),            # rows finishing at different lengths
+    ("mixed", 2.0),            # divisor exponent decides the winner
+])
+def test_beam_finalize_parity(toy, case, lp):
+    """The regimes the basic beam test never hits: never-finished beams
+    (reference adds every final-step candidate as prefix + forced EOS,
+    modeling_utils.py:510-513,593-595) and cross-length score ranking
+    (divisor = prefix length, BeamHypotheses.add :653-665). Sequences AND
+    scores must match."""
+    import jax.numpy as jnp
+    import torch
+
+    from mvp_pytorch_tpu.models.generation import beam_search
+
+    ToyLM, cfg, _torch, W, _W2 = toy
+    Wx = W.copy()
+    if case == "never_finished":
+        Wx[:, EOS] -= 50.0
+    elif case == "early_eos":
+        Wx[8, 9] += 5.0
+        Wx[9, EOS] += 3.0
+    else:  # mixed
+        Wx[4, EOS] += 6.0
+        Wx[8, 9] += 5.0
+        Wx[9, EOS] += 8.0
+
+    model = ToyLM(cfg, torch.from_numpy(Wx))
+    prompts = torch.full((B, 1), BOS, dtype=torch.long)
+    with torch.no_grad():
+        ref_seq, ref_logp = model.generate(
+            input_ids=prompts, max_length=L, do_sample=False, num_beams=3,
+            temperature=1.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+            bos_token_id=BOS, pad_token_id=PAD, eos_token_ids=[EOS],
+            length_penalty=lp, num_return_sequences=1)
+    ref_seq = ref_seq.squeeze(1).numpy()
+    ref_logp = ref_logp.squeeze(1).numpy()
+
+    jW = jnp.asarray(Wx)
+
+    def logits_fn(tokens):
+        by = jW[tokens]
+        return jnp.concatenate([jnp.zeros_like(by[:, :1]), by[:, :-1]], 1)
+
+    seq, scores = beam_search(logits_fn, BOS, EOS, PAD, MASK,
+                              batch_size=B, max_len=L, num_beams=3,
+                              length_penalty=lp)
+    np.testing.assert_array_equal(np.asarray(seq), ref_seq)
+    np.testing.assert_allclose(np.asarray(scores), ref_logp, atol=1e-5)

@@ -41,6 +41,12 @@ def _free_port():
 def _env():
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env.pop("JAX_PLATFORMS", None)
+    # contended 1-core CI hosts: two ranks each compiling the full train
+    # graph can legitimately trail each other by minutes — widen the
+    # runtime's failure-detection timeouts HERE rather than in the
+    # library's production defaults
+    env.setdefault("DIST_HEARTBEAT_TIMEOUT_S", "300")
+    env.setdefault("DIST_SHUTDOWN_TIMEOUT_S", "900")
     return env
 
 

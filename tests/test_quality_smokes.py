@@ -90,6 +90,19 @@ def test_retrieval_use_phrase_driver(tmp_path):
     assert "coarse" in res and "fine" in res
 
 
+def test_captioning_beam_driver(tmp_path):
+    """Driver glue for --num_beams > 1 (per-beam context repeat in
+    cached_fns + beam_search_cached call, tasks/captioning.py:242-252) —
+    the beam functions themselves are parity-tested; this covers the
+    wiring."""
+    from mvp_pytorch_tpu.tasks import captioning
+    res = _run(captioning, ["--max_steps", "3", "--ckpt_period", "3",
+                            "--num_beams", "2",
+                            "--hidden_dropout_prob", "0.0"],
+               str(tmp_path / "cap_beam"))
+    assert "cider_d" in res, res
+
+
 def test_captioning_learns_tags(tmp_path):
     from mvp_pytorch_tpu.tasks import captioning
     out = str(tmp_path / "cap")

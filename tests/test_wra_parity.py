@@ -14,7 +14,6 @@ makes the full computation deterministic and comparable:
 """
 
 import os
-import sys
 
 import numpy as np
 import pytest
@@ -29,20 +28,8 @@ PW, IW = 6, 8           # our fixed span widths (>= real span lengths)
 
 @pytest.fixture(scope="module")
 def ref_funcs():
-    sys.path.insert(0, REF)
-    sys.path.insert(0, os.path.join(REF, "transformers"))
-    import types
-    for name in ("boto3", "botocore", "botocore.exceptions", "anytree"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == "botocore.exceptions":
-                class ClientError(Exception):
-                    pass
-                mod.ClientError = ClientError
-            sys.modules[name] = mod
-    parent = types.ModuleType("transformers")
-    parent.__path__ = [os.path.join(REF, "transformers")]
-    sys.modules["transformers"] = parent
+    from ref_import import setup_reference_imports
+    setup_reference_imports()
     from oscar.modeling import modeling_vlbert as mv
     return mv
 

@@ -19,6 +19,20 @@ import numpy as np
 from ..utils.cider import CiderScorer
 
 
+def _wrap_sentence(tokens: Sequence[str]) -> List[str]:
+    """Reference _wrap_sentence (caption_evaluate.py:188-196) at token
+    granularity: drop a trailing '.' and append '<eos>' — the wrap changes
+    CIDEr-D numerics (the shared terminal token adds matching n-grams), so
+    rewards computed without it are NOT the reference's rewards."""
+    toks = list(tokens)
+    if toks and toks[-1] == ".":
+        toks = toks[:-1]
+    elif toks and toks[-1].endswith("."):
+        toks = toks[:-1] + [toks[-1][:-1]]
+    toks.append("<eos>")
+    return toks
+
+
 class ScstReward:
     def __init__(self, n: int = 4, sigma: float = 6.0,
                  baseline_type: str = "greedy"):
@@ -35,6 +49,10 @@ class ScstReward:
         over that image's own samples (caption_evaluate.py:143-144) — a
         corpus-wide mean would reward captions merely because their image
         is easy."""
+        sampled = [_wrap_sentence(c) for c in sampled]
+        greedy = [_wrap_sentence(c) for c in greedy]
+        references = [[_wrap_sentence(r) for r in refs]
+                      for refs in references]
         if self.baseline_type == "greedy":
             # ONE scorer call over samples + greedy captions so both sit
             # on the same TF-IDF corpus scale (the reference concatenates

@@ -16,7 +16,7 @@ becomes a masked dense [B, S, K] score tensor.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -217,25 +217,47 @@ def constraints_from_features(feature_store, image_id, tokenizer,
 def select_best_beam_with_constraints(sequences: np.ndarray,
                                       logprobs: np.ndarray,
                                       nsat: np.ndarray,
-                                      min_constraints: int
+                                      min_constraints: int,
+                                      eos_token_ids: Sequence[int] = (),
+                                      pad_token_id: Optional[int] = None
                                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Pick the best beam among states with >= min_constraints satisfied
     (reference :366-434). sequences: [B, S, K, L]; logprobs: [B, S, K];
-    nsat: [S]. Falls back to the globally best beam when no state qualifies."""
+    nsat: [S].
+
+    Reference-exact selection semantics (oracle:
+    tests/test_cbs_parity.py::test_select_best_parity):
+    - only beam 0 of each state competes (`beams[i, valid_states, 0, :]`,
+      :420) — beams are likelihood-sorted, slot 0 is each state's best;
+    - scores are LENGTH-NORMALIZED: cum_logprob / (non-EOS token count + 1)
+      (:421-426). The reference buffer EOS-fills finished tails and holds
+      predictions only; ours is PAD-filled and carries BOS at slot 0, so
+      the count skips slot 0 and excludes both eos_token_ids and
+      pad_token_id.
+
+    Ours additionally guards against never-populated states (finite
+    NEG_INF sentinel) and falls back per item to the best unconstrained
+    beam when no live state qualifies — the reference would argmax over
+    garbage buffers there."""
     b, s, k, l = sequences.shape
-    # beams that were never populated carry the finite NEG_INF sentinel
-    # (-1e9), not -inf — exclude them explicitly or a never-reached
-    # constraint state would win with a garbage buffer
-    live = logprobs > NEG_INF / 2                        # [B, S, K]
-    ok_state = (nsat >= min_constraints)[None, :, None]
-    cons = np.where(live & ok_state, logprobs, -np.inf)
-    unc = np.where(live, logprobs, -np.inf)
+    beams0 = sequences[:, :, 0, :]                       # [B, S, L]
+    lp0 = logprobs[:, :, 0]                              # [B, S]
+    live = lp0 > NEG_INF / 2
+    body = beams0[:, :, 1:]                              # skip BOS slot
+    counted = np.ones_like(body, dtype=bool)
+    for eid in eos_token_ids:
+        counted &= body != eid
+    if pad_token_id is not None:
+        counted &= body != pad_token_id
+    length = counted.sum(-1) + 1                         # [B, S]
+    norm = lp0 / length
+    ok_state = (nsat >= min_constraints)[None, :]
+    cons = np.where(live & ok_state, norm, -np.inf)
+    unc = np.where(live, norm, -np.inf)
     # PER-ITEM fallback: only items with no live constraint-satisfying
-    # beam revert to their best unconstrained beam (the reference's
-    # per-example fallback, :366-434)
-    has_cons = np.isfinite(cons.max(axis=(1, 2)))
-    masked = np.where(has_cons[:, None, None], cons, unc)
-    flat = masked.reshape(b, s * k)
-    best = flat.argmax(axis=1)
-    seqs = sequences.reshape(b, s * k, l)[np.arange(b), best]
-    return seqs, flat[np.arange(b), best]
+    # beam revert to their best unconstrained beam
+    has_cons = np.isfinite(cons.max(axis=1))
+    masked = np.where(has_cons[:, None], cons, unc)
+    best = masked.argmax(axis=1)
+    bi = np.arange(b)
+    return beams0[bi, best], masked[bi, best]

@@ -485,7 +485,8 @@ def cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
         seqs, logps = run_cbs(params, ids_b, ctx_mask, feats,
                               jnp.asarray(fsm_np[None]))
         best, _ = select_best_beam_with_constraints(
-            np.asarray(seqs), np.asarray(logps), nsat, 1)
+            np.asarray(seqs), np.asarray(logps), nsat, 1,
+            eos_token_ids=(tk["[SEP]"],), pad_token_id=tk["[PAD]"])
         if tag_ids[0] in best[0]:
             n_hits += 1
     logger.info(f"cbs: {n_hits}/{len(imgs)} captions contain the "

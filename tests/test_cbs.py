@@ -94,14 +94,16 @@ def test_cbs_finished_beam_keeps_score():
         scripted_logits(script), fsm, BOS, EOS, PAD, MASK,
         max_len=8, num_beams=2)
     seqs, logps = np.asarray(seqs), np.asarray(logps)
-    best, score = select_best_beam_with_constraints(seqs, logps, nsat, 1)
+    best, score = select_best_beam_with_constraints(
+        seqs, logps, nsat, 1, eos_token_ids=(EOS,), pad_token_id=PAD)
     # best satisfied beam is BOS 7 EOS PAD PAD...
     assert (best[0][:3] == [BOS, 7, EOS]).all(), best
     assert (best[0][3:] == PAD).all(), best
-    # its score equals logp(7) + logp(EOS) alone: recompute via the script
+    # its score is logp(7) + logp(EOS) alone, length-normalized by the
+    # reference rule (non-EOS/PAD body tokens + 1 = 2)
     lg = np.asarray(scripted_logits(script)(jnp.asarray(best)))
     lp = np.log(np.exp(lg) / np.exp(lg).sum(-1, keepdims=True))
-    expect = lp[0, 1, 7] + lp[0, 2, EOS]
+    expect = (lp[0, 1, 7] + lp[0, 2, EOS]) / 2
     np.testing.assert_allclose(score[0], expect, atol=1e-5)
 
 
@@ -150,4 +152,5 @@ def test_select_best_skips_dead_beams_per_item():
     best, scores = select_best_beam_with_constraints(seqs, logp, nsat, 1)
     np.testing.assert_array_equal(best[0], seqs[0, 1, 0])   # constrained
     np.testing.assert_array_equal(best[1], seqs[1, 0, 0])   # fallback
-    np.testing.assert_allclose(scores, [-1.0, -0.3])
+    # scores are length-normalized (no eos/pad given: body 2 tokens + 1)
+    np.testing.assert_allclose(scores, [-1.0 / 3, -0.3 / 3])

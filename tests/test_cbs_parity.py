@@ -99,3 +99,62 @@ def test_cbs_parity(ref_cbs):
     np.testing.assert_array_equal(our_tokens[live], ref_preds[live])
     # sanity: the constraint states are actually exercised
     assert live[:, 0].all() and live[:, 1].any() and live[:, 2].any()
+
+
+@pytest.mark.parametrize("seed,min_c", [(0, 1), (1, 2), (2, 2)])
+def test_select_best_parity(ref_cbs, seed, min_c):
+    """select_best_beam_with_constraints vs the reference (:366-434):
+    beam-0-only selection and the length-normalized score
+    (cum / (non-EOS count + 1)). The reference buffer is EOS-filled and
+    holds predictions only; ours is PAD-filled with BOS at slot 0 — the
+    same beams are presented to each side in its own convention and the
+    selected sequences/scores must agree."""
+    import torch
+
+    from oscar.utils.cbs import select_best_beam_with_constraints as ref_fn
+
+    from mvp_pytorch_tpu.models.cbs import \
+        select_best_beam_with_constraints as our_fn
+
+    BOS, EOS, PAD = 0, 1, 2
+    rs = np.random.RandomState(seed)
+    b, n_cons, k, l = 3, 2, 2, 7
+    s = 2 ** n_cons
+    # random beams: real tokens then EOS; some never finish
+    ref_beams = np.zeros((b, s, k, l), np.int64)
+    our_beams = np.zeros((b, s, k, l + 1), np.int64)
+    our_beams[..., 0] = BOS
+    for i in range(b):
+        for st in range(s):
+            for bm in range(k):
+                n_real = rs.randint(1, l + 1)
+                toks = rs.randint(3, 9, n_real)
+                row = np.full(l, EOS, np.int64)     # reference EOS-fill
+                row[:n_real] = toks
+                ref_beams[i, st, bm] = row
+                ours = np.full(l, PAD, np.int64)    # our PAD-fill
+                ours[:n_real] = toks
+                if n_real < l:
+                    ours[n_real] = EOS
+                our_beams[i, st, bm, 1:] = ours
+    logp = -np.abs(rs.randn(b, s, k)).astype(np.float32) * 3
+    logp.sort(axis=2)
+    logp = logp[:, :, ::-1].copy()                  # beam 0 = best, like CBS
+
+    given = np.full(b, n_cons, np.int64)
+    ref_seq, ref_score = ref_fn(torch.from_numpy(ref_beams),
+                                torch.from_numpy(logp),
+                                torch.from_numpy(given), min_c, [EOS])
+
+    nsat = np.array([bin(st).count("1") for st in range(s)])
+    got_seq, got_score = our_fn(our_beams, logp, nsat,
+                                min(n_cons, min_c),
+                                eos_token_ids=(EOS,), pad_token_id=PAD)
+    np.testing.assert_allclose(got_score, ref_score.numpy(), atol=1e-6)
+    # compare the real-token prefixes (fill conventions differ)
+    for i in range(b):
+        ref_row = ref_seq[i].numpy()
+        ref_real = ref_row[ref_row != EOS]
+        our_row = got_seq[i][1:]
+        our_real = our_row[(our_row != PAD) & (our_row != EOS)]
+        np.testing.assert_array_equal(our_real, ref_real)

@@ -181,19 +181,52 @@ class ConstraintFilter:
                  "human nose", "land vehicle", "mammal", "man",
                  "person", "personal care", "plant", "plumbing fixture",
                  "seat belt", "skull", "sports equipment", "tire", "tree",
-                 "vehicle registration plate", "wheel", "woman"}
+                 "vehicle registration plate", "wheel", "woman",
+                 "__background__"}
+
+    # reference cbs.py:517-524 — class-name normalizations applied AFTER
+    # the confidence top-k
+    REPLACEMENTS = {
+        "band-aid": "bandaid",
+        "wood-burning stove": "wood burning stove",
+        "kitchen & dining room table": "table",
+        "salt and pepper shakers": "salt and pepper",
+        "power plugs and sockets": "power plugs",
+        "luggage and bags": "luggage",
+    }
 
     def __init__(self, tokenizer, max_words_per_constraint: int = 3):
         self.tokenizer = tokenizer
         self.max_words = max_words_per_constraint
 
+    def filter_names(self, object_classes: Sequence[str],
+                     max_constraints: int = 3,
+                     scores: Optional[Sequence[float]] = None) -> List[str]:
+        """Reference __call__ semantics minus the Open Images hierarchy NMS
+        (its hierarchy JSON is an external artifact this environment cannot
+        fetch — documented non-parity): drop zero-confidence padding boxes
+        and blacklisted classes (:547-556), keep the top-k by detection
+        confidence (:565-567; input order when no scores are given), then
+        apply REPLACEMENTS (:569-570)."""
+        names = [c.lower().strip() for c in object_classes]
+        if scores is None:
+            kept = [(n, 0.0) for n in names if n not in self.BLACKLIST]
+        else:
+            kept = [(n, float(s)) for n, s in zip(names, scores)
+                    if s > 0 and n not in self.BLACKLIST]
+            kept.sort(key=lambda t: -t[1])
+        kept = kept[:max_constraints]
+        return [self.REPLACEMENTS.get(n, n) for n, _ in kept]
+
     def __call__(self, object_classes: Sequence[str],
-                 max_constraints: int = 3) -> List[List[int]]:
+                 max_constraints: int = 3,
+                 scores: Optional[Sequence[float]] = None) -> List[List[int]]:
         out = []
-        for cls in object_classes:
-            name = cls.lower().strip()
-            if name in self.BLACKLIST:
-                continue
+        # over-fetch then trim: a name whose tokenization is empty/too long
+        # is dropped, the next candidate takes its slot
+        for name in self.filter_names(object_classes,
+                                      max_constraints=len(object_classes),
+                                      scores=scores):
             ids = self.tokenizer.convert_tokens_to_ids(
                 self.tokenizer.tokenize(name))
             if 0 < len(ids) <= self.max_words:

@@ -158,3 +158,35 @@ def test_select_best_parity(ref_cbs, seed, min_c):
         our_row = got_seq[i][1:]
         our_real = our_row[(our_row != PAD) & (our_row != EOS)]
         np.testing.assert_array_equal(our_real, ref_real)
+
+
+def test_constraint_filter_parity(ref_cbs):
+    """ConstraintFilter blacklist + score-ordered top-k + REPLACEMENTS vs
+    the reference filter (cbs.py:545-574) with its hierarchy NMS stubbed to
+    keep-all — the Open Images hierarchy JSON is an external artifact this
+    environment cannot fetch, so the NMS stage itself is documented
+    non-parity (PARITY.md)."""
+    from oscar.utils.cbs import ConstraintFilter as RefFilter
+
+    from mvp_pytorch_tpu.models.cbs import ConstraintFilter
+
+    ref = object.__new__(RefFilter)           # skip hierarchy-loading init
+    ref._max_given_constraints = 3
+    ref._nms = lambda boxes, class_names: list(range(len(class_names)))
+
+    rs = np.random.RandomState(0)
+    classes = ["Dog", "man", "kitchen & dining room table", "cat",
+               "band-aid", "tree", "Luggage and bags", "pizza",
+               "salt and pepper shakers", "wheel"]
+    for trial in range(5):
+        scores = np.round(np.abs(rs.randn(len(classes))), 3)
+        scores[rs.randint(len(classes))] = 0.0       # padding box
+        boxes = np.zeros((len(classes), 4))
+        ref_names = ref(boxes, [c.lower() for c in classes], scores)
+        ours = ConstraintFilter.__new__(ConstraintFilter)
+        got = ours.filter_names(classes, max_constraints=3, scores=scores)
+        # the reference dedupes via list(set(...)) (:573), which destroys
+        # its own confidence ordering — output order is hash-arbitrary, so
+        # the contract is SET equality (FSM constraint dimensions are
+        # unordered); ours keeps the deterministic confidence order
+        assert sorted(got) == sorted(ref_names), (trial, got, ref_names)

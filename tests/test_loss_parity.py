@@ -208,3 +208,27 @@ def test_warmup_schedule_parity(ref):
         np.testing.assert_allclose(float(our_const(step)),
                                    const.lr_lambda(step), atol=1e-6,
                                    err_msg=f"constant step {step}")
+
+
+def test_vqa_accuracy_parity(ref):
+    """vqa_accuracy vs the reference's compute_score_with_logits one-hot
+    argmax-score sum (run_vqa.py:508-513) + its eval aggregation
+    (score_sum / N, :775-860)."""
+    import torch
+
+    from oscar.run_vqa import compute_score_with_logits
+
+    from mvp_pytorch_tpu.tasks.vqa import vqa_accuracy
+
+    rs = np.random.RandomState(17)
+    for trial in range(3):
+        n, c = rs.randint(5, 40), rs.randint(4, 30)
+        logits = rs.randn(n, c).astype(np.float32)
+        if trial == 2:   # argmax ties: first-index rule on both sides
+            logits = np.round(logits)
+        targets = rs.rand(n, c).astype(np.float32)
+        ref_scores = compute_score_with_logits(
+            torch.from_numpy(logits), torch.from_numpy(targets))
+        want = float(ref_scores.sum()) / n
+        got = vqa_accuracy(logits, targets)
+        np.testing.assert_allclose(got, want, atol=1e-6)

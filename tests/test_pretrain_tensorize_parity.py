@@ -121,3 +121,55 @@ def test_pretrain_tensorize_bit_identical(ref_mod, toks, seed, n_tokens,
     # happens to mask nothing in 16 draws — a legal outcome)
     if seed == 1:
         assert (np.asarray(ref.lm_label_ids_a) >= 0).any()
+
+
+@pytest.fixture(scope="module")
+def ref_mod_qa(ref_mod):
+    from oscar.oscar_datasets_ml2 import oscar_tsv4 as tsv4_qa
+    tsv4_qa.phrase_vocab_size = PHRASE_VOCAB_SIZE
+    return tsv4_qa
+
+
+@pytest.mark.parametrize("seed,mask_prob", [(1, 0.15), (4, 0.4)])
+def test_qa_tensorize_bit_identical(ref_mod_qa, toks, seed, mask_prob):
+    """QA-pair variant (oscar_datasets_ml2:1160-1366): answer tokens ride
+    in segment 1 between two segment-0 SEPs, MLM masks question AND
+    answer, and the ml2 global mask_prob flag applies."""
+    ref_tok, our_tok = toks
+    rs = np.random.RandomState(seed)
+    tokens_a, tokens_b, phrases, pmap, feats = _case(
+        rs, our_tok, 10, 5, 3, 4, True)
+    words = [w for w in our_tok.vocab
+             if not w.startswith("[") and not w.startswith("##")]
+    ans_words = [words[i] for i in rs.randint(0, len(words), 3)]
+
+    ref_mod_qa.mask_prob = mask_prob
+    args = types.SimpleNamespace(max_tag_length=MAX_TAG,
+                                 max_img_seq_length=MAX_IMG)
+    example = types.SimpleNamespace(
+        qa_ans=" ".join(ans_words), phrase_concept=list(phrases),
+        phrase_mask_map=pmap or {}, tokens_a=list(tokens_a),
+        tokens_b=list(tokens_b), guid=7, is_next=0, is_img_match=0)
+    pyrandom.seed(seed)
+    ref = ref_mod_qa.convert_qa_example_to_features(
+        args, example, MAX_SEQ, ref_tok, min(4, MAX_IMG), MAX_PHR, 0)
+
+    cfg = TensorizeConfig(max_seq_length=MAX_SEQ, max_tag_length=MAX_TAG,
+                          max_img_seq_length=MAX_IMG, max_phrases=MAX_PHR,
+                          img_feature_dim=10)
+    from mvp_pytorch_tpu.data.tensorize import convert_qa_example_to_features
+    ours = convert_qa_example_to_features(
+        PretrainExample(tokens_a=list(tokens_a), tokens_b=list(tokens_b),
+                        img_feat=feats, phrase_nodes=list(phrases),
+                        phrase_mask_map=pmap, guid=7,
+                        qa_answer_tokens=list(ref_tok.tokenize(
+                            " ".join(ans_words)))),
+        our_tok, cfg=cfg, phrase_vocab_size=PHRASE_VOCAB_SIZE,
+        rng=pyrandom.Random(seed), mask_prob=mask_prob)
+
+    for field in ("input_ids_a", "input_mask_a", "segment_ids_a",
+                  "lm_label_ids_a", "input_ids_b", "input_mask_b",
+                  "segment_ids_b", "lm_label_ids_b", "phrase_index",
+                  "image_index"):
+        np.testing.assert_array_equal(ours[field], getattr(ref, field),
+                                      err_msg=field)

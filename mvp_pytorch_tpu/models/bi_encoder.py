@@ -276,18 +276,27 @@ class BiEncoder(nn.Module):
                       token_type_ids_b, img_feats, input_ids_b2,
                       attention_mask_b2, token_type_ids_b2, img_feats2, *,
                       max_tag_length: int, deterministic: bool = True):
+        """One text + TWO images through a SINGLE joint fusion pass
+        (reference forward_joint, modeling_vlbert.py:838-869: both
+        tag-stripped visual streams concatenate after the text stream and
+        the mul_encoder attends across all three — the images interact).
+        Returns (sequence_output, pooled_output). Parity oracle:
+        tests/test_convert_parity.py::test_forward_joint_parity."""
         txt_seq, _ = self.encode_text(
             input_ids_a, attention_mask_a, token_type_ids_a,
             deterministic=deterministic)
-        outs = []
+        parts, masks = [txt_seq], [attention_mask_a]
         for ids_b, m_b, seg_b, feats in (
                 (input_ids_b, attention_mask_b, token_type_ids_b, img_feats),
-                (input_ids_b2, attention_mask_b2, token_type_ids_b2, img_feats2)):
+                (input_ids_b2, attention_mask_b2, token_type_ids_b2,
+                 img_feats2)):
             vis_seq, _ = self.encode_image(ids_b, m_b, seg_b, feats,
                                            deterministic=deterministic)
-            seq, pooled, _ = self.fuse(
-                txt_seq, attention_mask_a,
-                vis_seq[:, max_tag_length:, :], m_b[:, max_tag_length:],
-                deterministic=deterministic)
-            outs.append((seq, pooled))
-        return outs
+            parts.append(vis_seq[:, max_tag_length:, :])
+            masks.append(m_b[:, max_tag_length:])
+        joint = jnp.concatenate(parts, axis=1)
+        joint_mask = jnp.concatenate(masks, axis=-1)
+        seq, mid = self.mul_encoder(joint, mask_to_bias(joint_mask),
+                                    deterministic=deterministic)
+        del mid
+        return seq, self.pooler(seq)

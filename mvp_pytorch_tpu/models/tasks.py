@@ -500,14 +500,13 @@ class NLVRModel(nn.Module):
                  input_ids_b2, attention_mask_b2, token_type_ids_b2,
                  img_feats2, labels=None, *, max_tag_length: int = 20,
                  deterministic: bool = True):
-        (seq1, pooled1), (seq2, pooled2) = self.bert.forward_joint(
+        _seq, pooled = self.bert.forward_joint(
             input_ids_a, attention_mask_a, token_type_ids_a,
             input_ids_b, attention_mask_b, token_type_ids_b, img_feats,
             input_ids_b2, attention_mask_b2, token_type_ids_b2, img_feats2,
             max_tag_length=max_tag_length, deterministic=deterministic)
-        both = self.dropout(jnp.concatenate([pooled1, pooled2], axis=-1),
-                            deterministic=deterministic)
-        logits = self.classifier(both)
+        logits = self.classifier(
+            self.dropout(pooled, deterministic=deterministic))
         if labels is None:
             return logits
         return cross_entropy(logits, labels), logits

@@ -159,18 +159,28 @@ def test_forward_joint_nlvr():
     model = BiEncoder(cfg)
     batch = make_batch(cfg)
     v = model.init(jax.random.PRNGKey(0), **batch, max_tag_length=T)
-    outs = model.apply(
-        v, batch["input_ids_a"], batch["attention_mask_a"],
-        batch["token_type_ids_a"], batch["input_ids_b"],
-        batch["attention_mask_b"], batch["token_type_ids_b"],
-        batch["img_feats"], batch["input_ids_b"], batch["attention_mask_b"],
-        batch["token_type_ids_b"], batch["img_feats"], max_tag_length=T,
-        method=BiEncoder.forward_joint)
-    assert len(outs) == 2
-    (seq1, pooled1), (seq2, pooled2) = outs
-    assert pooled1.shape == (B, cfg.hidden_size)
-    np.testing.assert_allclose(np.asarray(pooled1), np.asarray(pooled2),
-                               atol=1e-5)  # same image twice
+    def joint(feats1, feats2):
+        return model.apply(
+            v, batch["input_ids_a"], batch["attention_mask_a"],
+            batch["token_type_ids_a"], batch["input_ids_b"],
+            batch["attention_mask_b"], batch["token_type_ids_b"],
+            feats1, batch["input_ids_b"], batch["attention_mask_b"],
+            batch["token_type_ids_b"], feats2, max_tag_length=T,
+            method=BiEncoder.forward_joint)
+
+    feats2 = jnp.asarray(
+        np.random.RandomState(9).randn(*batch["img_feats"].shape),
+        jnp.float32)
+    seq, pooled = joint(batch["img_feats"], feats2)
+    la = batch["input_ids_a"].shape[1]
+    n_vis = batch["img_feats"].shape[1] + batch["input_ids_b"].shape[1] - T
+    assert seq.shape == (B, la + 2 * n_vis, cfg.hidden_size)
+    assert pooled.shape == (B, cfg.hidden_size)
+    # pooled output reads the txt CLS slot: swapping the two images only
+    # permutes attention keys, so the prediction is image-order invariant
+    _, pooled_swapped = joint(feats2, batch["img_feats"])
+    np.testing.assert_allclose(np.asarray(pooled),
+                               np.asarray(pooled_swapped), atol=1e-5)
 
 
 def test_caption_eval_bleu_cider():

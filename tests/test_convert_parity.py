@@ -332,3 +332,64 @@ def test_qa_seq_relation_conversion_parity(ref_model_and_inputs):
     got = head.apply({"params": params["qa_seq_relation"]},
                      jnp.asarray(pooled))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_forward_joint_parity(ref_model_and_inputs):
+    """forward_joint (one text + TWO images, modeling_vlbert.py:725-869):
+    the reference fuses [txt ; vis1-stripped ; vis2-stripped] in a SINGLE
+    mul_encoder pass — sequence and pooled outputs must match on converted
+    weights."""
+    import torch
+    model, inputs = ref_model_and_inputs
+    rs = np.random.RandomState(5)
+    feats2 = rs.randn(B, R, 22).astype(np.float32)
+    ids_b2 = rs.randint(0, 99, (B, T)).astype(np.int64)
+
+    t = {k: torch.tensor(v) for k, v in inputs.items()}
+    with torch.no_grad():
+        ref_seq, ref_pooled = model.bert.forward_joint(
+            input_ids_a=t["input_ids_a"],
+            attention_mask_a=t["attention_mask_a"],
+            token_type_ids_a=t["token_type_ids_a"],
+            input_ids_b=t["input_ids_b"],
+            attention_mask_b=t["attention_mask_b"],
+            token_type_ids_b=t["token_type_ids_b"],
+            img_feats=t["img_feats"],
+            input_ids_b2=torch.tensor(ids_b2),
+            attention_mask_b2=t["attention_mask_b"],
+            token_type_ids_b2=t["token_type_ids_b"],
+            img_feats2=torch.tensor(feats2),
+            max_tag_length=MAX_TAG)
+
+    import jax.numpy as jnp
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import BiEncoder, ModelConfig
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, _ = convert_state_dict(sd)
+    cfg = ModelConfig(vocab_size=131, only_word_size=99, hidden_size=32,
+                      num_hidden_layers=4, num_attention_heads=4,
+                      intermediate_size=37, max_position_embeddings=64,
+                      img_feature_dim=22, qa_answer_size=7,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    bi = BiEncoder(cfg)
+    seq, pooled = bi.apply(
+        {"params": params["bert"]},
+        jnp.asarray(inputs["input_ids_a"]),
+        jnp.asarray(inputs["attention_mask_a"]),
+        jnp.asarray(inputs["token_type_ids_a"]),
+        jnp.asarray(inputs["input_ids_b"]),
+        jnp.asarray(inputs["attention_mask_b"]),
+        jnp.asarray(inputs["token_type_ids_b"]),
+        jnp.asarray(inputs["img_feats"]),
+        jnp.asarray(ids_b2),
+        jnp.asarray(inputs["attention_mask_b"]),
+        jnp.asarray(inputs["token_type_ids_b"]),
+        jnp.asarray(feats2),
+        max_tag_length=MAX_TAG, method=BiEncoder.forward_joint)
+    np.testing.assert_allclose(np.asarray(seq), ref_seq.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled.numpy(),
+                               atol=5e-4, rtol=1e-3)

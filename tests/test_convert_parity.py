@@ -393,3 +393,73 @@ def test_forward_joint_parity(ref_model_and_inputs):
                                atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(pooled), ref_pooled.numpy(),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_multiple_choice_conversion_parity(ref_model_and_inputs):
+    """ImageBertForMultipleChoice (VCR-style, modeling_vlbert_pretrain.py:
+    1319-1397): choice axis flattened into the batch, per-choice pooled
+    outputs concatenated into one [B, num_choice*H] classifier input —
+    logits must match on converted weights."""
+    import torch
+    sys.path.insert(0, REF)
+    from oscar.modeling.modeling_vlbert_pretrain import \
+        ImageBertForMultipleChoice
+    from transformers.pytorch_transformers.modeling_bert import BertConfig
+
+    torch.manual_seed(4)
+    cfg = BertConfig(vocab_size_or_config_json_file=131, hidden_size=32,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=37, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    cfg.img_feature_dim = 22
+    cfg.img_feature_type = "faster_r-cnn"
+    cfg.use_img_layernorm = False
+    cfg.loss_type = "sfmx"
+    cfg.num_choice = 2
+    cfg.num_labels = 2
+    cfg.classifier = "linear"
+    ref = ImageBertForMultipleChoice(cfg)
+    ref.eval()
+    # the pretrain-file BertImgModel.forward is BROKEN as released: its
+    # CaptionBertEncoder returns (outputs_tuple, mid_output) (:175) but
+    # forward still reads the old contract (encoder_outputs[0] -> pooler
+    # TypeError, :337-341), so NO consumer of that BertImgModel
+    # (ImageBertForMultipleChoice/OscarForMultipleChoice/classification
+    # variants) can run. Restore the intended contract to oracle the math.
+    enc_forward = ref.bert.encoder.forward
+    ref.bert.encoder.forward = lambda *a, **k: enc_forward(*a, **k)[0]
+
+    n_b, n_c, n_l, n_r = 3, 2, 9, 4
+    rs = np.random.RandomState(6)
+    ids = rs.randint(0, 131, (n_b, n_c, n_l)).astype(np.int64)
+    seg = np.zeros((n_b, n_c, n_l), np.int64)
+    mask = np.ones((n_b, n_c, n_l + n_r), np.int64)
+    feats = rs.randn(n_b, n_c, n_r, 22).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(ids),
+                         token_type_ids=torch.tensor(seg),
+                         attention_mask=torch.tensor(mask),
+                         img_feats=torch.tensor(feats))[0].numpy()
+
+    import jax.numpy as jnp
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.img_bert import ImgBertForMultipleChoice
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+    mcfg = ModelConfig(vocab_size=131, only_word_size=131, hidden_size=32,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       intermediate_size=37, max_position_embeddings=64,
+                       img_feature_dim=22, num_labels=2,
+                       classifier="linear", hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    model = ImgBertForMultipleChoice(mcfg, num_choice=n_c)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      jnp.asarray(mask), jnp.asarray(seg),
+                      jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(got), ref_logits, atol=5e-4,
+                               rtol=1e-3)

@@ -87,9 +87,11 @@ def make_synthetic_root(root: str, n_images: int = 12,
     and repeat smoke runs fast. The marker records the generation
     parameters: reusing the root with DIFFERENT parameters regenerates
     instead of silently returning stale data of the old shape."""
+    # gen_code: bump when the GENERATION CODE changes shape/rules so stale
+    # cached roots regenerate (2: learnable NLVR rule)
     gen_params = {"n_images": n_images, "caps_per_img": caps_per_img,
                   "n_answers": n_answers, "feature_dim": feature_dim,
-                  "seed": seed}
+                  "seed": seed, "gen_code": 2}
     marker = os.path.join(root, "paths.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -242,15 +244,27 @@ def make_synthetic_root(root: str, n_images: int = 12,
     with open(paths["re_dets"], "w") as f:
         json.dump(re_dets, f)
 
-    # NLVR2 jsonl: statement + two images
+    # NLVR2 jsonl — LEARNABLE rule: the statement names a tag detected in
+    # exactly one of the two images; label True iff that image is img0.
+    # Solvable only by matching the statement against each image's tag
+    # stream through the joint fusion (exercises cross-image attention).
     paths["nlvr"] = os.path.join(root, "nlvr.jsonl")
     with open(paths["nlvr"], "w") as f:
-        for i in range(n_images):
+        for i in range(n_images * 2):
+            img0 = image_ids[i % n_images]
+            img1 = image_ids[(i + 1 + i // n_images) % n_images]
+            if img1 == img0:
+                img1 = image_ids[(i + 1) % n_images]
+            in_img0 = rng.random() < 0.5
+            src, other = (img0, img1) if in_img0 else (img1, img0)
+            cands = [t for t in img_tags[src] if t not in img_tags[other]]
+            if not cands:   # tag sets overlap fully: fall back, keep rare
+                cands = img_tags[src]
             f.write(json.dumps({
-                "sentence": random_caption(rng, 6),
-                "label": "True" if rng.random() < 0.5 else "False",
-                "img0": image_ids[i],
-                "img1": image_ids[(i + 1) % n_images]}) + "\n")
+                "sentence": f"the first picture shows a {rng.choice(cands)}",
+                "label": "True" if in_img0 else "False",
+                "img0": img0,
+                "img1": img1}) + "\n")
 
     # general custom-data json
     paths["general"] = os.path.join(root, "general.json")

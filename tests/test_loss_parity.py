@@ -232,3 +232,46 @@ def test_vqa_accuracy_parity(ref):
         want = float(ref_scores.sum()) / n
         got = vqa_accuracy(logits, targets)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_classification_loss_helpers_parity(ref):
+    """soft_cross_entropy / instance_bce_with_logits / the KL branch vs the
+    reference implementations (modeling_vlbert.py:27-40,878-883,1785-1791)."""
+    import jax.numpy as jnp
+    import torch
+
+    from oscar.modeling.modeling_vlbert import (instance_bce_with_logits
+                                                as ref_bce,
+                                                soft_cross_entropy
+                                                as ref_soft)
+
+    from mvp_pytorch_tpu.models.tasks import (instance_bce_with_logits,
+                                              kl_div_loss,
+                                              soft_cross_entropy)
+
+    rs = np.random.RandomState(23)
+    # soft CE: binary target per example -> [neg, pos] over 2-class logits
+    logits2 = rs.randn(9, 2).astype(np.float32)
+    target = (rs.rand(9) > 0.5).astype(np.float32)
+    want = float(ref_soft(torch.from_numpy(target),
+                          torch.from_numpy(logits2)))
+    got = float(soft_cross_entropy(jnp.asarray(target),
+                                   jnp.asarray(logits2)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # instance BCE (VQA): mean bce * num_labels
+    logits = rs.randn(7, 13).astype(np.float32)
+    soft = rs.rand(7, 13).astype(np.float32)
+    want = float(ref_bce(torch.from_numpy(logits), torch.from_numpy(soft)))
+    got = float(instance_bce_with_logits(jnp.asarray(logits),
+                                         jnp.asarray(soft)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # KL branch: KLDivLoss(batchmean) over log-softmax logits
+    probs = soft / soft.sum(1, keepdims=True)
+    loss_fct = torch.nn.KLDivLoss(reduction="batchmean")
+    want = float(loss_fct(
+        torch.nn.LogSoftmax(dim=-1)(torch.from_numpy(logits)),
+        torch.from_numpy(probs)))
+    got = float(kl_div_loss(jnp.asarray(logits), jnp.asarray(probs)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

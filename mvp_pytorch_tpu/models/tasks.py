@@ -114,7 +114,7 @@ class RetrievalModel(nn.Module):
                    phrase_index=None, image_index=None,
                    *, max_tag_length: int = 20, hn_mod: str = "hard",
                    no_itm: bool = False, phrase_layer=None,
-                   wra_phrase_width: int = 10,
+                   wra_phrase_width: int = 10, hn_dice=None,
                    deterministic: bool = False) -> RetrievalTrainOutput:
         # clamp at 100 (CLIP's training guard; the reference omits it
         # and an unconstrained scale drifts up until the softmax is
@@ -130,7 +130,7 @@ class RetrievalModel(nn.Module):
                         img_feats, max_tag_length=max_tag_length,
                         encode_hn=(not no_itm) or use_phrase, hn_mod=hn_mod,
                         logit=scale, phrase_layer=phrase_layer,
-                        deterministic=deterministic)
+                        hn_dice=hn_dice, deterministic=deterministic)
         logits_mat = out.sim_mat * scale
         labels = jnp.arange(logits_mat.shape[0])
         retrieval_loss = (cross_entropy(logits_mat, labels)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import math
 from collections import Counter
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from .cider import CiderScorer
 
@@ -95,11 +95,21 @@ def tsv_to_coco_format(caption_tsv: str, out_json: str) -> str:
 
 
 class NocapsEvaluator:
-    """EvalAI submission contract (reference :198+). This environment has no
-    egress; `submit` writes the payload to disk and raises on poll."""
+    """EvalAI submission contract (reference :198+, return shape
+    {metric: {in-domain, near-domain, out-domain, entire}}).
 
-    def __init__(self, phase: str = "val"):
+    This environment has no egress, so the EvalAI POST itself cannot run:
+    `submit` writes the payload to disk and `evaluate` raises — UNLESS a
+    local ground-truth file is provided (`gt_json`, COCO caption format:
+    {"annotations": [{"image_id", "caption"}], "images": [{"id",
+    "domain"?}]}), in which case the same nested metric dict is computed
+    locally with our metric suite (BLEU-1..4 / METEOR / ROUGE-L / CIDEr;
+    SPICE needs the external jar — reported as None). Tokenization is
+    lowercase whitespace+punct split (the PTBTokenizer role)."""
+
+    def __init__(self, phase: str = "val", gt_json: Optional[str] = None):
         self.phase = phase
+        self.gt_json = gt_json
 
     def build_payload(self, predictions: List[dict]) -> List[dict]:
         return [{"image_id": p["image_id"], "caption": p["caption"]}
@@ -110,7 +120,53 @@ class NocapsEvaluator:
             json.dump(self.build_payload(predictions), f)
         return out_path
 
+    @staticmethod
+    def _tok(text: str) -> List[str]:
+        import re
+        return re.findall(r"[a-z0-9]+", text.lower())
+
+    def evaluate_local(self, predictions: List[dict]
+                       ) -> Dict[str, Dict[str, Optional[float]]]:
+        with open(self.gt_json) as f:
+            gt = json.load(f)
+        domains = {img["id"]: img.get("domain", "entire")
+                   for img in gt.get("images", [])}
+        refs: Dict[str, List[List[str]]] = {}
+        for ann in gt["annotations"]:
+            refs.setdefault(str(ann["image_id"]), []).append(
+                self._tok(ann["caption"]))
+        preds = {str(p["image_id"]): self._tok(p["caption"])
+                 for p in predictions}
+
+        key_map = {"Bleu_1": "B1", "Bleu_2": "B2", "Bleu_3": "B3",
+                   "Bleu_4": "B4", "METEOR": "METEOR",
+                   "ROUGE_L": "ROUGE-L", "CIDEr": "CIDEr"}
+        out: Dict[str, Dict[str, Optional[float]]] = {
+            v: {} for v in key_map.values()}
+        out["SPICE"] = {}
+
+        splits: Dict[str, Dict[str, List[str]]] = {"entire": {}}
+        for img_id in preds:
+            if img_id not in refs:
+                continue
+            splits["entire"][img_id] = preds[img_id]
+            dom = domains.get(img_id) or domains.get(int(img_id)
+                                                     if img_id.isdigit()
+                                                     else img_id)
+            if dom and dom != "entire":
+                splits.setdefault(dom, {})[img_id] = preds[img_id]
+        for dom, p in splits.items():
+            if not p:
+                continue
+            res = evaluate_captions(p, {k: refs[k] for k in p})
+            for ours_key, ref_key in key_map.items():
+                out[ref_key][dom] = res[ours_key]
+            out["SPICE"][dom] = None   # external jar; declared non-parity
+        return out
+
     def evaluate(self, predictions, out_path="nocaps_submission.json"):
         path = self.submit(predictions, out_path)
+        if self.gt_json is not None:
+            return self.evaluate_local(predictions)
         raise RuntimeError(
             f"no egress: wrote EvalAI payload to {path}; submit manually")

@@ -280,3 +280,33 @@ def test_launch_tears_down_survivors_on_rank_failure():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 3, proc.stderr
     assert "terminating surviving ranks" in proc.stderr
+
+
+def test_nocaps_local_evaluation(tmp_path):
+    """NocapsEvaluator with a local COCO-format GT computes the reference's
+    nested {metric: {domain, entire}} shape offline (the EvalAI POST itself
+    is egress-blocked; SPICE needs the external jar -> None)."""
+    from mvp_pytorch_tpu.utils.caption_eval import NocapsEvaluator
+
+    gt = {
+        "images": [{"id": 1, "domain": "in-domain"},
+                   {"id": 2, "domain": "out-domain"}],
+        "annotations": [
+            {"image_id": 1, "caption": "Two dogs play."},
+            {"image_id": 1, "caption": "two dogs are playing"},
+            {"image_id": 2, "caption": "a man rides a horse"},
+        ],
+    }
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    ev = NocapsEvaluator(gt_json=str(gt_path))
+    preds = [{"image_id": 1, "caption": "two dogs play"},
+             {"image_id": 2, "caption": "a man rides a horse"}]
+    res = ev.evaluate(preds, out_path=str(tmp_path / "payload.json"))
+    assert set(res) == {"B1", "B2", "B3", "B4", "METEOR", "ROUGE-L",
+                        "CIDEr", "SPICE"}
+    assert set(res["B1"]) == {"entire", "in-domain", "out-domain"}
+    assert res["B1"]["entire"] > 0.9          # near-perfect match corpus
+    assert res["ROUGE-L"]["out-domain"] == 1.0
+    assert res["SPICE"]["entire"] is None
+    assert (tmp_path / "payload.json").exists()

@@ -2,8 +2,9 @@
 
 Parity target: reference `oscar/utils/caption_evaluate.py` —
 evaluate_on_coco_caption (:59-92), tsv->COCO-json conversion (:93-114), and
-the NocapsEvaluator EvalAI poller (:198+, stubbed here: this environment has
-no egress; the submission payload contract is preserved).
+the NocapsEvaluator (:198+): the EvalAI POST itself is egress-blocked here
+(payload contract preserved), and a local-ground-truth mode computes the
+same nested per-domain metric dict offline.
 """
 
 from __future__ import annotations

@@ -457,10 +457,15 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("src_dir")
     p.add_argument("out_dir")
-    p.add_argument("--strict", action="store_true")
-    p.add_argument("--no_strict", action="store_true",
-                   help="allow the reverse export to silently drop unmapped "
-                        "params (e.g. MoE experts the reference cannot hold)")
+    strictness = p.add_mutually_exclusive_group()
+    strictness.add_argument("--strict", action="store_true",
+                            help="fail the IMPORT on unmapped torch keys "
+                                 "(imports are lenient by default: reference "
+                                 "checkpoints carry fork-ballast keys)")
+    strictness.add_argument("--no_strict", action="store_true",
+                            help="allow the REVERSE export to silently drop "
+                                 "unmapped params (e.g. MoE experts the "
+                                 "reference cannot hold)")
     p.add_argument("--reverse", action="store_true",
                    help="export OUR checkpoint dir back to the reference's "
                         "torch format instead of importing")
@@ -471,4 +476,7 @@ if __name__ == "__main__":
         # model inside the reference code
         export_checkpoint(a.src_dir, a.out_dir, strict=not a.no_strict)
     else:
+        if a.no_strict:
+            p.error("--no_strict only applies to --reverse exports "
+                    "(imports are lenient unless --strict)")
         convert_checkpoint(a.src_dir, a.out_dir, strict=a.strict)

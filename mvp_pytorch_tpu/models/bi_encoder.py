@@ -285,7 +285,7 @@ class BiEncoder(nn.Module):
         txt_seq, _ = self.encode_text(
             input_ids_a, attention_mask_a, token_type_ids_a,
             deterministic=deterministic)
-        parts, masks = [txt_seq], [attention_mask_a]
+        parts, masks = [], []
         for ids_b, m_b, seg_b, feats in (
                 (input_ids_b, attention_mask_b, token_type_ids_b, img_feats),
                 (input_ids_b2, attention_mask_b2, token_type_ids_b2,
@@ -294,9 +294,7 @@ class BiEncoder(nn.Module):
                                            deterministic=deterministic)
             parts.append(vis_seq[:, max_tag_length:, :])
             masks.append(m_b[:, max_tag_length:])
-        joint = jnp.concatenate(parts, axis=1)
-        joint_mask = jnp.concatenate(masks, axis=-1)
-        seq, mid = self.mul_encoder(joint, mask_to_bias(joint_mask),
-                                    deterministic=deterministic)
-        del mid
-        return seq, self.pooler(seq)
+        seq, pooled, _ = self.fuse(
+            txt_seq, attention_mask_a, jnp.concatenate(parts, axis=1),
+            jnp.concatenate(masks, axis=-1), deterministic=deterministic)
+        return seq, pooled

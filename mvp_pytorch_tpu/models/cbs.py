@@ -222,16 +222,17 @@ class ConstraintFilter:
                  max_constraints: int = 3,
                  scores: Optional[Sequence[float]] = None) -> List[List[int]]:
         out = []
-        # over-fetch then trim: a name whose tokenization is empty/too long
-        # is dropped, the next candidate takes its slot
         for name in self.filter_names(object_classes,
                                       max_constraints=len(object_classes),
                                       scores=scores):
             ids = self.tokenizer.convert_tokens_to_ids(
                 self.tokenizer.tokenize(name))
-            if 0 < len(ids) <= self.max_words:
-                if ids not in out:
-                    out.append(ids)
+            # a too-long constraint is TRUNCATED to max_words tokens, not
+            # dropped (reference FiniteStateMachineBuilder._add_nth_order,
+            # cbs.py:780-781)
+            ids = ids[: self.max_words]
+            if ids and ids not in out:
+                out.append(ids)
             if len(out) >= max_constraints:
                 break
         return out

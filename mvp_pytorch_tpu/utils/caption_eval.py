@@ -142,9 +142,11 @@ class NocapsEvaluator:
         key_map = {"Bleu_1": "B1", "Bleu_2": "B2", "Bleu_3": "B3",
                    "Bleu_4": "B4", "METEOR": "METEOR",
                    "ROUGE_L": "ROUGE-L", "CIDEr": "CIDEr"}
+        # the reference contract always carries all four domain keys
+        all_domains = ("in-domain", "near-domain", "out-domain", "entire")
         out: Dict[str, Dict[str, Optional[float]]] = {
-            v: {} for v in key_map.values()}
-        out["SPICE"] = {}
+            v: {d: None for d in all_domains} for v in key_map.values()}
+        out["SPICE"] = {d: None for d in all_domains}
 
         splits: Dict[str, Dict[str, List[str]]] = {"entire": {}}
         for img_id in preds:
@@ -156,13 +158,18 @@ class NocapsEvaluator:
                                                      else img_id)
             if dom and dom != "entire":
                 splits.setdefault(dom, {})[img_id] = preds[img_id]
+        if not splits["entire"]:
+            raise ValueError(
+                "no prediction image_id matches any ground-truth "
+                f"annotation id (gt has {len(refs)} ids like "
+                f"{sorted(refs)[:3]}; predictions have ids like "
+                f"{sorted(preds)[:3]}) — check id formats")
         for dom, p in splits.items():
             if not p:
                 continue
             res = evaluate_captions(p, {k: refs[k] for k in p})
             for ours_key, ref_key in key_map.items():
                 out[ref_key][dom] = res[ours_key]
-            out["SPICE"][dom] = None   # external jar; declared non-parity
         return out
 
     def evaluate(self, predictions, out_path="nocaps_submission.json"):

@@ -305,8 +305,15 @@ def test_nocaps_local_evaluation(tmp_path):
     res = ev.evaluate(preds, out_path=str(tmp_path / "payload.json"))
     assert set(res) == {"B1", "B2", "B3", "B4", "METEOR", "ROUGE-L",
                         "CIDEr", "SPICE"}
-    assert set(res["B1"]) == {"entire", "in-domain", "out-domain"}
+    # the reference contract always carries all four domain keys
+    assert set(res["B1"]) == {"entire", "in-domain", "near-domain",
+                              "out-domain"}
     assert res["B1"]["entire"] > 0.9          # near-perfect match corpus
+    assert res["B1"]["near-domain"] is None   # no near-domain gt images
     assert res["ROUGE-L"]["out-domain"] == 1.0
-    assert res["SPICE"]["entire"] is None
+    assert res["SPICE"]["entire"] is None     # external jar
     assert (tmp_path / "payload.json").exists()
+    # id-format mismatches raise instead of returning empty metrics
+    bad = [{"image_id": "IMG_9", "caption": "x"}]
+    with pytest.raises(ValueError, match="id formats"):
+        ev.evaluate(bad, out_path=str(tmp_path / "p2.json"))

@@ -317,3 +317,22 @@ def test_nocaps_local_evaluation(tmp_path):
     bad = [{"image_id": "IMG_9", "caption": "x"}]
     with pytest.raises(ValueError, match="id formats"):
         ev.evaluate(bad, out_path=str(tmp_path / "p2.json"))
+
+
+def test_inspect_ckpt_tool(tmp_path, capsys):
+    from mvp_pytorch_tpu.tools.inspect_ckpt import describe_dir, main
+    from mvp_pytorch_tpu.training.checkpoint import save_pretrained
+
+    cfg = tiny_config()
+    model = BiEncoder(cfg)
+    batch = make_batch(cfg)
+    v = model.init(jax.random.PRNGKey(0), **batch, max_tag_length=T)
+    d = str(tmp_path / "ck")
+    save_pretrained(d, jax.tree.map(np.asarray, v["params"]), cfg)
+
+    info = describe_dir(d)
+    assert info["format"] == ["params.msgpack"]
+    assert info["n_params"] > 0 and "txt_encoder" in info["top_level"]
+    assert main([d, "--tree"]) == 0
+    out = capsys.readouterr().out
+    assert "params.msgpack" in out and "embeddings/word_embeddings" in out

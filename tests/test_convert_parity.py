@@ -463,3 +463,83 @@ def test_multiple_choice_conversion_parity(ref_model_and_inputs):
                       jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(got), ref_logits, atol=5e-4,
                                rtol=1e-3)
+
+
+def test_captioning_seq2seq_forward_parity(ref_model_and_inputs):
+    """Captioning TRAINING forward under the 3D seq2seq attention mask
+    (reference BertForImageCaptioning.encode_forward,
+    modeling_vlbert_pretrain.py:1587-1616): our make_seq2seq_mask feeds
+    BOTH models and the caption-position logits must match on converted
+    weights — pins the 3D-mask path the 2D-mask conversion tests never
+    exercise."""
+    import torch
+    sys.path.insert(0, REF)
+    from oscar.modeling.modeling_vlbert_pretrain import BertForImageCaptioning
+    from transformers.pytorch_transformers.modeling_bert import BertConfig
+
+    torch.manual_seed(8)
+    cfg = BertConfig(vocab_size_or_config_json_file=131, hidden_size=32,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=37, max_position_embeddings=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    cfg.torchscript = True      # tie path CLONES (values equal at init)
+    cfg.img_feature_dim = 22
+    cfg.img_feature_type = "faster_r-cnn"
+    cfg.use_img_layernorm = False
+    cfg.tie_weights = True
+    cfg.label_smoothing = 0.1
+    cfg.drop_worst_ratio = 0.0
+    cfg.drop_worst_after = 0
+    cfg.loss_type = "sfmx"
+    ref = BertForImageCaptioning(cfg)
+    ref.eval()
+    # the pretrain-file encoder/forward contract mismatch (see
+    # test_multiple_choice_conversion_parity) — restore the intent
+    enc_forward = ref.bert.encoder.forward
+    ref.bert.encoder.forward = lambda *a, **k: enc_forward(*a, **k)[0]
+
+    import jax.numpy as jnp
+
+    from mvp_pytorch_tpu.convert import convert_state_dict
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.img_bert import (CaptioningModel,
+                                                 make_seq2seq_mask)
+
+    n_b, l_cap, l_tag, n_r = 2, 6, 4, 3
+    rs = np.random.RandomState(11)
+    MASK_ID = 103 % 131
+    cap_ids = rs.randint(5, 131, (n_b, l_cap)).astype(np.int64)
+    cap_ids[:, 2] = MASK_ID
+    tag_ids = rs.randint(5, 131, (n_b, l_tag)).astype(np.int64)
+    feats = rs.randn(n_b, n_r, 22).astype(np.float32)
+    ctx_mask = np.ones((n_b, l_tag + n_r), np.int64)
+    mask3d = np.asarray(make_seq2seq_mask(l_cap, jnp.asarray(ctx_mask)))
+
+    full_ids = np.concatenate([cap_ids, tag_ids], axis=1)
+    seg = np.concatenate([np.zeros((n_b, l_cap), np.int64),
+                          np.ones((n_b, l_tag), np.int64)], axis=1)
+    with torch.no_grad():
+        ref_logits = ref.encode_forward(
+            torch.tensor(full_ids), img_feats=torch.tensor(feats),
+            attention_mask=torch.tensor(mask3d),
+            token_type_ids=torch.tensor(seg),
+            masked_pos=torch.zeros(n_b, l_cap, dtype=torch.long),
+            is_training=False)[0][:, :l_cap].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, skipped = convert_state_dict(sd)
+    assert not skipped, skipped
+    mcfg = ModelConfig(vocab_size=131, only_word_size=131, hidden_size=32,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       intermediate_size=37, max_position_embeddings=64,
+                       img_feature_dim=22, hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    model = CaptioningModel(mcfg)
+    got = model.apply(
+        {"params": params}, jnp.asarray(cap_ids), jnp.asarray(tag_ids),
+        jnp.asarray(ctx_mask), jnp.zeros((n_b, l_cap), jnp.int32),
+        jnp.ones((n_b, l_tag), jnp.int32), jnp.asarray(feats),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), ref_logits, atol=1e-3,
+                               rtol=1e-3)

@@ -75,6 +75,13 @@ def get_args(argv=None):
     p.add_argument("--eval_img_keys_file", type=str, default=None,
                    help="tsv of image keys; restrict eval to this subset "
                         "(reference --eval_img_keys_file)")
+    p.add_argument("--coarse_block", type=int, default=0,
+                   help="corpus-scale coarse stage: stream the gallery in "
+                        "blocks of this many rows with query rows sharded "
+                        "over the local device mesh, instead of "
+                        "materializing the full [n_img, n_cap] sim matrix "
+                        "(exact modulo argsort tie order; ignored under "
+                        "--cross_image_eval, which is inherently O(N^2))")
     p.add_argument("--eval_caption_index_json", type=str, default=None,
                    help="external i2t rerank shortlist: {img_key: "
                         "[[img_key1, cap_idx1], ...]} (reference "
@@ -152,9 +159,30 @@ def two_stage_eval(args, model, variables, dataset, logger,
     txt_seq, txt_glob = txt_seq[:n_cap], txt_glob[:n_cap]
     vis, vis_mask, img_glob = vis[:n_img], vis_mask[:n_img], img_glob[:n_img]
 
-    sims = np.asarray(img_glob @ txt_glob.T)         # [n_img, n_cap]
     cpi = dataset.num_captions_per_img
-    i2t_ranks_c, t2i_ranks_c = coarse_ranks(sims, cpi)
+    cross = getattr(args, "cross_image_eval", False)
+    blk = getattr(args, "coarse_block", 0)
+    streaming = bool(blk) and not cross     # cross scores the full matrix
+    cands_s = None
+    if streaming:
+        # corpus-scale path: query rows sharded over the local device
+        # mesh (ICI), gallery streamed in blocks — the [n_img, n_cap]
+        # matrix never materializes (north star: sharded coarse matmul)
+        from ..parallel import make_mesh
+        from ..parallel.sharded_retrieval import sharded_coarse_eval
+        k_i2t_s = min(args.num_captions_per_img_val, n_cap)
+        k_t2i_s = min(args.num_images_per_cap_val, n_img)
+        ldev = jax.local_devices()
+        mesh = make_mesh(ldev) if len(ldev) > 1 else None
+        i2t_c_s, t2i_c_s, i2t_ranks_c, t2i_ranks_c = sharded_coarse_eval(
+            img_glob, txt_glob, cpi, k_i2t_s, k_t2i_s, mesh=mesh, block=blk)
+        cands_s = (i2t_c_s, t2i_c_s, k_i2t_s, k_t2i_s)
+        sims = None
+        logger.info(f"coarse stage: streaming block={blk}, "
+                    f"{len(ldev)} local devices")
+    else:
+        sims = np.asarray(img_glob @ txt_glob.T)     # [n_img, n_cap]
+        i2t_ranks_c, t2i_ranks_c = coarse_ranks(sims, cpi)
     coarse_res = evaluate_ranks(i2t_ranks_c, t2i_ranks_c)
     logger.info(f"coarse: {json.dumps(coarse_res)}")
 
@@ -179,8 +207,9 @@ def two_stage_eval(args, model, variables, dataset, logger,
         k_i2t = i2t_cands.shape[1]
         t2i_cands = None
         k_t2i = 0
+    elif cands_s is not None:
+        i2t_cands, t2i_cands, k_i2t, k_t2i = cands_s
     else:
-        cross = getattr(args, "cross_image_eval", False)
         if cross:
             # reference --cross_image_eval: fine-score the FULL cross
             # product ONCE (i2t block); t2i ranks are derived from the

@@ -90,6 +90,20 @@ def test_retrieval_use_phrase_driver(tmp_path):
     assert "coarse" in res and "fine" in res
 
 
+def test_retrieval_coarse_block_matches_dense(tmp_path):
+    """--coarse_block (corpus-scale streaming/sharded coarse stage) must
+    reproduce the dense path's eval exactly: same seeds -> same params ->
+    identical coarse/fine R@K whether the sim matrix is materialized or
+    streamed in blocks over the device mesh."""
+    from mvp_pytorch_tpu.tasks import retrieval
+    dense = _run(retrieval, ["--max_steps", "3", "--ckpt_period", "3"],
+                 str(tmp_path / "dense"))
+    blocked = _run(retrieval, ["--max_steps", "3", "--ckpt_period", "3",
+                               "--coarse_block", "7"],
+                   str(tmp_path / "blocked"))
+    assert blocked == dense, (blocked, dense)
+
+
 def test_nlvr_learns_above_chance(tmp_path):
     """The synthetic NLVR rule (statement names a tag detected in exactly
     one image; True iff it is img0) is solvable only through the joint

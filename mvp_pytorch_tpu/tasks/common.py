@@ -10,6 +10,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -79,6 +81,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "with training on a background writer thread "
                              "(single-process only; multi-process saves "
                              "are collective and stay synchronous)")
+    parser.add_argument("--no_preempt_save", action="store_true",
+                        help="disable preemption-safe checkpointing (by "
+                             "default SIGTERM triggers a checkpoint at the "
+                             "next step boundary and a clean rc=0 exit; "
+                             "multi-process runs agree on the save step via "
+                             "jax's preemption sync service)")
     parser.add_argument("--num_workers", type=int, default=4,
                         help="loader workers; clamped to the host's CPU "
                              "count (extra workers only add GIL/context-"
@@ -352,8 +360,45 @@ class TrainLoop:
             start_step = step
         self.start_step = start_step
 
+    def _preempt_requested(self, step_id: int) -> bool:
+        """True when this step is the agreed preemption-save boundary.
+
+        Single process: our own SIGTERM flag. Multi-process: jax's
+        preemption sync service (the coordination client watches SIGTERM
+        itself and computes one safe step id across hosts, so the
+        collective save cannot mismatch; reached_preemption_sync_point
+        must be polled every step)."""
+        if self.preempted:
+            return True
+        if jax.process_count() > 1:
+            try:
+                from jax.experimental import multihost_utils
+                return bool(
+                    multihost_utils.reached_preemption_sync_point(step_id))
+            except RuntimeError:      # sync manager unavailable
+                return False
+        return False
+
     def run(self, eval_hook: Optional[Callable[[int, dict], Dict]] = None):
         args = self.args
+        # preemption-safe checkpointing (capability the reference lacks:
+        # its only recovery is the periodic checkpoint). In the 1-process
+        # case we own the SIGTERM handler; multi-process leaves SIGTERM to
+        # jax's coordination client (installing a Python handler would
+        # shadow its notifier) and polls the sync point instead.
+        self.preempted = False
+        old_term = None
+        if (not getattr(args, "no_preempt_save", False)
+                and jax.process_count() == 1
+                and threading.current_thread() is threading.main_thread()):
+            def _on_term(signum, frame):
+                self.preempted = True
+                self.logger.warning(
+                    "SIGTERM: checkpointing at the next step boundary")
+            try:
+                old_term = signal.signal(signal.SIGTERM, _on_term)
+            except ValueError:
+                old_term = None
         # each process loads ITS shard of the global batch (the reference's
         # DistributedSampler role, oscar_datasets_ml/build.py:84-93);
         # Trainer.step assembles the global array from the local shards
@@ -411,7 +456,11 @@ class TrainLoop:
                         self.logger.info(
                             "PROGRESS: "
                             f"{100.0 * (step + 1) / args.max_steps:.2f}%")
-                if (step + 1) % args.ckpt_period == 0 or step + 1 == args.max_steps:
+                periodic = ((step + 1) % args.ckpt_period == 0
+                            or step + 1 == args.max_steps)
+                preempt_now = (not getattr(args, "no_preempt_save", False)
+                               and self._preempt_requested(step + 1))
+                if periodic or preempt_now:
                     # collective, process-aware save (rank-0 single-file in
                     # the 1-process case; sharded ZeRO state + rank-0-gated
                     # manifest under multi-process)
@@ -419,6 +468,13 @@ class TrainLoop:
                                      config=self.config,
                                      extra=self.extra_meta, args=vars(args),
                                      async_saver=self.async_saver)
+                if preempt_now:
+                    self.preempted = True
+                    self.logger.warning(
+                        f"preemption checkpoint saved at step {step + 1}; "
+                        "stopping")
+                    break
+                if periodic:
                     if eval_hook is not None:
                         res = eval_hook(step + 1, self.state.params)
                         if res and self.is_main:
@@ -438,6 +494,8 @@ class TrainLoop:
                             with open(path, "w") as f:
                                 json.dump(logs, f, indent=2)
         finally:
+            if old_term is not None:
+                signal.signal(signal.SIGTERM, old_term)
             loader.close()
             if writer is not None:
                 writer.close()
@@ -445,4 +503,10 @@ class TrainLoop:
                 # flush the in-flight write; re-raises a background failure
                 # (last: a raise here must not leak the loader/writer)
                 self.async_saver.wait()
+        if self.preempted:
+            # skip any post-training work (final eval etc.) and hand the
+            # scheduler a clean exit — the checkpoint above is the resume
+            # point
+            self.logger.warning("exiting cleanly after preemption save")
+            raise SystemExit(0)
         return self.state

@@ -33,6 +33,54 @@ def _metrics_steps(outdir):
         return [json.loads(ln)["step"] for ln in f if ln.strip()]
 
 
+def test_two_process_preemption_agrees(tmp_path):
+    """SIGTERM delivered to ONE rank: jax's coordination client catches it
+    (preemption_notifier), propagates the notice, and both ranks save the
+    SAME preemption checkpoint step (reached_preemption_sync_point) and
+    exit rc=0 — the multihost half of preemption-safe checkpointing.
+    (Mechanism probed standalone: both ranks SYNC at an identical step.)"""
+    from tests.test_multiprocess_driver import (DRIVER_ARGS, _env,
+                                                _free_port)
+    outdir = str(tmp_path / "mp")
+    port = _free_port()
+    procs = []
+    for r in range(2):
+        env = dict(_env(), WORLD_SIZE="2", RANK=str(r),
+                   COORDINATOR_ADDRESS=f"localhost:{port}")
+        cmd = [sys.executable] + DRIVER_ARGS + [
+            "--output_dir", outdir, "--max_steps", "500",
+            "--ckpt_period", "500", "--log_period", "1",
+            "--num_cpu_devices", "4"]
+        procs.append(subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    try:
+        deadline = time.time() + 1200
+        while time.time() < deadline and not _metrics_steps(outdir):
+            for r, p in enumerate(procs):
+                if p.poll() is not None:
+                    raise AssertionError(
+                        f"rank {r} exited early rc={p.returncode}:\n"
+                        + p.stdout.read())
+            time.sleep(3)
+        assert _metrics_steps(outdir), "no training step within budget"
+        procs[1].send_signal(signal.SIGTERM)       # ONE rank only
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r}:\n{out}"
+        assert "preemption checkpoint saved" in out, f"rank {r}:\n{out}"
+    ckpts = sorted(d for d in os.listdir(outdir)
+                   if d.startswith("checkpoint-"))
+    assert len(ckpts) == 1 and int(ckpts[0].rsplit("-", 1)[1]) < 500, ckpts
+    manifest = os.path.join(outdir, ckpts[0], "opt_shards", "manifest.json")
+    with open(manifest) as f:
+        assert json.load(f)["world_size"] == 2
+
+
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     outdir = str(tmp_path / "pre")
     cmd = [sys.executable, "-m", "mvp_pytorch_tpu.tasks.pretrain",

@@ -168,7 +168,33 @@ class BertTokenizer:
     def __len__(self) -> int:
         return len(self.vocab)
 
+    # the reference splits special tokens out of the RAW text before basic
+    # tokenization (PreTrainedTokenizer.tokenize split_on_tokens,
+    # tokenization_utils.py:350-362), so embedded/punctuation-adjacent
+    # specials ("x[SEP]y", "[MASK],") stay whole — whitespace-level
+    # never_split alone does not reproduce that (oracle-caught divergence,
+    # tests/test_tokenizer_parity.py)
+    all_special_tokens = (unk_token, sep_token, pad_token, cls_token,
+                          mask_token)
+
     def tokenize(self, text: str) -> List[str]:
+        def split_on_tokens(tok_list, txt):
+            if not txt:
+                return []
+            if not tok_list:
+                return self._wp_tokenize(txt)
+            tok = tok_list[0]
+            parts = txt.split(tok)
+            out: List[str] = []
+            for i, sub in enumerate(parts):
+                out.extend(split_on_tokens(tok_list[1:], sub.strip()))
+                if i < len(parts) - 1:
+                    out.append(tok)
+            return out
+
+        return split_on_tokens(self.all_special_tokens, text)
+
+    def _wp_tokenize(self, text: str) -> List[str]:
         if self.do_basic_tokenize:
             toks = []
             for t in self.basic_tokenizer.tokenize(text):

@@ -477,7 +477,15 @@ class REDataset:
     def __init__(self, data_json: str, features: FeatureStore, tokenizer,
                  sg2id: Optional[Dict[tuple, int]] = None,
                  cfg: TensorizeConfig = TensorizeConfig(),
-                 det_json: Optional[str] = None, max_det: int = 20):
+                 det_json: Optional[str] = None, max_det: int = 20,
+                 use_phrases: bool = False):
+        # use_phrases=False matches the reference as released: its RE
+        # tensorize_example discards the loaded phrase list by reassigning
+        # `phrase_nodes = []` before the phrase2id mapping
+        # (run_re.py:201-202), so RE examples never carry phrase nodes.
+        # True is the working superset (oracle-checked off by
+        # tests/test_re_tensorize_parity.py).
+        self.use_phrases = use_phrases
         with open(data_json) as f:
             self.items = json.load(f)
         self.features = features
@@ -499,7 +507,8 @@ class REDataset:
         feats, tags = self.features.get(item["image_id"])
         ex = tensorize_example(
             self.tokenizer, item["expression"], feats, " ".join(tags),
-            phrases_to_ids(item.get("phrases", []), self.sg2id), self.cfg)
+            (phrases_to_ids(item.get("phrases", []), self.sg2id)
+             if self.use_phrases else []), self.cfg)
         n = min(feats.shape[0], self.cfg.max_img_seq_length)
         boxes = feats[:n, -6:-2]   # normalized xyxy
         ious = compute_iou(item["gt_box"], boxes)

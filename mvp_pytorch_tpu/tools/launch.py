@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -75,6 +76,23 @@ def main(argv=None):
         t.start()
         threads.append(t)
 
+    # preemption: when the scheduler SIGTERMs the LAUNCHER (not the
+    # process group), forward it to every rank so their preemption-save
+    # path runs (jax's coordination client catches SIGTERM and agrees on
+    # one checkpoint step across ranks; see tasks/common.TrainLoop) —
+    # then keep waiting for them to checkpoint and exit rc=0
+    def _forward_term(signum, frame):
+        print("launch: SIGTERM — forwarding to all ranks "
+              "(preemption checkpoint)", file=sys.stderr)
+        for proc in procs:
+            if proc.poll() is None:
+                proc.send_signal(signal.SIGTERM)
+
+    try:
+        signal.signal(signal.SIGTERM, _forward_term)
+    except ValueError:          # not the main thread (embedded use)
+        pass
+
     # poll instead of sequential wait(): a rank that dies mid-run leaves
     # the survivors blocked in their next collective forever — tear the
     # job down as soon as ANY rank exits nonzero (torch.distributed.launch
@@ -92,6 +110,11 @@ def main(argv=None):
             for r, proc in enumerate(procs):
                 if rcs[r] is None:
                     induced.add(r)
+                    # NOTE: ranks running under jax.distributed catch
+                    # SIGTERM (preemption notifier) and will NOT die here
+                    # — and with a rank already dead their preemption sync
+                    # can never complete — so the kill() below after the
+                    # 10 s grace is the real teardown for them
                     proc.terminate()
             for r, proc in enumerate(procs):
                 if rcs[r] is None:

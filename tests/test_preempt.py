@@ -81,6 +81,44 @@ def test_two_process_preemption_agrees(tmp_path):
         assert json.load(f)["world_size"] == 2
 
 
+def test_launcher_forwards_sigterm():
+    """SIGTERM to the LAUNCHER is forwarded to every rank (the scheduler
+    may signal only the launcher pid, not the process group); ranks that
+    exit cleanly on it yield launcher rc=0."""
+    code = ("import signal, sys, time, os;"
+            "signal.signal(signal.SIGTERM,"
+            " lambda *a: (print('rank-term', os.environ['RANK'],"
+            " flush=True), sys.exit(0)));"
+            "print('rank-up', os.environ['RANK'], flush=True);"
+            "time.sleep(120); sys.exit(9)")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.Popen(
+        [sys.executable, "-m", "mvp_pytorch_tpu.tools.launch",
+         "--nproc", "2", "--", "-c", code],
+        cwd="/root/repo", env=env, text=True, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 60
+        seen = ""
+        while time.time() < deadline and "rank-up 0" not in seen:
+            time.sleep(0.5)
+            # rank 0 streams through; don't block on readline for rank 1
+            os.set_blocking(p.stdout.fileno(), False)
+            seen += p.stdout.read() or ""
+        assert "rank-up 0" in seen, seen
+        time.sleep(2)                       # let rank 1 reach sleep too
+        os.set_blocking(p.stdout.fileno(), True)
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=60)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    full = seen + out
+    assert p.returncode == 0, full
+    assert "forwarding to all ranks" in full, full
+    assert "rank-term 0" in full, full
+
+
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     outdir = str(tmp_path / "pre")
     cmd = [sys.executable, "-m", "mvp_pytorch_tpu.tasks.pretrain",

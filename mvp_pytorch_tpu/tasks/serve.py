@@ -251,12 +251,33 @@ def main(argv=None):
     device_lock = threading.Lock()
     batchers = make_batchers(pipes, device_lock, args.max_batch,
                              args.batch_wait_ms)
-    server = ThreadingHTTPServer(
+
+    class DrainingServer(ThreadingHTTPServer):
+        # non-daemon handler threads: server_close() joins them, so a
+        # SIGTERM shutdown finishes every in-flight request before exit
+        daemon_threads = False
+
+    server = DrainingServer(
         (args.host, args.port),
         make_handler(pipes, batchers, device_lock, args.max_batch))
+
+    def _term(signum, frame):
+        # graceful drain: stop accepting, finish in-flight, exit rc=0
+        print("serve: SIGTERM — draining in-flight requests", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    import signal
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:      # not the main thread (embedded/test use)
+        pass
     print(f"serving {list(pipes)} on http://{args.host}:{args.port} "
           f"(micro-batch <= {args.max_batch}, wait {args.batch_wait_ms} ms)")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        print("serve: drained, exiting cleanly", flush=True)
 
 
 if __name__ == "__main__":

@@ -190,3 +190,79 @@ def test_server_concurrent_requests_are_batched(server):
     with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
         h = json.loads(r.read())
     assert h["batching"]["mlm"]["requests"] >= n
+
+
+@pytest.mark.slow
+def test_serve_cli_drains_on_sigterm(tmp_path):
+    """SIGTERM to the serve CLI: stop accepting, finish in-flight
+    requests, exit rc=0 (scheduler-friendly drain, matching the
+    training-side preemption contract)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+    from mvp_pytorch_tpu.models import MLMModel, ModelConfig
+    from mvp_pytorch_tpu.training.checkpoint import save_pretrained
+
+    paths = make_synthetic_root(str(tmp_path / "synth"))
+    tok = BertTokenizer(paths["vocab"])
+    cfg = ModelConfig(vocab_size=tok.vocab_size + 20,
+                      only_word_size=tok.vocab_size, hidden_size=32,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      intermediate_size=64, max_position_embeddings=128,
+                      img_feature_dim=2054, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    model = MLMModel(cfg)
+    ex = dict(input_ids_a=jnp.zeros((1, 35), jnp.int32),
+              attention_mask_a=jnp.ones((1, 35), jnp.int32),
+              token_type_ids_a=jnp.zeros((1, 35), jnp.int32),
+              input_ids_b=jnp.zeros((1, 20), jnp.int32),
+              attention_mask_b=jnp.ones((1, 70), jnp.int32),
+              token_type_ids_b=jnp.ones((1, 20), jnp.int32),
+              img_feats=jnp.zeros((1, 50, 2054)))
+    v = model.init(jax.random.PRNGKey(0), **ex, max_tag_length=20)
+    mdir = str(tmp_path / "model")
+    save_pretrained(mdir, v["params"], cfg)
+    tok.save_pretrained(mdir)
+
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.Popen(
+        [sys.executable, "-m", "mvp_pytorch_tpu.tasks.serve",
+         "--model_dir", mdir, "--modes", "mlm",
+         "--feature_tsv", paths["features"],
+         "--id2phrase", paths["id2phrase"], "--platform", "cpu",
+         "--port", str(port)],
+        cwd="/root/repo", env=env, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 600
+        base = f"http://127.0.0.1:{port}"
+        up = False
+        while time.time() < deadline and not up:
+            if p.poll() is not None:
+                raise AssertionError(p.stdout.read())
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=2):
+                    up = True
+            except Exception:
+                time.sleep(1)
+        assert up, "server never came up"
+        r = _post(f"{base}/v1/mlm", {"image": "img_0001",
+                                     "text": "a [MASK] here"})
+        assert "recovered" in r["result"]
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=60)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, out
+    assert "draining in-flight requests" in out, out
+    assert "drained, exiting cleanly" in out, out

@@ -79,6 +79,71 @@ def shard_batch(mesh: Mesh, batch):
             x if isinstance(x, jax.Array) else np.asarray(x), s), batch)
 
 
+class EvalSharder:
+    """Row-shard per-process eval batches over the local device mesh.
+
+    The eval loops already shard EXAMPLES across processes
+    (`process_shard_indices` / `gather_eval_arrays` — the reference's
+    SequentialDistributedSampler + distributed_concat role). Within a
+    process, though, a plain `jax.jit` forward receives an uncommitted
+    (`jnp.asarray`) batch, which XLA replicates onto whatever mesh the
+    params live on — every local device redundantly computes the FULL
+    batch. The reference has the same surface and solves it with torch
+    DataParallel around its eval models (run_retrieval.py:1084-1085,
+    run_vqa.py:576-577).
+
+    TPU-native shape: no wrapper module. `device_put` the batch rows
+    with a data-axis sharding and the SAME jitted function runs
+    data-parallel across local devices (XLA partitions it; outputs come
+    back row-sharded and `np.asarray` gathers). Params need no handling:
+    replicated trainer params already live on every device, and host
+    params are uncommitted.
+
+    Active only single-process — multi-process keeps the proven
+    process-sharded replicated-forward path — and only when the batch
+    divides the data axis. `model_parallel` mirrors the trainer's mesh
+    shape so TP-sharded params and the row-sharded batch agree on the
+    device order.
+    """
+
+    def __init__(self, batch_size: int, model_parallel: int = 1):
+        mp = max(1, int(model_parallel or 1))
+        ndev = len(jax.devices())
+        self.data = ndev // mp if ndev % mp == 0 else 0
+        self.active = (jax.process_count() == 1 and self.data > 1
+                       and batch_size % self.data == 0)
+        if self.active:
+            self.mesh = make_mesh(model=mp)
+            self._row = batch_sharding(self.mesh)
+            self._rep = replicated(self.mesh)
+
+    def put_batch(self, tree):
+        """Host batch -> device, rows sharded over `data`.
+
+        Leaves whose leading dim does not divide the data axis (and
+        scalars) are replicated. Inactive: the legacy uncommitted
+        `jnp.asarray` placement, byte-identical to the old eval loops."""
+        if not self.active:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+
+        def put(x):
+            x = x if isinstance(x, jax.Array) else np.asarray(x)
+            rows = x.ndim >= 1 and x.shape[0] and x.shape[0] % self.data == 0
+            return jax.device_put(x, self._row if rows else self._rep)
+        return jax.tree_util.tree_map(put, tree)
+
+    def replicate(self, tree):
+        """Replicate operands reused by every sharded batch (e.g. the
+        cached fine-rerank encodings). Device-to-device for jax.Arrays —
+        no host round trip. Inactive: no-op."""
+        if not self.active:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x if isinstance(x, jax.Array) else np.asarray(x), self._rep),
+            tree)
+
+
 def tp_param_pspec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:
     """Megatron-style tensor-parallel PartitionSpec for a BERT-family param.
 

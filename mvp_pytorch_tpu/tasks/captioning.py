@@ -275,13 +275,30 @@ def main(argv=None):
         shard = process_shard_indices(total)
         local_imgs = [imgs[int(i)] for i in shard]
         ctxs = [dataset.context(img) for img in local_imgs]
-        ids_b = jnp.asarray(np.stack([c[0] for c in ctxs]))
-        ctx_mask = jnp.asarray(np.stack([c[1] for c in ctxs]))
-        feats = jnp.asarray(np.stack([c[2] for c in ctxs]))
+        ids_b = np.stack([c[0] for c in ctxs])
+        ctx_mask = np.stack([c[1] for c in ctxs])
+        feats = np.stack([c[2] for c in ctxs])
         n = len(local_imgs)
+        # pad the decode batch to a data-axis multiple so its rows shard
+        # over the local devices (EvalSharder; reference eval DataParallel
+        # role) — also coalesces the per-n jit cache onto multiples.
+        # Padded rows are dropped before the cross-process gather.
+        from ..parallel.mesh import EvalSharder
+        mp = max(1, getattr(args, "model_parallel", 1))
+        ndev = len(jax.devices())
+        dsz = (ndev // mp if jax.process_count() == 1 and ndev % mp == 0
+               else 1)
+        n_run = -(-n // dsz) * dsz if dsz > 1 else n
+        if n_run != n:
+            pad = n_run - n
+            ids_b, ctx_mask, feats = (
+                np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                for a in (ids_b, ctx_mask, feats))
+        sharder = EvalSharder(n_run, mp)
+        ids_b, ctx_mask, feats = sharder.put_batch((ids_b, ctx_mask, feats))
         tk = tokenizer.vocab
-        seqs = _decode_fn(n)(p, ids_b, ctx_mask, feats)
-        (seqs,) = gather_eval_arrays(total, np.asarray(seqs))
+        seqs = _decode_fn(n_run)(p, ids_b, ctx_mask, feats)
+        (seqs,) = gather_eval_arrays(total, np.asarray(seqs)[:n])
         out = {}
         inv = tokenizer.ids_to_tokens
         for img, row in zip(imgs, np.asarray(seqs)):

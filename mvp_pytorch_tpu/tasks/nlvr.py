@@ -129,6 +129,8 @@ def main(argv=None):
         bs = args.eval_batch_size
         from ..parallel.collectives import (gather_eval_arrays,
                                             process_shard_indices)
+        from ..parallel.mesh import EvalSharder
+        sharder = EvalSharder(bs, getattr(args, "model_parallel", 1))
         total = len(dataset)
         idx = process_shard_indices(total)
         corr = []
@@ -144,8 +146,7 @@ def main(argv=None):
                     [chunk, np.repeat(chunk[-1:], bs - len(chunk))])
             batch = dataset.fetch(chunk)
             logits = np.asarray(fwd({"params": p},
-                                    jax.tree_util.tree_map(jnp.asarray,
-                                                           batch)))
+                                    sharder.put_batch(batch)))
             n = min(bs, len(idx) - i)
             corr.append(logits[:n].argmax(1) == batch["label"][:n])
         (corr,) = gather_eval_arrays(total, np.concatenate(corr))

@@ -84,6 +84,8 @@ def evaluate(args, model, variables, dataset, mt):
     use_det = dataset.det_boxes is not None
     from ..parallel.collectives import (gather_eval_arrays,
                                         process_shard_indices)
+    from ..parallel.mesh import EvalSharder
+    sharder = EvalSharder(bs, getattr(args, "model_parallel", 1))
     total = len(dataset)
     logits, labels, det_labels, iou_mats = [], [], [], []
     idx = process_shard_indices(total)
@@ -95,8 +97,7 @@ def evaluate(args, model, variables, dataset, mt):
         batch = dataset.fetch(chunk)
         model_batch = {k: v for k, v in batch.items()
                        if k not in ("det_label", "iou_mat", "label")}
-        out = np.asarray(fwd(variables,
-                             jax.tree_util.tree_map(jnp.asarray, model_batch)))
+        out = np.asarray(fwd(variables, sharder.put_batch(model_batch)))
         n = min(bs, len(idx) - i)
         logits.append(out[:n])
         labels.append(batch["label"][:n])

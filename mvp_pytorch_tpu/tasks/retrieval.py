@@ -98,6 +98,13 @@ def two_stage_eval(args, model, variables, dataset, logger,
     caller): external i2t shortlist — replaces the coarse shortlists and
     skips t2i, like the reference's has_caption_indexs mode."""
     mt = args.max_tag_length
+    # encode sweeps and the fine rerank (the expensive stage) row-shard
+    # their batches over the local devices; the cached encodings are
+    # replicated so the pair gathers stay local (reference eval
+    # DataParallel role, run_retrieval.py:1084-1085)
+    from ..parallel.mesh import EvalSharder
+    sharder = EvalSharder(args.eval_batch_size,
+                          getattr(args, "model_parallel", 1))
 
     @jax.jit
     def enc_txt(v, b):
@@ -130,7 +137,8 @@ def two_stage_eval(args, model, variables, dataset, logger,
     def run_batched(fn, data, n, bs):
         outs = None
         for i in range(0, n, bs):
-            chunk = {k: jnp.asarray(v[i:i + bs]) for k, v in data.items()}
+            chunk = sharder.put_batch({k: v[i:i + bs]
+                                       for k, v in data.items()})
             res = fn(variables, chunk)
             res = res if isinstance(res, tuple) else (res,)
             if outs is None:
@@ -158,6 +166,10 @@ def two_stage_eval(args, model, variables, dataset, logger,
                                           img_p["input_ids_b"].shape[0], bs)
     txt_seq, txt_glob = txt_seq[:n_cap], txt_glob[:n_cap]
     vis, vis_mask, img_glob = vis[:n_img], vis_mask[:n_img], img_glob[:n_img]
+    # the fine stage gathers arbitrary rows of the caches per pair batch;
+    # replicated caches keep those gathers device-local (no-op when the
+    # sharder is inactive)
+    txt_seq, vis, vis_mask = sharder.replicate((txt_seq, vis, vis_mask))
 
     cpi = dataset.num_captions_per_img
     cross = getattr(args, "cross_image_eval", False)
@@ -240,12 +252,12 @@ def two_stage_eval(args, model, variables, dataset, logger,
                                         process_shard_indices)
     n_batches = (n_pairs + pad) // bs
     scores = []
-    txt_mask = jnp.asarray(cap_arrays["input_mask_a"])
+    txt_mask = sharder.replicate(jnp.asarray(cap_arrays["input_mask_a"]))
     for b in process_shard_indices(n_batches):
         i = int(b) * bs
+        ci, ii = sharder.put_batch((cap_idx[i:i + bs], img_idx[i:i + bs]))
         scores.append(fine(variables, txt_seq, txt_mask, vis, vis_mask,
-                           jnp.asarray(cap_idx[i:i + bs]),
-                           jnp.asarray(img_idx[i:i + bs])))
+                           ci, ii))
     (scores,) = gather_eval_arrays(
         n_pairs, np.asarray(jnp.concatenate(scores)))
 

@@ -71,9 +71,12 @@ def evaluate(args, model, variables, dataset, mt):
     bs = args.eval_batch_size
     # under multi-process: this rank scores its sequential shard, the
     # per-example correctness flags are gathered+unpadded across ranks
-    # (reference SequentialDistributedSampler + distributed_concat)
+    # (reference SequentialDistributedSampler + distributed_concat);
+    # within the process, batch rows shard over the local devices
     from ..parallel.collectives import (gather_eval_arrays,
                                         process_shard_indices)
+    from ..parallel.mesh import EvalSharder
+    sharder = EvalSharder(bs, getattr(args, "model_parallel", 1))
     total = len(dataset)
     idx = process_shard_indices(total)
     corr = []
@@ -83,8 +86,7 @@ def evaluate(args, model, variables, dataset, mt):
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
                                                      bs - len(chunk))])
         batch = dataset.fetch(chunk)
-        logits = np.asarray(fwd(variables,
-                                jax.tree_util.tree_map(jnp.asarray, batch)))
+        logits = np.asarray(fwd(variables, sharder.put_batch(batch)))
         n = min(bs, len(idx) - i)
         corr.append((logits[:n].argmax(1) == batch["label"][:n]))
     (corr,) = gather_eval_arrays(total, np.concatenate(corr))

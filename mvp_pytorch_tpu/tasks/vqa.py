@@ -91,9 +91,13 @@ def evaluate(args, model, variables, dataset, mt):
 
     bs = args.eval_batch_size
     # process-sharded eval + rank-ordered gather (reference
-    # SequentialDistributedSampler + distributed_concat)
+    # SequentialDistributedSampler + distributed_concat); within the
+    # process, batch rows shard over the local devices (EvalSharder —
+    # the reference's eval DataParallel role, run_vqa.py:576-577)
     from ..parallel.collectives import (gather_eval_arrays,
                                         process_shard_indices)
+    from ..parallel.mesh import EvalSharder
+    sharder = EvalSharder(bs, getattr(args, "model_parallel", 1))
     total = len(dataset)
     logits, targets, qids = [], [], []
     idx = process_shard_indices(total)
@@ -103,8 +107,7 @@ def evaluate(args, model, variables, dataset, mt):
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
                                                      bs - len(chunk))])
         batch = dataset.fetch(chunk)
-        out = np.asarray(fwd(variables,
-                             jax.tree_util.tree_map(jnp.asarray, batch)))
+        out = np.asarray(fwd(variables, sharder.put_batch(batch)))
         n = min(bs, len(idx) - i)
         logits.append(out[:n])
         targets.append(batch["label"][:n])

@@ -198,6 +198,28 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def compose_data_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Compose ZeRO/FSDP data-axis sharding onto an existing PartitionSpec.
+
+    Puts `data` on the first axis that is still unsharded and divides the
+    per-(existing-shard) extent evenly; returns the spec unchanged when no
+    axis qualifies (small/indivisible tensors stay as they were). Used for
+    (a) optimizer moments of TP-sharded params (ZeRO composed onto the TP
+    layout) and (b) FSDP/ZeRO-3 parameter sharding (the reference's
+    DeepSpeed tops out at stage 2 — parameter sharding is a capability
+    beyond it, natural under GSPMD: annotate, and XLA inserts the
+    forward all-gather / backward reduce-scatter over ICI)."""
+    ndata = mesh.shape[DATA_AXIS]
+    lst = list(spec) + [None] * (len(shape) - len(spec))
+    if DATA_AXIS in lst:          # already data-sharded (e.g. FSDP param)
+        return P(*lst)
+    for i, dim in enumerate(shape):
+        if lst[i] is None and dim % ndata == 0 and dim >= ndata:
+            lst[i] = DATA_AXIS
+            break
+    return P(*lst)
+
+
 def zero_state_spec(param_spec: P, shape: tuple, mesh: Mesh) -> P:
     """ZeRO-2-style optimizer-state partition spec for a parameter.
 

@@ -112,6 +112,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "LayerNorm/dropout activation regions along "
                              "SEQUENCE over the model axis (Megatron-SP; "
                              "pure layout, numerics unchanged)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard the PARAMETERS over the data axis too "
+                             "(FSDP / ZeRO-3; the reference's DeepSpeed "
+                             "stops at stage 2). Numerics unchanged; XLA "
+                             "all-gathers params per use and reduce-"
+                             "scatters grads over ICI")
     parser.add_argument("--hidden_dropout_prob", type=float, default=None,
                         help="override config hidden dropout (NOTE: at tiny "
                              "widths, hidden dropout >=0.05 freezes "
@@ -310,7 +316,8 @@ class TrainLoop:
                                grad_accum=args.gradient_accumulation_steps,
                                tensor_parallel=mp > 1,
                                sequence_parallel=getattr(
-                                   args, "sequence_parallel", False))
+                                   args, "sequence_parallel", False),
+                               fsdp=getattr(args, "fsdp", False))
         self.ckpt = CheckpointManager(args.output_dir)
         # async writer only where save_train_state can use it (1 process)
         self.async_saver = (AsyncSaver()

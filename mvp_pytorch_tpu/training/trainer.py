@@ -30,8 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.activation_sharding import sequence_sharding
 from ..parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
-                             make_mesh, param_shardings, replicated,
-                             zero_state_spec)
+                             compose_data_spec, make_mesh, param_shardings,
+                             replicated, zero_state_spec)
 
 
 class TrainState(NamedTuple):
@@ -45,7 +45,7 @@ class Trainer:
     def __init__(self, loss_fn: Callable, optimizer: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, *, zero_sharding: bool = True,
                  grad_accum: int = 1, tensor_parallel: bool = False,
-                 sequence_parallel: bool = False):
+                 sequence_parallel: bool = False, fsdp: bool = False):
         import inspect
         # optional extended contract: loss_fn(params, batch, rng, step)
         # (used e.g. by captioning's drop_worst_after curriculum gate)
@@ -67,6 +67,10 @@ class Trainer:
         # (LayerNorm/dropout/residual) along SEQUENCE over the model axis.
         # Pure layout on top of TP — see parallel/activation_sharding.py.
         self.sequence_parallel = sequence_parallel and self.tensor_parallel
+        # FSDP / ZeRO-3: shard the PARAMETERS over the data axis too (the
+        # reference's DeepSpeed config stops at stage 2). Pure annotation:
+        # XLA all-gathers params where used and reduce-scatters grads.
+        self.fsdp = fsdp
         self.grad_accum = max(1, grad_accum)
         self._step_fn = None
         self._state_shardings = None
@@ -76,43 +80,40 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def state_shardings(self, params) -> TrainState:
-        """Parameter shardings (replicated, or Megatron-style TP specs over
-        the `model` axis when tensor_parallel); optimizer state follows the
-        param's TP spec where one exists (with ZeRO data-sharding composed
-        onto a free dim), else plain ZeRO data-sharding."""
+        """Parameter shardings (replicated; Megatron-style TP specs over the
+        `model` axis when tensor_parallel; data-axis FSDP/ZeRO-3 sharding
+        composed on top when fsdp); optimizer state mirrors the param's
+        spec where one exists (with ZeRO data-sharding composed onto a free
+        dim), else plain ZeRO data-sharding."""
         rep = replicated(self.mesh)
         param_sh = param_shardings(self.mesh, params, self.tensor_parallel)
+        if self.fsdp:
+            def fsdp_one(sh, leaf):
+                spec = compose_data_spec(sh.spec, getattr(leaf, "shape", ()),
+                                         self.mesh)
+                return NamedSharding(self.mesh, spec)
+            param_sh = jax.tree_util.tree_map(fsdp_one, param_sh, params)
 
         def dict_path(kp):
             return tuple(k.key for k in kp
                          if isinstance(k, jax.tree_util.DictKey))
 
         spec_by_path = {}
-        if self.tensor_parallel:
+        if self.tensor_parallel or self.fsdp:
             def record(kp, sh):
                 spec_by_path[dict_path(kp)] = sh.spec
             jax.tree_util.tree_map_with_path(record, param_sh)
-
-        ndata = self.mesh.shape[DATA_AXIS]
-
-        def compose_zero(spec: P, shape) -> P:
-            lst = list(spec) + [None] * (len(shape) - len(spec))
-            for i, dim in enumerate(shape):
-                if lst[i] is None and dim % ndata == 0 and dim >= ndata:
-                    lst[i] = DATA_AXIS
-                    break
-            return P(*lst)
 
         opt_shapes = jax.eval_shape(self.tx.init, params)
 
         def opt_leaf_sharding(kp, leaf):
             if not hasattr(leaf, "shape"):
                 return rep
-            tp = spec_by_path.get(dict_path(kp))
-            if tp is not None and tp != P():
-                # moments mirror the param's TP layout (+ ZeRO if possible)
-                spec = compose_zero(tp, leaf.shape) if self.zero_sharding \
-                    else tp
+            pspec = spec_by_path.get(dict_path(kp))
+            if pspec is not None and pspec != P():
+                # moments mirror the param's layout (+ ZeRO if possible)
+                spec = (compose_data_spec(pspec, leaf.shape, self.mesh)
+                        if self.zero_sharding else pspec)
                 return NamedSharding(self.mesh, spec)
             if not self.zero_sharding:
                 return rep

@@ -350,3 +350,16 @@ def test_visual_learning_driver(tmp_path):
     assert "mrc=" in text and "mrf=" in text and "mlm=" in text
     ckpts = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
     assert ckpts, text
+
+
+@pytest.mark.slow
+def test_fsdp_driver_run_matches_replicated(tmp_path):
+    """--fsdp (ZeRO-3 param sharding) is pure layout: the driver's per-step
+    losses must match the replicated-params run at the same global batch."""
+    rep_dir, fs_dir = str(tmp_path / "rep"), str(tmp_path / "fsdp")
+    _run_single(rep_dir, 6)
+    _run_single(fs_dir, 6, extra=("--fsdp",))
+    l_rep, l_fs = _read_losses(rep_dir), _read_losses(fs_dir)
+    assert l_rep and l_rep.keys() == l_fs.keys()
+    for k in l_rep:
+        assert abs(l_rep[k] - l_fs[k]) < 1e-4, (k, l_rep[k], l_fs[k])

@@ -260,3 +260,87 @@ def test_checkpoint_self_contained_and_pointer_fallback(tmp_path):
     with open(os.path.join(out, LAST_CHECKPOINT), "w") as f:
         f.write("checkpoint-xx")
     assert mgr.latest()[0] == 200
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-3 parameter sharding (capability beyond the reference: its
+# DeepSpeed config stops at stage 2, oscar/tmp_config.json)
+# ---------------------------------------------------------------------------
+
+def test_fsdp_shards_params_and_matches_replicated(setup, devices):
+    """--fsdp is pure layout: losses and params must track the replicated
+    trainer; large params must actually live sharded over `data`."""
+    cfg, model, params, batch, loss_fn = setup
+    mesh = make_mesh(devices)
+    tx = make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+    base = Trainer(loss_fn, tx, mesh)
+    fs = Trainer(loss_fn, tx, mesh, fsdp=True)
+    s0 = base.init_state(params, jax.random.PRNGKey(7))
+    s1 = fs.init_state(params, jax.random.PRNGKey(7))
+
+    big = [l for l in jax.tree_util.tree_leaves(s1.params) if l.size >= 256]
+    assert big
+    sharded = [l for l in big if not l.sharding.is_fully_replicated]
+    # every >=256-elem param has a dim divisible by 8 in tiny_config
+    assert len(sharded) == len(big), \
+        f"{len(big) - len(sharded)} large params left replicated under fsdp"
+    # moments mirror the param sharding (still ZeRO-sharded)
+    mu_big = [l for l in jax.tree_util.tree_leaves(s1.opt_state)
+              if hasattr(l, "sharding") and l.size >= 256]
+    assert all(not l.sharding.is_fully_replicated for l in mu_big)
+
+    for _ in range(3):
+        s0, m0 = base.step(s0, batch)
+        s1, m1 = fs.step(s1, batch)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s0.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s1.params))):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_fsdp_composes_with_tp(setup, devices):
+    """fsdp + tensor_parallel: TP params gain a data axis on a free dim."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg, model, params, batch, loss_fn = setup
+    mesh = make_mesh(devices, model=2)          # 4 data x 2 model
+    tx = make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+    t = Trainer(loss_fn, tx, mesh, tensor_parallel=True, fsdp=True)
+    s = t.init_state(params, jax.random.PRNGKey(7))
+    specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(s.params)
+             if hasattr(l, "sharding")]
+    both = [sp for sp in specs if "data" in tuple(sp) and "model" in tuple(sp)]
+    assert both, "no param sharded over BOTH data and model axes"
+    s, m = t.step(s, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path, setup, devices):
+    """save_train_state on fsdp-sharded state -> restore equals device_get."""
+    from mvp_pytorch_tpu.training.checkpoint import save_train_state
+
+    cfg, model, params, batch, loss_fn = setup
+    mesh = make_mesh(devices)
+    tx = make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+    t = Trainer(loss_fn, tx, mesh, fsdp=True)
+    s = t.init_state(params, jax.random.PRNGKey(7))
+    s, _ = t.step(s, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    save_train_state(mgr, 1, s, config=cfg)
+    host_p = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype), s.params)
+    host_o = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype) if hasattr(x, "shape") else x,
+        s.opt_state)
+    step, d = mgr.latest()
+    assert step == 1
+    _, p_r, o_r, _ = mgr.restore(d, params_target=host_p, opt_target=host_o)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s.params)),
+                    jax.tree_util.tree_leaves(p_r)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s.opt_state)),
+                    jax.tree_util.tree_leaves(o_r)):
+        if hasattr(a, "shape"):
+            np.testing.assert_array_equal(a, b)

@@ -340,15 +340,19 @@ class ProcessPrefetchLoader:
     def __iter__(self):
         if self._procs:
             raise RuntimeError("ProcessPrefetchLoader is single-use")
-        for i in range(self.num_procs):
-            p = self._ctx.Process(target=self._producer, args=(i,),
-                                  daemon=True)
-            p.start()
-            self._procs.append(p)
-        for i in range(self.num_procs):
-            self._open_spec(i)
         next_step = self.start_step
+        # startup is INSIDE the try: a worker dying while producing its
+        # first batch (_open_spec raises) must still run close(), or the
+        # surviving workers spin forever and their shm segments leak —
+        # the deterministic-name cleanup exists for exactly that crash
         try:
+            for i in range(self.num_procs):
+                p = self._ctx.Process(target=self._producer, args=(i,),
+                                      daemon=True)
+                p.start()
+                self._procs.append(p)
+            for i in range(self.num_procs):
+                self._open_spec(i)
             while True:
                 w = (next_step - self.start_step) % self.num_procs
                 msg = self._get_msg(w)

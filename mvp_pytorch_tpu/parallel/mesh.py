@@ -198,6 +198,23 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def fit_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Fit a PartitionSpec to a (possibly different-rank) tensor shape.
+
+    Optimizer-state leaves share their parameter's dict path but not
+    always its rank (factored optimizers: adafactor's v_row/v_col are
+    1-D for a 2-D kernel), so a param spec can be longer than the state
+    leaf's shape. Truncate/pad to the leaf rank and drop any axis name
+    whose mesh extent doesn't divide the dim it lands on — elementwise
+    state admits any valid layout, so degrading to replication on a
+    mismatched dim is always correct."""
+    lst = (list(spec) + [None] * len(shape))[: len(shape)]
+    for i, ax in enumerate(lst):
+        if isinstance(ax, str) and shape[i] % mesh.shape[ax] != 0:
+            lst[i] = None
+    return P(*lst)
+
+
 def compose_data_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
     """Compose ZeRO/FSDP data-axis sharding onto an existing PartitionSpec.
 
@@ -210,7 +227,7 @@ def compose_data_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
     beyond it, natural under GSPMD: annotate, and XLA inserts the
     forward all-gather / backward reduce-scatter over ICI)."""
     ndata = mesh.shape[DATA_AXIS]
-    lst = list(spec) + [None] * (len(shape) - len(spec))
+    lst = list(fit_spec(spec, shape, mesh))
     if DATA_AXIS in lst:          # already data-sharded (e.g. FSDP param)
         return P(*lst)
     for i, dim in enumerate(shape):
@@ -220,12 +237,14 @@ def compose_data_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
     return P(*lst)
 
 
-def zero_state_spec(param_spec: P, shape: tuple, mesh: Mesh) -> P:
-    """ZeRO-2-style optimizer-state partition spec for a parameter.
+def zero_state_spec(shape: tuple, mesh: Mesh) -> P:
+    """ZeRO-2-style optimizer-state partition spec for a replicated param.
 
     Shard the largest divisible axis of the state tensor over `data`
     (optimizer moments are elementwise, so any axis partitioning is valid).
-    Falls back to replication for small/indivisible tensors.
+    Falls back to replication for small/indivisible tensors. States of
+    TP/FSDP-sharded params go through `compose_data_spec` instead, which
+    composes `data` onto the param's own layout.
     """
     ndata = mesh.shape[DATA_AXIS]
     if not shape:

@@ -120,28 +120,15 @@ def streaming_rank(q: jnp.ndarray, g: jnp.ndarray, correct_ids: jnp.ndarray,
     return count
 
 
-def _run_sharded(fn, q, g, mesh: Optional[Mesh], *extra):
-    """Run fn(q, g, *extra) with query rows sharded over the data axis."""
-    if mesh is None or math.prod(mesh.devices.shape) == 1:
-        return fn(q, g, *extra)
-    ndev = math.prod(mesh.devices.shape)
-    nq = q.shape[0]
-    pad = (-nq) % ndev
-    # flatten all mesh axes onto query rows so every device gets a shard
+def _row_sharded(x: jnp.ndarray, mesh: Mesh, ndev: int) -> jnp.ndarray:
+    """Pad rows to a device multiple and shard them over ALL mesh axes
+    (flattened), so every device gets a query-row shard."""
+    pad = (-x.shape[0]) % ndev
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
     full = tuple(mesh.axis_names)
-    qp = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)]) \
-        if pad else q
-    qp = jax.device_put(qp, NamedSharding(mesh, P(full, None)))
-    g = jax.device_put(g, NamedSharding(mesh, P()))
-    extra = tuple(
-        jax.device_put(
-            jnp.concatenate([e, jnp.zeros((pad,) + e.shape[1:], e.dtype)])
-            if pad else e,
-            NamedSharding(mesh, P(full, *([None] * (e.ndim - 1)))))
-        for e in extra)
-    out = fn(qp, g, *extra)
-    trim = (lambda a: a[:nq]) if pad else (lambda a: a)
-    return jax.tree_util.tree_map(trim, out)
+    return jax.device_put(
+        x, NamedSharding(mesh, P(full, *([None] * (x.ndim - 1)))))
 
 
 def sharded_coarse_eval(img_glob, txt_glob, caps_per_img: int,
@@ -160,19 +147,33 @@ def sharded_coarse_eval(img_glob, txt_glob, caps_per_img: int,
     txt_glob = jnp.asarray(txt_glob)
     n_img, n_cap = img_glob.shape[0], txt_glob.shape[0]
     block = min(block, max(n_img, n_cap))
+    own_caps = jnp.asarray(
+        (np.arange(n_img)[:, None] * caps_per_img
+         + np.arange(caps_per_img)[None, :]).astype(np.int32))
+    own_img = jnp.asarray(
+        (np.arange(n_cap) // caps_per_img).astype(np.int32)[:, None])
 
-    topk = partial(streaming_topk, k=k_i2t, block=block)
-    _, i2t_cands = _run_sharded(topk, img_glob, txt_glob, mesh)
-    topk_t = partial(streaming_topk, k=k_t2i, block=block)
-    _, t2i_cands = _run_sharded(topk_t, txt_glob, img_glob, mesh)
+    sharded = mesh is not None and math.prod(mesh.devices.shape) > 1
+    if sharded:
+        # each embedding table is placed ONCE per role: row-sharded as
+        # the query side, replicated as the gallery side. At corpus
+        # scale the replication is an O(N*D) broadcast — doing it per
+        # call (2x per array) would double the dominant transfer.
+        ndev = math.prod(mesh.devices.shape)
+        rep = NamedSharding(mesh, P())
+        img_q, txt_q = (_row_sharded(img_glob, mesh, ndev),
+                        _row_sharded(txt_glob, mesh, ndev))
+        img_gal, txt_gal = (jax.device_put(img_glob, rep),
+                            jax.device_put(txt_glob, rep))
+        own_caps = _row_sharded(own_caps, mesh, ndev)
+        own_img = _row_sharded(own_img, mesh, ndev)
+    else:
+        img_q, txt_q, img_gal, txt_gal = (img_glob, txt_glob,
+                                          img_glob, txt_glob)
 
-    own_caps = (np.arange(n_img)[:, None] * caps_per_img
-                + np.arange(caps_per_img)[None, :]).astype(np.int32)
-    rank = partial(streaming_rank, block=block)
-    i2t_ranks = _run_sharded(rank, img_glob, txt_glob, mesh,
-                             jnp.asarray(own_caps))
-    own_img = (np.arange(n_cap) // caps_per_img).astype(np.int32)[:, None]
-    t2i_ranks = _run_sharded(rank, txt_glob, img_glob, mesh,
-                             jnp.asarray(own_img))
-    return (np.asarray(i2t_cands), np.asarray(t2i_cands),
-            np.asarray(i2t_ranks), np.asarray(t2i_ranks))
+    _, i2t_cands = streaming_topk(img_q, txt_gal, k=k_i2t, block=block)
+    _, t2i_cands = streaming_topk(txt_q, img_gal, k=k_t2i, block=block)
+    i2t_ranks = streaming_rank(img_q, txt_gal, own_caps, block=block)
+    t2i_ranks = streaming_rank(txt_q, img_gal, own_img, block=block)
+    return (np.asarray(i2t_cands)[:n_img], np.asarray(t2i_cands)[:n_cap],
+            np.asarray(i2t_ranks)[:n_img], np.asarray(t2i_ranks)[:n_cap])

@@ -38,9 +38,12 @@ class VinVLTransform:
                               np.float32)
 
     def __call__(self, pil_img) -> np.ndarray:
+        from PIL import Image
         w, h = pil_img.size
         nw, nh = resize_shape(w, h, self.min_size, self.max_size)
-        img = pil_img.resize((nw, nh))
+        # torchvision F.resize (the reference's path, transform_utils.py:60)
+        # interpolates BILINEAR; PIL's own default is BICUBIC — pin it
+        img = pil_img.resize((nw, nh), Image.BILINEAR)
         x = np.asarray(img, np.float32) / 255.0          # HWC RGB [0,1]
         x = np.transpose(x, (2, 0, 1))                   # CHW
         if self.to_bgr255:

@@ -15,9 +15,12 @@ Format (one directory per pytree):
 - ``manifest.json`` — written by process 0: leaf paths -> global shape +
   dtype, plus the writer topology (world size) for diagnostics.
 
-Restore is topology-agnostic: every process reads ALL shard files (cheap at
-framework scale; a selective reader is a pure optimization), assembles full
-host leaves, and — when a target sharding tree is given — builds global
+Restore is topology-agnostic: every process reads the manifest's
+world_size shard files (exactly those — stale files from an older save
+with a different topology are ignored by the reader and cleaned by the
+writer; missing files and partial leaf coverage are hard errors, never
+silent gaps), assembles full host leaves, and — when a target sharding
+tree is given — builds global
 arrays with ``jax.make_array_from_callback``, which works identically for
 1-process 1-device, 1-process N-device, and N-process meshes. Save on an
 8-device mesh / load on 1 device (and vice versa) therefore round-trips.
@@ -144,6 +147,18 @@ def save_sharded(directory: str, tree: Any) -> None:
         np.savez(f, **arrays)
     os.replace(tmp, os.path.join(directory, f"shard-{rank:05d}.npz"))
     if rank == 0:
+        # drop stale shard files from a previous save into the same dir
+        # with a LARGER world size (preemption resize + re-save): ranks
+        # < world_size are overwritten above; ranks >= world_size would
+        # otherwise overlay stale data onto the restored leaves
+        world = jax.process_count()
+        for fname in os.listdir(directory):
+            if fname.startswith("shard-") and fname.endswith(".npz"):
+                try:
+                    if int(fname[len("shard-"):-len(".npz")]) >= world:
+                        os.remove(os.path.join(directory, fname))
+                except ValueError:
+                    pass
         mtmp = os.path.join(directory, ".manifest.tmp")
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -158,10 +173,17 @@ def _read_host_leaves(directory: str) -> Dict[str, np.ndarray]:
         manifest = json.load(f)
     leaves: Dict[str, np.ndarray] = {}
     pieces: Dict[str, list] = {}
-    for fname in sorted(os.listdir(directory)):
-        if not (fname.startswith("shard-") and fname.endswith(".npz")):
-            continue
-        with np.load(os.path.join(directory, fname)) as z:
+    # read exactly the manifest's writer topology: stale shard files from
+    # an older save with a different world size must not overlay fresh
+    # data, and a missing rank file is a hard error, not silent gaps
+    world = int(manifest.get("world_size", 1))
+    for rank in range(world):
+        fpath = os.path.join(directory, f"shard-{rank:05d}.npz")
+        if not os.path.exists(fpath):
+            raise FileNotFoundError(
+                f"sharded checkpoint {directory}: shard file for rank "
+                f"{rank} of {world} is missing (partial copy?)")
+        with np.load(fpath) as z:
             for key in z.files:
                 path, _, idx = key.rpartition("|")
                 pieces.setdefault(path, []).append((idx, z[key]))
@@ -177,8 +199,18 @@ def _read_host_leaves(directory: str) -> Dict[str, np.ndarray]:
             leaves[path] = _from_saved(got[0][1], dtype)
             continue
         full = np.empty(shape, dtype)
+        covered = 0
         for idx, arr in got:
             full[_parse_slices(idx)] = _from_saved(arr, dtype)
+            covered += arr.size
+        # pieces from one save are disjoint (replica-0 GSPMD shards), so
+        # element-count equality == full coverage; anything else would
+        # leave np.empty() garbage in the restored leaf
+        if covered != int(np.prod(shape, dtype=np.int64)):
+            raise ValueError(
+                f"sharded checkpoint {directory}: leaf {path} covered "
+                f"{covered}/{int(np.prod(shape, dtype=np.int64))} elements"
+                " — incomplete or inconsistent shard set")
         leaves[path] = full
     return leaves
 

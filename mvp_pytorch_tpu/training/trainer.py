@@ -30,8 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.activation_sharding import sequence_sharding
 from ..parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
-                             compose_data_spec, make_mesh, param_shardings,
-                             replicated, zero_state_spec)
+                             compose_data_spec, fit_spec, make_mesh,
+                             param_shardings, replicated, zero_state_spec)
 
 
 class TrainState(NamedTuple):
@@ -111,14 +111,18 @@ class Trainer:
                 return rep
             pspec = spec_by_path.get(dict_path(kp))
             if pspec is not None and pspec != P():
-                # moments mirror the param's layout (+ ZeRO if possible)
+                # moments mirror the param's layout (+ ZeRO if possible);
+                # fit_spec handles lower-rank state leaves (factored
+                # optimizers: adafactor v_row/v_col) sharing a 2-D
+                # param's path
                 spec = (compose_data_spec(pspec, leaf.shape, self.mesh)
-                        if self.zero_sharding else pspec)
+                        if self.zero_sharding
+                        else fit_spec(pspec, leaf.shape, self.mesh))
                 return NamedSharding(self.mesh, spec)
             if not self.zero_sharding:
                 return rep
             return NamedSharding(self.mesh,
-                                 zero_state_spec(None, leaf.shape, self.mesh))
+                                 zero_state_spec(leaf.shape, self.mesh))
 
         opt_sh = jax.tree_util.tree_map_with_path(opt_leaf_sharding,
                                                   opt_shapes)

@@ -321,3 +321,37 @@ def test_pipeline_with_jax_od(tmp_path):
     assert len(out) == 3
     single = pipe.inference(img_path, "two [MASK] are playing")
     assert " ".join(out[0]) in single
+
+
+@pytest.mark.slow
+def test_resize_shape_oracle_vs_reference():
+    """resize_shape vs the actual reference Resize.get_size
+    (tools/transform_utils.py:35-55, pure python) over a sweep of sizes
+    incl. the cap and no-op regimes."""
+    import sys
+    import types
+
+    sys.path.insert(0, "/root/repo/tests")
+    from ref_import import setup_reference_imports
+    setup_reference_imports()
+    # transform_utils imports torchvision at module level; geometry only
+    # needs the stub (torchvision is not installed in this image)
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"]
+    import importlib
+    tu = importlib.import_module("tools.transform_utils")
+
+    from mvp_pytorch_tpu.tools.transforms import resize_shape
+
+    cases = [(w, h) for w in (5, 37, 333, 600, 601, 800, 1000, 1024, 2000)
+             for h in (5, 41, 600, 750, 999, 1000, 1500, 3000)]
+    for min_size, max_size in ((600, 1000), (384, 640), (800, 1333)):
+        ref = tu.Resize(min_size, max_size)
+        for w, h in cases:
+            oh, ow = ref.get_size((w, h))     # reference returns (h, w)
+            nw, nh = resize_shape(w, h, min_size, max_size)
+            assert (nw, nh) == (ow, oh), (
+                (w, h, min_size, max_size), (nw, nh), (ow, oh))

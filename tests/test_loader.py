@@ -232,3 +232,31 @@ def test_process_loader_resume_start_step():
     assert step == 7
     np.testing.assert_array_equal(batch["x"], sampler.batch_at(7))
     loader.close()
+
+
+def test_process_loader_startup_failure_cleans_up():
+    """A worker failing while producing its FIRST batch (spec never
+    arrives) must still tear everything down: no live workers spinning on
+    the ring, no /dev/shm segments left."""
+    import numpy as np
+    import pytest
+
+    from mvp_pytorch_tpu.data.loader import (BatchSampler,
+                                             ProcessPrefetchLoader)
+
+    class BadDS:
+        def fetch(self, idx):
+            raise ValueError("boom at startup")
+
+    loader = ProcessPrefetchLoader(BadDS().fetch, BatchSampler(500, 4,
+                                                               seed=0),
+                                   prefetch=2, num_procs=2)
+    with pytest.raises(RuntimeError, match="loader worker"):
+        next(iter(loader))
+    for p in loader._procs:
+        p.join(timeout=10)
+        assert not p.is_alive()
+    for w in range(loader.num_procs):
+        for s in range(loader.n_slots):
+            assert not os.path.exists(
+                "/dev/shm/" + loader._slot_name(w, s))

@@ -363,3 +363,59 @@ def test_fsdp_driver_run_matches_replicated(tmp_path):
     assert l_rep and l_rep.keys() == l_fs.keys()
     for k in l_rep:
         assert abs(l_rep[k] - l_fs[k]) < 1e-4, (k, l_rep[k], l_fs[k])
+
+
+def test_sharded_checkpoint_ignores_stale_and_rejects_partial(tmp_path,
+                                                              devices):
+    """The reader must consume exactly the manifest's world_size shard
+    files (stale files from an older larger-topology save are ignored and
+    cleaned by the writer), and partially-covered leaves must raise, not
+    return np.empty() garbage."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mvp_pytorch_tpu.parallel.mesh import make_mesh
+    from mvp_pytorch_tpu.training import sharded_checkpoint as sc
+
+    mesh = make_mesh()
+    tree = {"w": jax.device_put(jnp.arange(32, dtype=jnp.float32),
+                                NamedSharding(mesh, P("data")))}
+    d = str(tmp_path / "shards")
+
+    # a stale shard file from a previous larger-world save: the writer
+    # must remove it (rank >= world_size), and even if present the
+    # reader must not consume it
+    os.makedirs(d)
+    np.savez(os.path.join(d, "shard-00003.npz"),
+             **{"w|0:32": np.full(32, -1, np.float32)})
+    sc.save_sharded(d, tree)
+    assert not os.path.exists(os.path.join(d, "shard-00003.npz"))
+    np.savez(os.path.join(d, "shard-00007.npz"),   # reappears post-save
+             **{"w|0:32": np.full(32, -1, np.float32)})
+    host = sc.consolidate(d)
+    np.testing.assert_array_equal(host["w"],
+                                  np.arange(32, dtype=np.float32))
+
+    # missing shard file for a declared rank -> loud failure
+    d2 = str(tmp_path / "missing")
+    os.makedirs(d2)
+    with open(os.path.join(d2, sc.MANIFEST), "w") as f:
+        json.dump({"world_size": 2, "empty_nodes": [],
+                   "leaves": {"w": {"shape": [4], "dtype": "float32"}}}, f)
+    np.savez(os.path.join(d2, "shard-00000.npz"),
+             **{"w|0:2": np.zeros(2, np.float32)})
+    with pytest.raises(FileNotFoundError, match="rank 1"):
+        sc.consolidate(d2)
+
+    # shard files present but a leaf only partially covered -> loud failure
+    d3 = str(tmp_path / "partial")
+    os.makedirs(d3)
+    with open(os.path.join(d3, sc.MANIFEST), "w") as f:
+        json.dump({"world_size": 1, "empty_nodes": [],
+                   "leaves": {"w": {"shape": [8], "dtype": "float32"}}}, f)
+    np.savez(os.path.join(d3, "shard-00000.npz"),
+             **{"w|0:4": np.zeros(4, np.float32)})
+    with pytest.raises(ValueError, match="covered 4/8"):
+        sc.consolidate(d3)

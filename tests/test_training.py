@@ -344,3 +344,18 @@ def test_fsdp_checkpoint_roundtrip(tmp_path, setup, devices):
                     jax.tree_util.tree_leaves(o_r)):
         if hasattr(a, "shape"):
             np.testing.assert_array_equal(a, b)
+
+
+def test_factored_optimizer_state_shardings(setup, devices):
+    """fit_spec: factored optimizers (adafactor) have state leaves of
+    LOWER rank than their param (v_row/v_col) sharing the param's dict
+    path — the spec must be fitted to the leaf rank, not crash init."""
+    import optax
+
+    cfg, model, params, batch, loss_fn = setup
+    mesh = make_mesh(devices, model=2)
+    tx = optax.adafactor(1e-3)
+    t = Trainer(loss_fn, tx, mesh, tensor_parallel=True, fsdp=True)
+    s = t.init_state(params, jax.random.PRNGKey(0))
+    s, m = t.step(s, batch)
+    assert np.isfinite(float(m["loss"]))

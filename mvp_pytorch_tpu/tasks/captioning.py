@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets import FeatureStore
-from ..data.synthetic import make_synthetic_root
 from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.generation import (beam_search, beam_search_cached, generate,
                                  generate_cached)
@@ -68,7 +67,7 @@ class CaptionDataset:
     """captions_json {img: [{"text": ...}]}; caption masked for training."""
 
     def __init__(self, captions_json, features, tokenizer, max_cap, max_tag,
-                 mask_prob=0.15, seed=0):
+                 max_img=50, mask_prob=0.15, seed=0):
         with open(captions_json) as f:
             caps = json.load(f)
         self.items = [(img, c["text"]) for img, lst in caps.items()
@@ -77,6 +76,7 @@ class CaptionDataset:
         self.tok = tokenizer
         self.max_cap = max_cap
         self.max_tag = max_tag
+        self.max_img = max_img
         self.mask_prob = mask_prob
         self.seed = seed
 
@@ -98,13 +98,14 @@ class CaptionDataset:
         pad_b = self.max_tag - len(ids_b)
         mask_b = [1] * len(ids_b) + [0] * pad_b
         ids_b += [0] * pad_b
-        n_img = min(feats.shape[0], 10)
-        feats = feats[:10]
-        if feats.shape[0] < 10:
+        m = self.max_img
+        n_img = min(feats.shape[0], m)
+        feats = feats[:m]
+        if feats.shape[0] < m:
             feats = np.concatenate(
-                [feats, np.zeros((10 - feats.shape[0], feats.shape[1]),
+                [feats, np.zeros((m - feats.shape[0], feats.shape[1]),
                                  np.float32)])
-        ctx_mask = mask_b + [1] * n_img + [0] * (10 - n_img)
+        ctx_mask = mask_b + [1] * n_img + [0] * (m - n_img)
         return (np.asarray(ids_b, np.int32), np.asarray(ctx_mask, np.int32),
                 feats.astype(np.float32))
 
@@ -147,7 +148,9 @@ def main(argv=None):
     args = get_args(argv)
     init_runtime(args)
     logger = setup_logger("captioning", args.output_dir)
-    restore_training_settings(args, argv, logger=logger)
+    restore_training_settings(args, argv, logger=logger,
+                              extra_keys=("max_gen_length",
+                                          "mask_caption_prob"))
 
     if args.synthetic:
         paths = synth_root(args)
@@ -162,11 +165,13 @@ def main(argv=None):
     cfg = build_config(args, tokenizer)
     # captioning predicts over the FULL vocab (reference tie_weights w/o
     # only_vocab for captioning, modeling_vlbert_pretrain.py:1580-1584)
-    max_cap = args.max_gen_length
+    max_cap = args.max_seq_length        # training caption stream length
+    gen_len = args.max_gen_length         # decode buffer length
     dataset = CaptionDataset(args.captions_json,
                              FeatureStore(args.feature_tsv,
                                           feature_dim=args.img_feature_dim),
                              tokenizer, max_cap, args.max_tag_length,
+                             max_img=args.max_img_seq_length,
                              mask_prob=args.mask_caption_prob, seed=args.seed)
 
     model = CaptioningModel(cfg, label_smoothing=args.label_smoothing,
@@ -218,7 +223,7 @@ def main(argv=None):
                     {"params": p}, tokens,
                     jnp.repeat(ids_b, reps, 0),
                     jnp.repeat(ctx_mask, reps, 0),
-                    jnp.zeros((tokens.shape[0], max_cap), jnp.int32),
+                    jnp.zeros((tokens.shape[0], gen_len), jnp.int32),
                     jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
                     jnp.repeat(feats, reps, 0), deterministic=True)
 
@@ -231,11 +236,11 @@ def main(argv=None):
 
                 def prefill():
                     return model.apply({"params": p}, rb, rm, seg, rf,
-                                       max_cap, method=model.prefill)
+                                       gen_len, method=model.prefill)
 
                 def step(cache, t, prev):
                     return model.apply({"params": p}, cache, t, prev, rm,
-                                       max_cap, mask_id,
+                                       gen_len, mask_id,
                                        method=model.decode_step)
                 return prefill, step
 
@@ -244,21 +249,21 @@ def main(argv=None):
                     prefill, dstep = cached_fns(args.num_beams)
                     seqs, _ = beam_search_cached(
                         prefill, dstep, tk["[CLS]"], tk["[SEP]"],
-                        tk["[PAD]"], n, max_cap, args.num_beams,
+                        tk["[PAD]"], n, gen_len, args.num_beams,
                         mask_token_id=tk["[MASK]"])
                     return seqs
                 seqs, _ = beam_search(logits_fn, tk["[CLS]"], tk["[SEP]"],
                                       tk["[PAD]"], tk["[MASK]"], n,
-                                      max_cap, args.num_beams)
+                                      gen_len, args.num_beams)
                 return seqs
             if args.decode_mode == "cached":
                 prefill, dstep = cached_fns(1)
                 return generate_cached(prefill, dstep, tk["[CLS]"],
                                        tk["[SEP]"], tk["[PAD]"], n,
-                                       max_cap).sequences
+                                       gen_len).sequences
             return generate(logits_fn, tk["[CLS]"], tk["[SEP]"],
                             tk["[PAD]"], tk["[MASK]"], n,
-                            max_cap).sequences
+                            gen_len).sequences
 
         _decode_jit[key] = jax.jit(run)
         return _decode_jit[key]
@@ -332,19 +337,27 @@ def main(argv=None):
             tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)
         params = state.params
+    elif args.do_eval:
+        # standalone eval on a trained checkpoint (sibling-driver contract;
+        # reference eval artifact: test_eval.json, run_retrieval.py:1104)
+        scores = eval_hook(0, params)
+        if is_main_process() and scores is not None:
+            with open(os.path.join(args.output_dir, "test_eval.json"),
+                      "w") as f:
+                json.dump(scores, f)
 
     if args.scst:
         params = scst_finetune(args, model, params, dataset, tokenizer,
-                               max_cap, logger)
+                               gen_len, logger)
         eval_hook(args.max_steps + args.scst_steps, params)
 
     if args.use_cbs and args.do_eval:
-        cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
+        cbs_decode_demo(args, model, params, dataset, tokenizer, gen_len,
                         logger)
     logger.info("captioning done")
 
 
-def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
+def scst_finetune(args, model, params, dataset, tokenizer, gen_len, logger):
     """Self-critical fine-tuning (reference ScstRewardCriterion,
     caption_evaluate.py:115-196): sample + greedy decode, CIDEr-D advantage
     on host, exact differentiable logprobs via one forward over L masked
@@ -374,7 +387,7 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
             return model.apply(
                 {"params": p}, tokens, jnp.repeat(ids_b, reps, 0),
                 jnp.repeat(ctx_mask, reps, 0),
-                jnp.zeros((tokens.shape[0], max_cap), jnp.int32),
+                jnp.zeros((tokens.shape[0], gen_len), jnp.int32),
                 jnp.ones((tokens.shape[0], ids_b.shape[1]), jnp.int32),
                 jnp.repeat(feats, reps, 0), deterministic=True)
         return f
@@ -389,14 +402,14 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
     def sample_decode(p, ids_b, ctx_mask, feats, rng):
         lf = make_logits_fn(p, ids_b, ctx_mask, feats, n_batch)
         return generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                        tk["[MASK]"], n_batch, max_cap, do_sample=True,
+                        tk["[MASK]"], n_batch, gen_len, do_sample=True,
                         temperature=1.0, rng=rng)
 
     @jax.jit
     def greedy_decode(p, ids_b, ctx_mask, feats):
         lf = make_logits_fn(p, ids_b, ctx_mask, feats, n_batch)
         return generate(lf, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"],
-                        tk["[MASK]"], n_batch, max_cap)
+                        tk["[MASK]"], n_batch, gen_len)
 
     @jax.jit
     def scst_grad(p, sampled, sample_mask, adv, ids_b, ctx_mask, feats):
@@ -464,7 +477,7 @@ def scst_finetune(args, model, params, dataset, tokenizer, max_cap, logger):
     return params
 
 
-def cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
+def cbs_decode_demo(args, model, params, dataset, tokenizer, gen_len,
                     logger):
     """Constrained decoding: force each caption to mention one detected tag
     (reference ConstrainedBeamSearch usage pattern)."""
@@ -481,13 +494,13 @@ def cbs_decode_demo(args, model, params, dataset, tokenizer, max_cap,
             return model.apply(
                 {"params": p}, tokens,
                 jnp.repeat(ids_b, reps, 0), jnp.repeat(ctx_mask, reps, 0),
-                jnp.zeros((reps, max_cap), jnp.int32),
+                jnp.zeros((reps, gen_len), jnp.int32),
                 jnp.ones((reps, ids_b.shape[1]), jnp.int32),
                 jnp.repeat(feats, reps, 0), deterministic=True)
 
         return constrained_beam_search(
             lf, fsm, tk["[CLS]"], tk["[SEP]"], tk["[PAD]"], tk["[MASK]"],
-            max_cap, args.cbs_beams)
+            gen_len, args.cbs_beams)
 
     n_hits = 0
     for img in imgs:

@@ -406,34 +406,40 @@ class TrainLoop:
                 old_term = signal.signal(signal.SIGTERM, _on_term)
             except ValueError:
                 old_term = None
-        # each process loads ITS shard of the global batch (the reference's
-        # DistributedSampler role, oscar_datasets_ml/build.py:84-93);
-        # Trainer.step assembles the global array from the local shards
-        sampler = BatchSampler(len(self.dataset), args.train_batch_size,
-                               seed=args.seed, rank=jax.process_index(),
-                               world_size=jax.process_count())
-        # workers beyond the host's cores only add GIL/context-switch
-        # overhead (measured: on 1 core, 8 threads run at 0.7x of 1)
-        n_workers = max(1, min(args.num_workers, os.cpu_count() or 1))
-        if getattr(args, "worker_type", "thread") == "process":
-            from ..data.loader import ProcessPrefetchLoader
-            loader = ProcessPrefetchLoader(
-                self.dataset.fetch, sampler, start_step=self.start_step,
-                prefetch=2 * n_workers, num_procs=n_workers)
-        else:
-            loader = PrefetchLoader(self.dataset.fetch, sampler,
-                                    start_step=self.start_step,
-                                    num_threads=n_workers)
-        meters = MetricLogger()
-        # metric/eval artifacts are rank-0-only (reference gates with
-        # is_main_process + barrier, run_pretrain_ml.py:288,361)
-        writer = (MetricsWriter(os.path.join(args.output_dir, "train_logs"))
-                  if self.is_main else None)
-        from ..training.profiler import StepTimer
-        timer = StepTimer()   # data/compute split (reference time_info)
-        t_last = time.time()
-        n_since = 0
+        # construction below runs INSIDE the try: a loader/writer failure
+        # must still restore the SIGTERM handler installed above (a stale
+        # handler on a dead loop would silently swallow real SIGTERMs)
+        loader = writer = None
         try:
+            # each process loads ITS shard of the global batch (the
+            # reference's DistributedSampler role,
+            # oscar_datasets_ml/build.py:84-93); Trainer.step assembles the
+            # global array from the local shards
+            sampler = BatchSampler(len(self.dataset), args.train_batch_size,
+                                   seed=args.seed, rank=jax.process_index(),
+                                   world_size=jax.process_count())
+            # workers beyond the host's cores only add GIL/context-switch
+            # overhead (measured: on 1 core, 8 threads run at 0.7x of 1)
+            n_workers = max(1, min(args.num_workers, os.cpu_count() or 1))
+            if getattr(args, "worker_type", "thread") == "process":
+                from ..data.loader import ProcessPrefetchLoader
+                loader = ProcessPrefetchLoader(
+                    self.dataset.fetch, sampler, start_step=self.start_step,
+                    prefetch=2 * n_workers, num_procs=n_workers)
+            else:
+                loader = PrefetchLoader(self.dataset.fetch, sampler,
+                                        start_step=self.start_step,
+                                        num_threads=n_workers)
+            meters = MetricLogger()
+            # metric/eval artifacts are rank-0-only (reference gates with
+            # is_main_process + barrier, run_pretrain_ml.py:288,361)
+            writer = (MetricsWriter(os.path.join(args.output_dir,
+                                                 "train_logs"))
+                      if self.is_main else None)
+            from ..training.profiler import StepTimer
+            timer = StepTimer()  # data/compute split (reference time_info)
+            t_last = time.time()
+            n_since = 0
             for step, batch in loader:
                 timer.mark("data")
                 if step >= args.max_steps:
@@ -503,7 +509,8 @@ class TrainLoop:
         finally:
             if old_term is not None:
                 signal.signal(signal.SIGTERM, old_term)
-            loader.close()
+            if loader is not None:
+                loader.close()
             if writer is not None:
                 writer.close()
             if self.async_saver is not None:

@@ -22,7 +22,6 @@ import numpy as np
 
 from ..data.datasets import (FeatureStore, RetrievalDataset,
                              load_phrase_vocab)
-from ..data.synthetic import make_synthetic_root
 from ..data.tokenization import FastBertTokenizer as BertTokenizer
 from ..models.tasks import RetrievalModel
 from ..utils.logger import setup_logger
@@ -108,23 +107,20 @@ def two_stage_eval(args, model, variables, dataset, logger,
 
     @jax.jit
     def enc_txt(v, b):
-        seq = model.apply(v, b["input_ids_a"], b["input_mask_a"],
-                          b["segment_ids_a"],
-                          method=RetrievalModel.encode_text_seq)
-        glob = model.apply(v, b["input_ids_a"], b["input_mask_a"],
-                           b["segment_ids_a"],
-                           method=RetrievalModel.encode_text_only)
+        # ONE uni-modal encoder pass yields both the cacheable sequence
+        # (fine rerank) and the global embedding (coarse)
+        seq, glob = model.apply(v, b["input_ids_a"], b["input_mask_a"],
+                                b["segment_ids_a"],
+                                method=RetrievalModel.encode_text_full)
         return seq, glob
 
     @jax.jit
     def enc_img(v, b):
-        vis, mask = model.apply(v, b["input_ids_b"], b["input_mask_b"],
-                                b["segment_ids_b"], b["img_feat"],
-                                max_tag_length=mt,
-                                method=RetrievalModel.encode_image_seq)
-        glob = model.apply(v, b["input_ids_b"], b["input_mask_b"],
-                           b["segment_ids_b"], b["img_feat"],
-                           method=RetrievalModel.encode_image_only)
+        vis, mask, glob = model.apply(v, b["input_ids_b"],
+                                      b["input_mask_b"],
+                                      b["segment_ids_b"], b["img_feat"],
+                                      max_tag_length=mt,
+                                      method=RetrievalModel.encode_image_full)
         return vis, mask, glob
 
     @jax.jit
@@ -212,10 +208,13 @@ def two_stage_eval(args, model, variables, dataset, logger,
         # loud bounds check: a stale/mismatched shortlist file would
         # otherwise be silently clamped by the on-device gather and
         # corrupt the reported recalls
-        assert i2t_cands.min() >= 0 and i2t_cands.max() < n_cap, (
-            f"caption index out of range [0, {n_cap}): "
-            f"{i2t_cands.min()}..{i2t_cands.max()} — was the shortlist "
-            "built for this split/num_captions_per_img?")
+        if i2t_cands.min() < 0 or i2t_cands.max() >= n_cap:
+            # a bare assert is compiled out under python -O, re-enabling
+            # the silent on-device gather clamp this guards against
+            raise ValueError(
+                f"caption index out of range [0, {n_cap}): "
+                f"{i2t_cands.min()}..{i2t_cands.max()} — was the shortlist "
+                "built for this split/num_captions_per_img?")
         k_i2t = i2t_cands.shape[1]
         t2i_cands = None
         k_t2i = 0

@@ -173,6 +173,9 @@ def make_handler(pipes, batchers, device_lock, max_batch: int = 16):
                     if mode == "embedding":
                         out = [{k: v.tolist() for k, v in r.items()}
                                for r in out]
+                    elif mode == "mlm":
+                        # same schema as the single-request /v1/mlm route
+                        out = [f"recovered [MASK] tokens: {r}" for r in out]
                     self._send(200, {"results": out})
                     return
                 mode = self.path.rsplit("/", 1)[-1]
@@ -231,6 +234,7 @@ def main(argv=None):
     if args.platform == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.num_cpu_devices)
 
     pipes, store = build_pipelines(args)
     # warm the jitted forwards so the first request is not the compile
@@ -241,7 +245,10 @@ def main(argv=None):
         first_img = next(iter(store.keys()))
         for mode, pipe in pipes.items():
             try:
-                pipe.inference(first_img, "warmup [MASK]")
+                # every serving route (micro-batcher AND /v1/batch) runs
+                # inference_batch at batch_size=max_batch — warming the
+                # batch-1 program too would pay a full extra XLA compile
+                # for code no request ever executes
                 pipe.inference_batch([(first_img, "warmup [MASK]")]
                                      * args.max_batch,
                                      batch_size=args.max_batch)

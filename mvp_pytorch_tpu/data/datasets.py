@@ -191,7 +191,18 @@ class RetrievalDataset:
 
     # --- eval enumeration: captions-only / images-only batches ---
     def caption_arrays(self) -> Dict[str, np.ndarray]:
-        exs = [self.example(i) for i in range(len(self))]
+        # text-stream arrays only: tensorize against a zero-region dummy
+        # instead of example(i) — fetching real features here would do one
+        # TSV seek + ~0.5 MB base64 decode PER CAPTION only to discard
+        # every *_b output (5x image_arrays' total feature I/O for nothing)
+        dummy = np.zeros((1, self.cfg.img_feature_dim), np.float32)
+        exs = []
+        for i in range(len(self)):
+            _, cap = self._cap(i)
+            exs.append(tensorize_example(
+                self.tokenizer, cap["text"], dummy, "",
+                phrases_to_ids(cap.get("phrases", []), self.sg2id),
+                self.cfg))
         batch = collate(exs)
         return {k: batch[k] for k in
                 ("input_ids_a", "input_mask_a", "segment_ids_a")}
@@ -232,7 +243,8 @@ class PretrainDataset:
                  only_cap: bool = False,
                  exclude_ids: Optional[set] = None,
                  gt_labels_json: Optional[str] = None,
-                 visual_learning: bool = False):
+                 visual_learning: bool = False,
+                 restrict_to_features: bool = False):
         # use_gtlabels (reference oscar_tsv4.py:201-207): when a
         # ground-truth label map {image_id: [class, ...]} is provided,
         # its (deduplicated) classes replace the predicted tags
@@ -257,7 +269,8 @@ class PretrainDataset:
         self.qa_pairs = qa_pairs
         self._index: Optional[List[int]] = None   # row filter (None = all)
         self._qa_answers: List[str] = []          # negative-sampling pool
-        if qa_pairs or only_qa or only_cap or exclude_ids:
+        if (qa_pairs or only_qa or only_cap or exclude_ids
+                or restrict_to_features):
             assert not (only_qa and only_cap)
             keep, n_excluded = [], 0
             for i in range(len(self.tsv)):
@@ -268,6 +281,14 @@ class PretrainDataset:
                     continue
                 if (only_qa and not is_qa) or (only_cap and is_qa):
                     continue
+                # chunked feature TSVs: each chunk's dataset keeps only
+                # the corpus rows whose image lives in that chunk (the
+                # reference's datasets_with_splits role, oscar_tsv4.py:
+                # 44-45,96-100) — without this, N chunks over one corpus
+                # would duplicate every caption N times and KeyError on
+                # images from other chunks
+                if restrict_to_features and row[0] not in self.features:
+                    continue
                 keep.append(i)
                 if is_qa:
                     self._qa_answers.append(row[4])
@@ -277,7 +298,9 @@ class PretrainDataset:
     def __len__(self):
         return len(self._index) if self._index is not None else len(self.tsv)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int,
+                    epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        ep = self.epoch if epoch is None else epoch
         row_id = self._index[index] if self._index is not None else index
         row = self.tsv.seek(row_id)
         image_id, caption = row[0], row[1]
@@ -294,7 +317,7 @@ class PretrainDataset:
             text_b_tags = list(dict.fromkeys(self.gt_labels[image_id]))
         tokens_a = self.tokenizer.tokenize(caption)
         tokens_b = self.tokenizer.tokenize(" ".join(text_b_tags))
-        rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
+        rng = random.Random(f"{self.seed}:{ep}:{index}")
 
         if self.qa_pairs and qa_answer_text is not None:
             # 50/50 true pair vs random-answer swap (reference random_sent
@@ -329,8 +352,9 @@ class PretrainDataset:
             mask_prob=self.mask_prob, mask_visual=self.mask_visual,
             visual_learning=self.visual_learning)
 
-    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        return collate([self[int(i)] for i in indices])
+    def fetch(self, indices: np.ndarray,
+              epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        return collate([self.__getitem__(int(i), epoch) for i in indices])
 
 
 class VQADataset:
@@ -418,7 +442,9 @@ class VEDataset:
     def __len__(self):
         return len(self.items)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int,
+                    epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        ep = self.epoch if epoch is None else epoch
         item = self.items[index]
         img_id = item.get("Flickr30K_ID") or item["image_id"]
         feats, tags = self.features.get(img_id)
@@ -428,7 +454,7 @@ class VEDataset:
             text_a_tags=tags_for_text_a(tags, self.use_b_text,
                                         self.b_as_list))
         if self.mask_training:
-            rng = random.Random(f"{self.seed}:{self.epoch}:{index}")
+            rng = random.Random(f"{self.seed}:{ep}:{index}")
             mask_id = self.tokenizer.vocab["[MASK]"]
             sep_id = self.tokenizer.vocab[self.tokenizer.sep_token]
             ids = ex["input_ids_a"].copy()
@@ -443,8 +469,9 @@ class VEDataset:
         ex["label"] = np.int32(VE_LABELS[item["gold_label"]])
         return ex
 
-    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        return collate([self[int(i)] for i in indices])
+    def fetch(self, indices: np.ndarray,
+              epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        return collate([self.__getitem__(int(i), epoch) for i in indices])
 
 
 def compute_iou(box: Sequence[float], boxes: np.ndarray) -> np.ndarray:
@@ -594,18 +621,23 @@ class MultiCorpusPretrainDataset:
                     phrase_vocab_size=pvs, seed=seed, mask_prob=mask_prob,
                     mask_visual=mask_visual, qa_pairs=qa_pairs,
                     only_qa=only_qa, only_cap=only_cap,
-                    exclude_ids=exclude_ids))
+                    exclude_ids=exclude_ids,
+                    # each chunk covers a SUBSET of the corpus images
+                    restrict_to_features=len(feat_list) > 1))
         return cls(datasets)
 
     def __len__(self):
         return int(self._offsets[-1])
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int,
+                    epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         d = int(np.searchsorted(self._offsets, index, side="right") - 1)
-        return self.datasets[d][index - int(self._offsets[d])]
+        return self.datasets[d].__getitem__(index - int(self._offsets[d]),
+                                            epoch)
 
-    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        return collate([self[int(i)] for i in indices])
+    def fetch(self, indices: np.ndarray,
+              epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        return collate([self.__getitem__(int(i), epoch) for i in indices])
 
 
 class ImgOnlyDataset:
@@ -626,17 +658,19 @@ class ImgOnlyDataset:
     def __len__(self):
         return len(self.keys)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int,
+                    epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         feats, tags = self.features.get(self.keys[index])
         ex = PretrainExample(
             tokens_a=[], tokens_b=self.tokenizer.tokenize(" ".join(tags)),
             img_feat=feats, od_tags=[t.lower() for t in tags], guid=index)
-        rng = random.Random(f"img:{self.seed}:{index}")
+        rng = random.Random(f"img:{self.seed}:{epoch or 0}:{index}")
         return convert_example_to_features(ex, self.tokenizer, cfg=self.cfg,
                                            rng=rng, mask_prob=self.mask_prob)
 
-    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        return collate([self[int(i)] for i in indices])
+    def fetch(self, indices: np.ndarray,
+              epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        return collate([self.__getitem__(int(i), epoch) for i in indices])
 
 
 class TextOnlyDataset:
@@ -658,18 +692,20 @@ class TextOnlyDataset:
     def __len__(self):
         return len(self.tsv)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int,
+                    epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         row = self.tsv.seek(index)
         text = row[min(self.text_column, len(row) - 1)]
         dummy = np.zeros((1, self.cfg.img_feature_dim), np.float32)
         ex = PretrainExample(tokens_a=self.tokenizer.tokenize(text),
                              tokens_b=[], img_feat=dummy, guid=index)
-        rng = random.Random(f"txt:{self.seed}:{index}")
+        rng = random.Random(f"txt:{self.seed}:{epoch or 0}:{index}")
         return convert_example_to_features(ex, self.tokenizer, cfg=self.cfg,
                                            rng=rng, mask_prob=self.mask_prob)
 
-    def fetch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        return collate([self[int(i)] for i in indices])
+    def fetch(self, indices: np.ndarray,
+              epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        return collate([self.__getitem__(int(i), epoch) for i in indices])
 
 
 def re_score(logits: np.ndarray, labels: np.ndarray,

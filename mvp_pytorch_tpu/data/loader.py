@@ -58,9 +58,22 @@ class EpochShuffler:
                         del self._cache[k]
             return p
 
-    def index(self, global_pos: int) -> int:
-        epoch, offset = divmod(global_pos, self.n)
-        return int(self._perm(epoch)[offset])
+
+def _epoch_aware(fetch: Callable) -> Callable[[np.ndarray, int], Dict]:
+    """Adapt a dataset fetch to the (indices, epoch) calling convention.
+
+    Datasets whose masking rng is epoch-keyed accept fetch(indices, epoch)
+    — the loaders must pass the sampler's epoch or every epoch repeats the
+    epoch-0 masks (the reference re-masks per epoch via its per-__getitem__
+    random state + DistributedSampler.set_epoch)."""
+    import inspect
+    try:
+        takes_epoch = "epoch" in inspect.signature(fetch).parameters
+    except (TypeError, ValueError):
+        takes_epoch = False
+    if takes_epoch:
+        return lambda idx, epoch: fetch(idx, epoch)
+    return lambda idx, epoch: fetch(idx)
 
 
 class BatchSampler:
@@ -124,7 +137,7 @@ class PrefetchLoader:
     def __init__(self, fetch: Callable[[np.ndarray], Dict],
                  sampler: BatchSampler, start_step: int = 0,
                  prefetch: int = 4, num_threads: int = 4):
-        self.fetch = fetch
+        self.fetch = _epoch_aware(fetch)
         self.sampler = sampler
         self.start_step = start_step
         self.num_threads = max(1, num_threads)
@@ -151,7 +164,7 @@ class PrefetchLoader:
         try:
             while not self._stop.is_set():
                 idx = self.sampler.batch_at(step)
-                batch = self.fetch(idx)
+                batch = self.fetch(idx, self.sampler.epoch_at(step))
                 if not self._put(q, (step, batch)):
                     return
                 step += self.num_threads
@@ -223,7 +236,7 @@ class ProcessPrefetchLoader:
         import multiprocessing as mp
         import uuid
         self._ctx = mp.get_context("fork")
-        self.fetch = fetch
+        self.fetch = _epoch_aware(fetch)
         self.sampler = sampler
         self.start_step = start_step
         self.num_procs = max(1, num_procs)
@@ -264,7 +277,8 @@ class ProcessPrefetchLoader:
         step = self.start_step + worker_id
         shms, views = [], []
         try:
-            batch = self.fetch(self.sampler.batch_at(step))
+            batch = self.fetch(self.sampler.batch_at(step),
+                               self.sampler.epoch_at(step))
             keys, shapes, dtypes, offsets, total = self._layout(batch)
             for s in range(self.n_slots):
                 shm = shared_memory.SharedMemory(
@@ -295,7 +309,8 @@ class ProcessPrefetchLoader:
                 step += self.num_procs
                 if self._stop.is_set():
                     break
-                batch = self.fetch(self.sampler.batch_at(step))
+                batch = self.fetch(self.sampler.batch_at(step),
+                                   self.sampler.epoch_at(step))
         except Exception as e:  # noqa: BLE001 — propagate to consumer
             try:
                 q.put(("error", f"{type(e).__name__}: {e}"))

@@ -144,37 +144,48 @@ class InferencePipeline:
     def phrase_extract(self, text: str) -> List[int]:
         """SPICE scene-graph parse -> phrase vocab ids (reference :90-101).
         Returns [] (with the same contract) if the jar is unavailable."""
+        return self.phrase_extract_batch([text])[0]
+
+    def phrase_extract_batch(self, texts) -> List[List[int]]:
+        """One SPICE JVM invocation parses ALL texts (the jar's input is
+        already a JSON list): per-text subprocesses would dominate a
+        serving batch — each java -Xmx8G launch costs seconds before any
+        parsing happens."""
         jar = os.path.join(self.parser_path, "spice-1.0.jar")
         if not os.path.exists(jar) or not self.sg2id:
-            return []
+            return [[] for _ in texts]
         os.makedirs(self.phrase_cache_dir, exist_ok=True)
         # per-call temp files: fixed names in the shared per-user cache
         # dir race across concurrent pipelines/serve processes (one
         # request would silently receive another's phrase ids)
-        import tempfile
         fd_in, tmp_in = tempfile.mkstemp(suffix=".json", prefix="spice_in_",
                                          dir=self.phrase_cache_dir)
         fd_out, tmp_out = tempfile.mkstemp(suffix=".json",
                                            prefix="spice_out_",
                                            dir=self.phrase_cache_dir)
+        os.close(fd_out)   # immediately: a later failure must not leak it
         try:
             with os.fdopen(fd_in, "w") as f:
-                json.dump([{"image_id": "null", "test": text.lower(),
-                            "refs": []}], f)
-            os.close(fd_out)
+                json.dump([{"image_id": str(i), "test": t.lower(),
+                            "refs": []} for i, t in enumerate(texts)], f)
             subprocess.run(
                 ["java", "-Xmx8G", "-jar", jar, tmp_in, "-out", tmp_out,
                  "-threads", "20", "-detailed", "-silent"], check=True)
             with open(tmp_out) as f:
-                tuples = json.load(f)[0]["test_tuples"]
+                parsed = json.load(f)
         finally:
             for p in (tmp_in, tmp_out):
                 try:
                     os.unlink(p)
                 except OSError:
                     pass
-        nodes = [tuple(t["tuple"]) for t in tuples]
-        return [self.sg2id[t] for t in nodes if t in self.sg2id]
+        by_id = {str(r.get("image_id", i)): r for i, r in enumerate(parsed)}
+        out = []
+        for i in range(len(texts)):
+            rec = by_id.get(str(i), {})
+            nodes = [tuple(t["tuple"]) for t in rec.get("test_tuples", [])]
+            out.append([self.sg2id[t] for t in nodes if t in self.sg2id])
+        return out
 
     def tensorize_example(self, text_a, img_feat, text_b="",
                           phrase_nodes=None):
@@ -188,7 +199,6 @@ class InferencePipeline:
         batch for static shapes; returns a list of per-pair results
         (capability the reference pipeline lacks — it is batch-1 only)."""
         from .data.tensorize import collate
-        import jax
 
         if not hasattr(self, "_jit_fwd_batch"):
             self._jit_fwd_batch = jax.jit(
@@ -211,9 +221,10 @@ class InferencePipeline:
         else:
             od_out = [self.preprocess_img(p) for p in paths]
         exs = []
-        for (feat, tags), (_, text) in zip(od_out, pairs):
+        phrase_lists = self.phrase_extract_batch([t for _, t in pairs])
+        for (feat, tags), (_, text), ph in zip(od_out, pairs, phrase_lists):
             exs.append(self.tensorize_example(
-                text, feat, " ".join(tags), self.phrase_extract(text)))
+                text, feat, " ".join(tags), ph))
         results = []
         for i in range(0, len(exs), batch_size):
             chunk = exs[i:i + batch_size]

@@ -13,15 +13,53 @@ from mvp_pytorch_tpu.data.tokenization import BertTokenizer
 
 
 def test_epoch_shuffler_is_permutation_and_deterministic():
-    s1 = EpochShuffler(10, seed=3)
-    s2 = EpochShuffler(10, seed=3)
-    e0 = [s1.index(i) for i in range(10)]
+    # the single index derivation lives in BatchSampler._index (the old
+    # EpochShuffler.index duplicated it with divergent drop_last math)
+    s1 = BatchSampler(10, 1, seed=3)
+    s2 = BatchSampler(10, 1, seed=3)
+    e0 = [s1._index(i) for i in range(10)]
     assert sorted(e0) == list(range(10))
-    assert e0 == [s2.index(i) for i in range(10)]
-    e1 = [s1.index(10 + i) for i in range(10)]
+    assert e0 == [s2._index(i) for i in range(10)]
+    e1 = [s1._index(10 + i) for i in range(10)]
     assert sorted(e1) == list(range(10)) and e1 != e0
     # different seed -> different order
-    assert [EpochShuffler(10, seed=4).index(i) for i in range(10)] != e0
+    assert [BatchSampler(10, 1, seed=4)._index(i) for i in range(10)] != e0
+    # perms themselves stay deterministic objects
+    np.testing.assert_array_equal(EpochShuffler(10, seed=3)._perm(0),
+                                  EpochShuffler(10, seed=3)._perm(0))
+
+
+def test_epoch_keyed_masking_changes_across_epochs(tmp_path):
+    """The loader passes the sampler's epoch to fetch: the same example
+    must get a DIFFERENT mask pattern in epoch 1 than in epoch 0 (the
+    reference re-masks every epoch), and resume must reproduce it."""
+    root = make_synthetic_root(str(tmp_path / "synth"))
+    from mvp_pytorch_tpu.data.datasets import FeatureStore, PretrainDataset
+    tok = BertTokenizer(root["vocab"])
+    ds = PretrainDataset(root["corpus"], FeatureStore(root["features"]),
+                         tok, seed=5)
+    a0 = ds.__getitem__(0, epoch=0)["input_ids_a"]
+    a0b = ds.__getitem__(0, epoch=0)["input_ids_a"]
+    a1 = ds.__getitem__(0, epoch=1)["input_ids_a"]
+    np.testing.assert_array_equal(a0, a0b)
+    assert not np.array_equal(a0, a1), \
+        "epoch 1 produced identical masks to epoch 0"
+    # the loader actually drives the epoch: small n so epochs advance fast
+    s = BatchSampler(len(ds), 4, seed=1)
+    loader = PrefetchLoader(ds.fetch, s, num_threads=2)
+    seen = {}
+    for step, batch in loader:
+        seen[step] = batch["input_ids_a"].copy()
+        if step >= 2 * (len(ds) // 4):   # well into a later epoch
+            break
+    loader.close()
+    e0_step = 0
+    later = max(seen)
+    assert s.epoch_at(later) > s.epoch_at(e0_step)
+    # direct fetch with the right epoch reproduces the loader's batches
+    np.testing.assert_array_equal(
+        seen[later],
+        ds.fetch(s.batch_at(later), s.epoch_at(later))["input_ids_a"])
 
 
 def test_batch_sampler_resume_is_o1():
@@ -260,3 +298,49 @@ def test_process_loader_startup_failure_cleans_up():
         for s in range(loader.n_slots):
             assert not os.path.exists(
                 "/dev/shm/" + loader._slot_name(w, s))
+
+
+def test_multi_corpus_chunked_feature_tsvs(tmp_path):
+    """A corpus with CHUNKED feature TSVs (reference datasets_with_splits,
+    oscar_tsv4.py:44-45): each chunk's dataset keeps only the corpus rows
+    whose image lives in that chunk — captions appear exactly once across
+    the index space, and every row is fetchable (no KeyError on images
+    from other chunks)."""
+    import yaml
+    from mvp_pytorch_tpu.data.datasets import MultiCorpusPretrainDataset
+    from mvp_pytorch_tpu.data.tsv import TSVFile
+
+    root = make_synthetic_root(str(tmp_path / "c"), n_images=6, seed=0)
+    # split the feature TSV into two chunks of 3 images each
+    src = TSVFile(root["features"])
+    with open(root["features"].rsplit("/", 1)[0] + "/imageid2idx.json") as f:
+        id2idx = json.load(f)
+    ids = sorted(id2idx, key=id2idx.get)
+    for c, chunk_ids in enumerate((ids[:3], ids[3:])):
+        d = tmp_path / f"chunk{c}"
+        d.mkdir()
+        with open(d / "predictions.tsv", "w") as f_out:
+            offs = {}
+            for i, img in enumerate(chunk_ids):
+                row = src.seek(id2idx[img])
+                offs[img] = i
+                f_out.write("\t".join(row) + "\n")
+        with open(d / "imageid2idx.json", "w") as f_out:
+            json.dump(offs, f_out)
+
+    spec = {"corpora": [{"name": "c", "corpus_tsv": root["corpus"],
+                         "feature_tsv": [str(tmp_path / "chunk0" /
+                                             "predictions.tsv"),
+                                         str(tmp_path / "chunk1" /
+                                             "predictions.tsv")]}],
+            "id2phrase": root["id2phrase"], "tag2id": root["tag2id"],
+            "phrase_vocab_size": 20}
+    ypath = str(tmp_path / "corpora.yaml")
+    with open(ypath, "w") as f:
+        yaml.safe_dump(spec, f)
+    tok = BertTokenizer(root["vocab"])
+    ds = MultiCorpusPretrainDataset.from_yaml(ypath, tok)
+    n_rows = len(TSVFile(root["corpus"]))
+    assert len(ds) == n_rows, (len(ds), n_rows)   # once per caption, total
+    batch = ds.fetch(np.arange(len(ds)))          # every row fetchable
+    assert batch["input_ids_a"].shape[0] == n_rows

@@ -254,7 +254,7 @@ class BiEncoder(nn.Module):
                     txt_seq, attention_mask_a, only_vis, only_vis_mask,
                     return_at_layer=phrase_layer,
                     deterministic=deterministic)
-        if not encode_hn:
+        else:
             seq_out, pooled, mid_joint = self.fuse(
                 txt_seq, attention_mask_a, only_vis, only_vis_mask,
                 return_at_layer=phrase_layer, deterministic=deterministic)

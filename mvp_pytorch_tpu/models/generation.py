@@ -18,7 +18,6 @@ Two model contracts:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -35,8 +34,12 @@ def apply_repetition_penalty(logits, tokens, t, penalty: float):
     n, v = logits.shape
     l = tokens.shape[1]
     pos_mask = (jnp.arange(l)[None, :] < t)
-    onehot = jax.nn.one_hot(tokens, v, dtype=jnp.bool_.dtype)
-    used = jnp.any(onehot & pos_mask[..., None], axis=1)  # [N, V]
+    # O(N*L) scatter for the used-token mask (a one-hot reduce would be
+    # O(N*L*V) boolean work per decode step); invalid positions scatter
+    # into a sentinel column that is sliced off
+    cols = jnp.where(pos_mask, tokens, v)
+    used = jnp.zeros((n, v + 1), bool).at[
+        jnp.arange(n)[:, None], cols].set(True)[:, :v]
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(used, penalized, logits)
 
@@ -70,7 +73,9 @@ class GenerateOutput(NamedTuple):
     #                           at a forced-EOS last slot — that token was
     #                           never sampled, so REINFORCE-style consumers
     #                           must not credit it)
-    lengths: jax.Array        # [N] generated length incl. EOS
+    lengths: jax.Array        # [N] EOS position + 1, i.e. sequence length
+    #                           incl. BOS and EOS (the SCST consumer
+    #                           excludes the BOS slot itself via steps>=1)
     finished: jax.Array       # [N] bool: emitted EOS naturally (False means
     #                           the last-slot EOS was force-filled)
 
@@ -281,7 +286,10 @@ def beam_search_cached(prefill_fn: Callable, step_fn: Callable,
         # reorder cache rows to follow the surviving beams
         src_beam = jnp.take_along_axis(beam_idx, alive_sel, axis=1)  # [B, K]
         flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)
-        cache = jnp.take(cache, flat_src, axis=1)
+        # cache may be any pytree; every leaf carries the b*k beam rows
+        # on axis 1 (the generate_cached/prefill contract)
+        cache = jax.tree_util.tree_map(
+            lambda c: jnp.take(c, flat_src, axis=1), cache)
         return (tokens, cache, alive_logp, fin_tokens, fin_scores), None
 
     carry = (tokens, cache, alive_logp, fin_tokens, fin_scores)

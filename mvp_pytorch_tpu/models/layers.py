@@ -17,7 +17,7 @@ stack is a static Python loop (6 layers) that XLA fully unrolls and fuses.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -237,9 +237,6 @@ class StreamEncoder(nn.Module):
         cfg = self.config
         mid = None
         states = []
-        layer_cls = TransformerLayer
-        if cfg.remat:
-            layer_cls = nn.remat(TransformerLayer, static_argnums=())
         per_layer = isinstance(bias, (list, tuple))
         for i in range(self.num_layers):
             hist = None if history_states is None else history_states[i]
@@ -248,8 +245,18 @@ class StreamEncoder(nn.Module):
                 states.append(hidden)
             use_moe = (cfg.moe_experts > 0
                        and (i + 1) % max(cfg.moe_every, 1) == 0)
-            hidden = layer_cls(cfg, use_moe=use_moe, name=f"layer_{i}")(
-                hidden, b, history_state=hist, deterministic=deterministic)
+            layer = TransformerLayer(cfg, use_moe=use_moe, name=f"layer_{i}")
+            if cfg.remat:
+                # function-form remat closing over the STATIC kwargs:
+                # nn.remat(TransformerLayer) would trace `deterministic`
+                # and nn.Dropout's `if deterministic:` crashes on the
+                # traced bool (TracerBoolConversionError)
+                def _body(mdl, h, bb, hh, _det=deterministic):
+                    return mdl(h, bb, history_state=hh, deterministic=_det)
+                hidden = nn.remat(_body)(layer, hidden, b, hist)
+            else:
+                hidden = layer(hidden, b, history_state=hist,
+                               deterministic=deterministic)
             if return_at_layer is not None and i == return_at_layer:
                 mid = hidden
         if collect_states:

@@ -31,13 +31,12 @@ parameters (equivalence-tested in tests/test_pipeline_parallel.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8
     from jax import shard_map as _shard_map

@@ -366,3 +366,39 @@ def test_multiple_choice_model(cfg):
     loss_b, _ = model.apply(v, ids, mask[..., :l], seg, None, labels=labels,
                             deterministic=True)
     assert np.isfinite(float(loss_b))
+
+
+def test_remat_runs_and_matches(devices):
+    """config.remat (jax.checkpoint each encoder layer) must actually be
+    enableable — nn.remat(TransformerLayer) used to trace the
+    `deterministic` bool and crash in nn.Dropout — and be a pure
+    memory/time trade: identical outputs and gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvp_pytorch_tpu.models import tiny_config
+    from mvp_pytorch_tpu.models.layers import StreamEncoder, mask_to_bias
+
+    h = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 6, 32).astype(np.float32))
+    bias = mask_to_bias(jnp.ones((2, 6), jnp.int32))
+    outs, grads = [], []
+    for remat in (False, True):
+        cfg = tiny_config(remat=remat, hidden_dropout_prob=0.1,
+                          attention_probs_dropout_prob=0.1)
+        enc = StreamEncoder(cfg, num_layers=2)
+        v = enc.init(jax.random.PRNGKey(0), h, bias)
+
+        def loss(p):
+            out, _ = enc.apply({"params": p}, h, bias, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.sum(out ** 2)
+
+        l, g = jax.value_and_grad(loss)(v["params"])
+        outs.append(float(l))
+        grads.append(g)
+    assert np.isclose(outs[0], outs[1], rtol=1e-6), outs
+    for a, b in zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

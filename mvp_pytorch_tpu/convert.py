@@ -116,8 +116,19 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     # is NOT the embedding slice is the trained VQA answer classifier and
     # must be mapped, not dropped
     _vqa_dec = sd.get("cls.predictions.decoder.weight")
-    cls_pred_is_vqa = (_vqa_dec is not None
-                       and not _is_tied_to_embeddings(_vqa_dec))
+    if _vqa_dec is not None and emb is None:
+        # partial checkpoint (no word-embedding table): the tie cannot be
+        # verified by value. A tied MLM decoder spans the wordpiece vocab
+        # (30,522 rows); a VQA answer head is a few-thousand-row
+        # classifier — decide by shape, loudly
+        cls_pred_is_vqa = _vqa_dec.shape[0] < 30000
+        print("convert WARNING: cls.predictions.decoder present but no "
+              "word-embedding table to verify the MLM tie against; "
+              f"classifying by shape ({_vqa_dec.shape[0]} rows) as "
+              f"{'VQA answer head' if cls_pred_is_vqa else 'tied MLM'}")
+    else:
+        cls_pred_is_vqa = (_vqa_dec is not None
+                           and not _is_tied_to_embeddings(_vqa_dec))
     for dec_key in ("cls.predictions.decoder.weight", "half_mlm.decoder.weight"):
         dec = sd.get(dec_key)
         if dec is not None and emb is not None \

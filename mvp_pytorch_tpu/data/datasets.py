@@ -591,7 +591,10 @@ class MultiCorpusPretrainDataset:
     def from_yaml(cls, yaml_path: str, tokenizer, cfg=None, seed: int = 0,
                   mask_prob: float = 0.15, mask_visual: bool = True,
                   qa_pairs: bool = False, only_qa: bool = False,
-                  only_cap: bool = False):
+                  only_cap: bool = False, exclude_ids: Optional[set] = None,
+                  gt_labels_json: Optional[str] = None,
+                  feature_dim: int = 2054, visual_learning: bool = False,
+                  override_tag2id: Optional[Dict[str, int]] = None):
         from ..utils.misc import load_from_yaml_file
         from .tensorize import TensorizeConfig
         spec = load_from_yaml_file(yaml_path)
@@ -606,22 +609,30 @@ class MultiCorpusPretrainDataset:
         pvs = int(spec.get("phrase_vocab_size", 0))
         # yaml key fk_test_id: newline-separated image ids excluded from
         # every corpus (reference Flickr30k test exclusion, ml2 :50,154-162)
-        exclude_ids = None
+        # — merged with any caller-supplied exclude set (CLI
+        # --exclude_ids_file)
         if spec.get("fk_test_id"):
             with open(spec["fk_test_id"]) as f:
-                exclude_ids = {ln.strip() for ln in f if ln.strip()}
+                yaml_excl = {ln.strip() for ln in f if ln.strip()}
+            exclude_ids = (yaml_excl | exclude_ids) if exclude_ids \
+                else yaml_excl
+        if override_tag2id is not None:
+            tag2id = override_tag2id
         datasets = []
         for c in spec["corpora"]:
             feats = c["feature_tsv"]
             feat_list = feats if isinstance(feats, list) else [feats]
             for chunk in feat_list:   # chunked feature TSVs
                 datasets.append(PretrainDataset(
-                    c["corpus_tsv"], FeatureStore(chunk), tokenizer,
+                    c["corpus_tsv"],
+                    FeatureStore(chunk, feature_dim=feature_dim), tokenizer,
                     sg2id=sg2id, cfg=cfg, tag2id=tag2id,
                     phrase_vocab_size=pvs, seed=seed, mask_prob=mask_prob,
                     mask_visual=mask_visual, qa_pairs=qa_pairs,
                     only_qa=only_qa, only_cap=only_cap,
                     exclude_ids=exclude_ids,
+                    gt_labels_json=gt_labels_json,
+                    visual_learning=visual_learning,
                     # each chunk covers a SUBSET of the corpus images
                     restrict_to_features=len(feat_list) > 1))
         return cls(datasets)

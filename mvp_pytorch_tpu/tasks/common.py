@@ -294,7 +294,8 @@ class TrainLoop:
     """Sampler + prefetch + trainer + checkpoint/resume + metrics."""
 
     def __init__(self, args, loss_fn, params, dataset, config,
-                 extra_meta: Optional[dict] = None, logger=None):
+                 extra_meta: Optional[dict] = None, logger=None,
+                 tx_wrap=None):
         self.args = args
         self.logger = logger or setup_logger("train", args.output_dir)
         mp = max(1, getattr(args, "model_parallel", 1))
@@ -312,6 +313,11 @@ class TrainLoop:
             weight_decay=args.weight_decay,
             eps=getattr(args, "adam_epsilon", 1e-8),
             max_grad_norm=args.max_grad_norm)
+        if tx_wrap is not None:
+            # optimizer wrappers (e.g. ve's freeze_prefix_until) must apply
+            # BEFORE state init/restore: they change the opt_state pytree,
+            # and a post-hoc swap would discard a resumed checkpoint
+            tx = tx_wrap(tx)
         self.trainer = Trainer(loss_fn, tx, self.mesh,
                                grad_accum=args.gradient_accumulation_steps,
                                tensor_parallel=mp > 1,

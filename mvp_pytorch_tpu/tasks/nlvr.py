@@ -58,8 +58,23 @@ class NLVRDataset:
                                 "input_mask_b", "segment_ids_b", "img_feat")}
         ex.update({f"{k}2": b[k] for k in ("input_ids_b", "input_mask_b",
                                            "segment_ids_b", "img_feat")})
-        ex["label"] = np.int32(
-            1 if str(it.get("label")).lower() == "true" else 0)
+        raw = it.get("label")
+        if isinstance(raw, bool):
+            lab = int(raw)
+        elif isinstance(raw, int) and raw in (0, 1):
+            lab = raw
+        else:
+            t = str(raw).strip().lower()
+            if t in ("true", "1"):
+                lab = 1
+            elif t in ("false", "0"):
+                lab = 0
+            else:
+                # a silent default-to-0 would train a constant-false
+                # model on e.g. integer-labeled data with no error
+                raise ValueError(
+                    f"NLVR item {index}: unrecognized label {raw!r}")
+        ex["label"] = np.int32(lab)
         return ex
 
     def fetch(self, indices):
@@ -96,6 +111,11 @@ def main(argv=None):
     features = FeatureStore(args.feature_tsv,
                             feature_dim=args.img_feature_dim)
     dataset = NLVRDataset(args.train_jsonl, features, tokenizer, tcfg)
+    # eval on the EVAL split (reference run-time contract); previously the
+    # hook silently scored the training set
+    eval_dataset = (NLVRDataset(args.eval_jsonl, features, tokenizer, tcfg)
+                    if args.eval_jsonl and args.eval_jsonl != args.train_jsonl
+                    else dataset)
     model = NLVRModel(cfg)
     mt = args.max_tag_length
 
@@ -123,6 +143,13 @@ def main(argv=None):
         acc = jnp.mean(jnp.argmax(logits, 1) == batch["label"])
         return loss, {"acc": acc}
 
+    # one jitted eval forward reused across eval_hook calls (a fresh
+    # @jax.jit closure per call recompiles the full model every periodic
+    # eval; same pattern as re_task._EVAL_FWD_CACHE)
+    @jax.jit
+    def eval_fwd(v, b):
+        return model.apply(v, *model_inputs(b), max_tag_length=mt)
+
     def eval_hook(step, p):
         if not args.do_eval:
             return None
@@ -131,22 +158,19 @@ def main(argv=None):
                                             process_shard_indices)
         from ..parallel.mesh import EvalSharder
         sharder = EvalSharder(bs, getattr(args, "model_parallel", 1))
-        total = len(dataset)
+        total = len(eval_dataset)
         idx = process_shard_indices(total)
         corr = []
-
-        @jax.jit
-        def fwd(v, b):
-            return model.apply(v, *model_inputs(b), max_tag_length=mt)
 
         for i in range(0, len(idx), bs):
             chunk = idx[i:i + bs]
             if len(chunk) < bs:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - len(chunk))])
-            batch = dataset.fetch(chunk)
-            logits = np.asarray(fwd({"params": p},
-                                    sharder.put_batch(batch)))
+            batch = eval_dataset.fetch(chunk)
+            model_batch = {k: v for k, v in batch.items() if k != "label"}
+            logits = np.asarray(eval_fwd({"params": p},
+                                         sharder.put_batch(model_batch)))
             n = min(bs, len(idx) - i)
             corr.append(logits[:n].argmax(1) == batch["label"][:n])
         (corr,) = gather_eval_arrays(total, np.concatenate(corr))

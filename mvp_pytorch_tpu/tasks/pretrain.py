@@ -114,12 +114,15 @@ class CombinedDataset:
     def __len__(self):
         return len(self.main)
 
-    def fetch(self, indices):
+    def fetch(self, indices, epoch=None):
         import numpy as np
         n_extra = max(1, len(indices) // self.divisor)
         extra_idx = (np.asarray(indices[:n_extra]) * 7919 + 13) % len(self.extra)
-        return {"main": self.main.fetch(indices),
-                "extra": self.extra.fetch(extra_idx)}
+        # epoch threads through to BOTH streams' epoch-keyed mask rngs
+        # (the loaders sniff this signature — without the param, per-epoch
+        # re-masking would silently disable under --extra_mode)
+        return {"main": self.main.fetch(indices, epoch),
+                "extra": self.extra.fetch(extra_idx, epoch)}
 
 
 def main(argv=None):
@@ -187,7 +190,12 @@ def main(argv=None):
         dataset = MultiCorpusPretrainDataset.from_yaml(
             args.dataset_yaml, tokenizer, cfg=tcfg, seed=args.seed,
             mask_prob=args.mask_prob, qa_pairs=args.use_qa_pairs,
-            only_qa=args.only_qa, only_cap=args.only_cap)
+            only_qa=args.only_qa, only_cap=args.only_cap,
+            exclude_ids=exclude_ids,
+            gt_labels_json=args.gt_labels_json,
+            feature_dim=args.img_feature_dim,
+            visual_learning=args.visual_learning,
+            override_tag2id=(tag2id if args.visual_learning else None))
     else:
         dataset = PretrainDataset(
             args.corpus_tsv, FeatureStore(args.feature_tsv,
@@ -347,7 +355,11 @@ def main(argv=None):
             metrics["moe_aux"] = aux
         return total, metrics
 
-    if args.mlm_debug and is_main_process():
+    if args.mlm_debug:
+        # the forward runs on EVERY process (params are global arrays on a
+        # multi-controller mesh — a rank-0-only jit would touch
+        # non-addressable leaves and hang the other ranks); only the file
+        # write is rank-0-gated below
         # the reference's guid<1 sample dump (oscar_tsv4.py:1063-1077):
         # log the first tensorized example's text tokens for sanity
         raw = dataset.fetch(np.arange(1))
@@ -361,7 +373,11 @@ def main(argv=None):
         tokenizer.save_pretrained(args.output_dir)
     state = loop.run()
 
-    if args.mlm_debug and is_main_process():
+    if args.mlm_debug:
+        # the forward runs on EVERY process (params are global arrays on a
+        # multi-controller mesh — a rank-0-only jit would touch
+        # non-addressable leaves and hang the other ranks); only the file
+        # write is rank-0-gated below
         # one deterministic forward with the intermediates collection
         # mutable: dump inputs + top-1 MLM predictions (reference
         # mlm_res.pt contract, run_pretrain_ml.py:544-550)
@@ -385,14 +401,15 @@ def main(argv=None):
             return mut["intermediates"]["mlm_debug"][0]
 
         pred, labels, weights = jax.device_get(dbg(state.params, batch))
-        path = os.path.join(args.output_dir, "mlm_res.npz")
-        np.savez(path, input_ids_a=raw["input_ids_a"],
-                 lm_label_ids_a=raw["lm_label_ids_a"],
-                 mlm_pred=pred, mlm_labels=labels, mlm_weights=weights)
-        n = max(weights.sum(), 1.0)
-        acc = float(((pred == labels) * weights).sum() / n)
-        logger.info(f"mlm_debug: dumped {path} (masked-token top-1 "
-                    f"acc {acc:.4f} over {int(weights.sum())} positions)")
+        if is_main_process():
+            path = os.path.join(args.output_dir, "mlm_res.npz")
+            np.savez(path, input_ids_a=raw["input_ids_a"],
+                     lm_label_ids_a=raw["lm_label_ids_a"],
+                     mlm_pred=pred, mlm_labels=labels, mlm_weights=weights)
+            n = max(weights.sum(), 1.0)
+            acc = float(((pred == labels) * weights).sum() / n)
+            logger.info(f"mlm_debug: dumped {path} (masked-token top-1 "
+                        f"acc {acc:.4f} over {int(weights.sum())} positions)")
     logger.info("pretraining done")
 
 

@@ -30,7 +30,8 @@ from .common import (restore_training_settings,  # noqa: E501
                      TrainLoop, add_common_args, build_config, init_runtime,
                      load_params_or_init, tensorize_cfg)
 from .retrieval_eval import (coarse_candidates, coarse_ranks, evaluate_ranks,
-                             fine_ranks_i2t, fine_ranks_t2i)
+                             fine_ranks_i2t, fine_ranks_t2i,
+                             mask_shortlist_misses)
 
 
 def get_args(argv=None):
@@ -263,7 +264,8 @@ def two_stage_eval(args, model, variables, dataset, logger,
     i2t_scores = scores[: n_img * k_i2t].reshape(n_img, k_i2t)
     if skip_t2i:
         fine_res = evaluate_ranks(
-            fine_ranks_i2t(i2t_scores, i2t_cands, cpi), None)
+            mask_shortlist_misses(
+                fine_ranks_i2t(i2t_scores, i2t_cands, cpi), k_i2t), None)
     elif not score_t2i:
         # cross_image_eval: i2t scored the full matrix; scatter it back
         # to [n_img, n_cap] order and read t2i ranks from the transpose
@@ -272,13 +274,18 @@ def two_stage_eval(args, model, variables, dataset, logger,
         t2i_full_cands = np.argsort(-full.T, axis=1)       # [n_cap, n_img]
         t2i_full_scores = np.take_along_axis(full.T, t2i_full_cands, 1)
         fine_res = evaluate_ranks(
-            fine_ranks_i2t(i2t_scores, i2t_cands, cpi),
-            fine_ranks_t2i(t2i_full_scores, t2i_full_cands, cpi))
+            mask_shortlist_misses(
+                fine_ranks_i2t(i2t_scores, i2t_cands, cpi), k_i2t),
+            mask_shortlist_misses(
+                fine_ranks_t2i(t2i_full_scores, t2i_full_cands, cpi),
+                t2i_full_cands.shape[1]))
     else:
         t2i_scores = scores[n_img * k_i2t:].reshape(n_cap, k_t2i)
         fine_res = evaluate_ranks(
-            fine_ranks_i2t(i2t_scores, i2t_cands, cpi),
-            fine_ranks_t2i(t2i_scores, t2i_cands, cpi))
+            mask_shortlist_misses(
+                fine_ranks_i2t(i2t_scores, i2t_cands, cpi), k_i2t),
+            mask_shortlist_misses(
+                fine_ranks_t2i(t2i_scores, t2i_cands, cpi), k_t2i))
     logger.info(f"fine: {json.dumps(fine_res)}")
     return {"coarse": coarse_res, "fine": fine_res}
 

@@ -91,6 +91,17 @@ def fine_ranks_t2i(scores: np.ndarray, cand_imgs: np.ndarray,
     return ranks
 
 
+def mask_shortlist_misses(ranks: np.ndarray, k: int) -> np.ndarray:
+    """Map the reference's not-in-shortlist sentinel (rank == shortlist
+    length k, compute_ranks run_retrieval.py:441-447) past any recall
+    threshold: with a shortlist shorter than a recall cutoff (k < 10),
+    `rank=k` would otherwise count an outright retrieval MISS as an R@10
+    hit. fine_ranks_* stay sentinel-exact for the parity oracle; callers
+    apply this before recall_at_k."""
+    r = np.asarray(ranks)
+    return np.where(r >= k, np.iinfo(np.int64).max, r)
+
+
 def evaluate_ranks(i2t_ranks, t2i_ranks) -> Dict[str, Dict[str, float]]:
     out = {"i2t_retrieval": recall_at_k(i2t_ranks)}
     if t2i_ranks is not None and len(t2i_ranks):

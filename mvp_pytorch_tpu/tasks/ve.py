@@ -60,14 +60,31 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def evaluate(args, model, variables, dataset, mt):
-    @jax.jit
-    def fwd(v, batch):
-        return model.apply(v, batch["input_ids_a"], batch["input_mask_a"],
-                           batch["segment_ids_a"], batch["input_ids_b"],
-                           batch["input_mask_b"], batch["segment_ids_b"],
-                           batch["img_feat"], max_tag_length=mt)
+_EVAL_FWD_CACHE: dict = {}
 
+
+def _eval_fwd(model, mt):
+    # one jitted forward per (model, mt), reused across evaluate() calls —
+    # a fresh @jax.jit closure per call retraces/recompiles the full model
+    # at EVERY periodic eval (jit caches by function identity; same
+    # pattern as re_task.py)
+    key = (id(model), mt)
+    if key not in _EVAL_FWD_CACHE:
+        @jax.jit
+        def fwd(v, batch):
+            return model.apply(v, batch["input_ids_a"],
+                               batch["input_mask_a"],
+                               batch["segment_ids_a"],
+                               batch["input_ids_b"],
+                               batch["input_mask_b"],
+                               batch["segment_ids_b"],
+                               batch["img_feat"], max_tag_length=mt)
+        _EVAL_FWD_CACHE[key] = fwd
+    return _EVAL_FWD_CACHE[key]
+
+
+def evaluate(args, model, variables, dataset, mt):
+    fwd = _eval_fwd(model, mt)
     bs = args.eval_batch_size
     # under multi-process: this rank scores its sequential shard, the
     # per-example correctness flags are gathered+unpadded across ranks
@@ -86,7 +103,8 @@ def evaluate(args, model, variables, dataset, mt):
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
                                                      bs - len(chunk))])
         batch = dataset.fetch(chunk)
-        logits = np.asarray(fwd(variables, sharder.put_batch(batch)))
+        model_batch = {k: v for k, v in batch.items() if k != "label"}
+        logits = np.asarray(fwd(variables, sharder.put_batch(model_batch)))
         n = min(bs, len(idx) - i)
         corr.append((logits[:n].argmax(1) == batch["label"][:n]))
     (corr,) = gather_eval_arrays(total, np.concatenate(corr))
@@ -180,13 +198,17 @@ def main(argv=None):
         return {"ve_accuracy": acc}
 
     if args.do_train:
-        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger)
+        # freeze wrap goes through TrainLoop so it lands BEFORE state
+        # init/restore — the old post-hoc tx swap re-initialized
+        # loop.state and silently discarded a resumed checkpoint
+        tx_wrap = None
         if args.freeze_steps > 0:
             from ..training.optim import freeze_prefix_until
-            loop.trainer.tx = freeze_prefix_until(
-                loop.trainer.tx, "bert", args.freeze_steps)
-            loop.state = loop.trainer.init_state(
-                params, jax.random.PRNGKey(args.seed))
+
+            def tx_wrap(tx):
+                return freeze_prefix_until(tx, "bert", args.freeze_steps)
+        loop = TrainLoop(args, loss_fn, params, dataset, cfg, logger=logger,
+                         tx_wrap=tx_wrap)
         if is_main_process():
             tokenizer.save_pretrained(args.output_dir)
         state = loop.run(eval_hook)

@@ -81,14 +81,31 @@ def vqa_accuracy(logits: np.ndarray, targets: np.ndarray) -> float:
     return float(targets[np.arange(len(pick)), pick].sum() / len(pick))
 
 
-def evaluate(args, model, variables, dataset, mt):
-    @jax.jit
-    def fwd(v, batch):
-        return model.apply(v, batch["input_ids_a"], batch["input_mask_a"],
-                           batch["segment_ids_a"], batch["input_ids_b"],
-                           batch["input_mask_b"], batch["segment_ids_b"],
-                           batch["img_feat"], max_tag_length=mt)
+_EVAL_FWD_CACHE: dict = {}
 
+
+def _eval_fwd(model, mt):
+    # one jitted forward per (model, mt), reused across evaluate() calls —
+    # a fresh @jax.jit closure per call retraces/recompiles the full model
+    # at EVERY periodic eval (jit caches by function identity; same
+    # pattern as re_task.py)
+    key = (id(model), mt)
+    if key not in _EVAL_FWD_CACHE:
+        @jax.jit
+        def fwd(v, batch):
+            return model.apply(v, batch["input_ids_a"],
+                               batch["input_mask_a"],
+                               batch["segment_ids_a"],
+                               batch["input_ids_b"],
+                               batch["input_mask_b"],
+                               batch["segment_ids_b"],
+                               batch["img_feat"], max_tag_length=mt)
+        _EVAL_FWD_CACHE[key] = fwd
+    return _EVAL_FWD_CACHE[key]
+
+
+def evaluate(args, model, variables, dataset, mt):
+    fwd = _eval_fwd(model, mt)
     bs = args.eval_batch_size
     # process-sharded eval + rank-ordered gather (reference
     # SequentialDistributedSampler + distributed_concat); within the
@@ -107,7 +124,9 @@ def evaluate(args, model, variables, dataset, mt):
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:],
                                                      bs - len(chunk))])
         batch = dataset.fetch(chunk)
-        out = np.asarray(fwd(variables, sharder.put_batch(batch)))
+        model_batch = {k: v for k, v in batch.items()
+                       if k not in ("label", "question_id")}
+        out = np.asarray(fwd(variables, sharder.put_batch(model_batch)))
         n = min(bs, len(idx) - i)
         logits.append(out[:n])
         targets.append(batch["label"][:n])

@@ -419,3 +419,38 @@ def test_sharded_checkpoint_ignores_stale_and_rejects_partial(tmp_path,
              **{"w|0:4": np.zeros(4, np.float32)})
     with pytest.raises(ValueError, match="covered 4/8"):
         sc.consolidate(d3)
+
+
+@pytest.mark.slow
+def test_ve_freeze_steps_resume_continues_state(tmp_path):
+    """--freeze_steps used to swap the optimizer AFTER TrainLoop restored
+    the checkpoint and re-init state from scratch — a resumed run
+    silently restarted from fresh weights. Resumed losses must match the
+    straight run step for step."""
+    ve_args = ["-m", "mvp_pytorch_tpu.tasks.ve", "--synthetic", "--tiny",
+               "--train_batch_size", "8", "--do_train", "--dtype",
+               "float32", "--platform", "cpu", "--log_period", "1",
+               "--hidden_dropout_prob", "0.0", "--freeze_steps", "2",
+               "--num_cpu_devices", "8"]
+
+    def run(outdir, max_steps, ckpt):
+        cmd = [sys.executable] + ve_args + [
+            "--output_dir", outdir, "--max_steps", str(max_steps),
+            "--ckpt_period", str(ckpt)]
+        p = subprocess.run(cmd, cwd="/root/repo", env=_env(), text=True,
+                           capture_output=True, timeout=1500)
+        assert p.returncode == 0, p.stdout + p.stderr
+
+    straight = str(tmp_path / "straight")
+    run(straight, 6, 3)
+    resumed = str(tmp_path / "resumed")
+    run(resumed, 3, 3)          # stop at 3 (checkpoint written)
+    run(resumed, 6, 3)          # resume 3 -> 6
+    l_s, l_r = _read_losses(straight), _read_losses(resumed)
+    for step in (4, 5, 6):
+        assert step in l_s and step in l_r, (sorted(l_s), sorted(l_r))
+        # separate processes see oneDNN reduction-order noise of ~3e-5;
+        # the regression this guards (resume silently restarting from
+        # fresh weights) shifts losses by O(0.1)
+        assert abs(l_s[step] - l_r[step]) < 5e-4, (step, l_s[step],
+                                                   l_r[step])

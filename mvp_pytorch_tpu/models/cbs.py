@@ -80,12 +80,27 @@ def build_fsm(constraints: Sequence[Sequence[int]], vocab_size: int,
         else:
             nxt_state = s | (1 << i)
         fsm[cs, nxt_state, nxt_tok] = True
-        # failing the chain: START tokens re-enter their constraint just
-        # as from the source state (e.g. "new new york" must still match
-        # ["new","york"]) — without these restart arcs a failed chain
-        # consumes the restart token and the match is lost; everything
-        # else falls back to the source state
+        # failing the chain: KMP failure arcs — after matching
+        # words[:step] and seeing t != words[step], the longest suffix of
+        # words[:step]+[t] that is still a PREFIX of words stays matched
+        # (e.g. constraint [a,a,b] on stream a,a,a,b keeps depth 2 at the
+        # third `a`; [new,york] on "new new york" re-enters at depth 1).
+        # The reference resets sub-states straight to the source
+        # (cbs.py:850-854) and loses these matches — deliberate
+        # capability+ here; the CBS search itself stays oracle-exact.
         handled = {nxt_tok}
+        for t in set(words):
+            if t in handled:
+                continue
+            buf = list(words[:step]) + [t]
+            k = 0
+            for kk in range(min(step, len(words) - 1), 0, -1):
+                if list(buf[-kk:]) == list(words[:kk]):
+                    k = kk
+                    break
+            if k > 0:
+                fsm[cs, chain_index[(s, i, k)], t] = True
+                handled.add(t)
         for j, words_j in enumerate(constraints):
             if (s >> j) & 1:
                 continue

@@ -20,15 +20,14 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import mask_to_bias
-from ..ops.masked import (cross_entropy, gather_masked_positions,
-                          masked_cross_entropy)
+from ..ops.masked import gather_masked_positions, masked_cross_entropy
 from .config import ModelConfig
 from .heads import (LMPredictionHead, MRFMRCHeads, ClassifierHead,
                     SeqRelationshipHead)
@@ -53,13 +52,9 @@ class ImgBertModel(nn.Module):
             self.code_embeddings = nn.Embed(
                 self.code_voc, self.code_dim, dtype=jnp.dtype(cfg.dtype),
                 name="code_embeddings")
-            self.img_embedding = nn.Dense(
-                cfg.hidden_size, kernel_init=dense_init(cfg),
-                dtype=jnp.dtype(cfg.dtype), name="img_embedding")
-        else:
-            self.img_embedding = nn.Dense(
-                cfg.hidden_size, kernel_init=dense_init(cfg),
-                dtype=jnp.dtype(cfg.dtype), name="img_embedding")
+        self.img_embedding = nn.Dense(
+            cfg.hidden_size, kernel_init=dense_init(cfg),
+            dtype=jnp.dtype(cfg.dtype), name="img_embedding")
         if cfg.use_img_layernorm:
             self.img_norm = nn.LayerNorm(
                 epsilon=cfg.img_layer_norm_eps, dtype=jnp.dtype(cfg.dtype),
@@ -72,6 +67,23 @@ class ImgBertModel(nn.Module):
     def img_kernel(self):
         return self.img_embedding.variables["params"]["kernel"]
 
+    def embed_image(self, img_feats, *, deterministic: bool = True):
+        """Project image features to hidden size, honoring the dis_code
+        discrete-code variants (reference modeling_vlbert.py:219-228,
+        315-325 — dropout applies to CONTINUOUS features only). Shared by
+        the training forward and the cached-decode prefill so the two
+        paths cannot diverge."""
+        ft = self.config.img_feature_type
+        if ft.startswith("dis_code"):
+            code = self.code_embeddings(img_feats)        # [B, N, code_dim]
+            if ft == "dis_code_t":
+                code = jnp.swapaxes(code, 1, 2)
+            return self.img_embedding(code)
+        img = self.img_embedding(img_feats)
+        if self.config.use_img_layernorm:
+            img = self.img_norm(img)
+        return self.img_dropout(img, deterministic=deterministic)
+
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
                  position_ids=None, img_feats=None, *,
                  deterministic: bool = True):
@@ -80,20 +92,7 @@ class ImgBertModel(nn.Module):
         emb = self.embeddings(input_ids, token_type_ids, position_ids,
                               deterministic=deterministic)
         if img_feats is not None:
-            ft = self.config.img_feature_type
-            if ft.startswith("dis_code"):
-                code = self.code_embeddings(img_feats)    # [B, N, code_dim]
-                if ft == "dis_code_t":
-                    code = jnp.swapaxes(code, 1, 2)
-                img = self.img_embedding(code)
-                # reference applies dropout only to CONTINUOUS features
-                # (modeling_vlbert.py:315-325 — the dis_code paths never
-                # call self.dropout)
-            else:
-                img = self.img_embedding(img_feats)
-                if self.config.use_img_layernorm:
-                    img = self.img_norm(img)
-                img = self.img_dropout(img, deterministic=deterministic)
+            img = self.embed_image(img_feats, deterministic=deterministic)
             emb = jnp.concatenate([emb, img.astype(emb.dtype)], axis=1)
         if attention_mask is None:
             attention_mask = jnp.ones(emb.shape[:2], jnp.int32)
@@ -151,6 +150,11 @@ class ImgBertForPreTraining(nn.Module):
             total = total + itm_loss
             out["itm_loss"] = itm_loss
         if self.use_mrfr and masked_region_labels is not None:
+            if masked_region_targets is None:
+                raise ValueError(
+                    "use_mrfr with masked_region_labels requires "
+                    "masked_region_targets (the unmasked region features "
+                    "the MRF head regresses on)")
             region_h = seq[:, la:]
             mrf_feat, mrc_score = self.mrf_mrc(region_h,
                                                self.bert.img_kernel())
@@ -377,9 +381,7 @@ class CaptioningModel(nn.Module):
         pos = l_cap + jnp.arange(l_tag)[None, :]
         emb = self.bert.embeddings(ctx_ids, ctx_token_type_ids, pos,
                                    deterministic=True)
-        img = self.bert.img_embedding(img_feats)
-        if cfg.use_img_layernorm:
-            img = self.bert.img_norm(img)
+        img = self.bert.embed_image(img_feats, deterministic=True)
         emb = jnp.concatenate([emb, img.astype(emb.dtype)], axis=1)
         bias = mask_to_bias(ctx_mask)
         _, _, states = self.bert.encoder(emb, bias, deterministic=True,
@@ -390,16 +392,19 @@ class CaptioningModel(nn.Module):
         return cache.at[:, :, l_cap:].set(jnp.stack(states))
 
     def decode_step(self, cache, t, prev_token, ctx_mask, l_cap: int,
-                    mask_token_id: int):
+                    mask_token_id: int, cap_type_id: int = 0):
         """One cached step: processes [committed token t-1, [MASK] at t],
         appends t-1's layer states to the cache, returns
-        (logits [N, V] at position t, updated cache). `t` may be traced."""
+        (logits [N, V] at position t, updated cache). `t` may be traced.
+        `cap_type_id` is the caption stream's token_type id — must match
+        the training-time segment (the drivers use 0); the recompute path
+        takes it through token_type_ids directly."""
         n = prev_token.shape[0]
         ids = jnp.stack([prev_token,
                          jnp.full_like(prev_token, mask_token_id)], axis=1)
         pos = jnp.stack([jnp.full((n,), t - 1), jnp.full((n,), t)], axis=1)
-        emb = self.bert.embeddings(ids, jnp.zeros_like(ids), pos,
-                                   deterministic=True)
+        emb = self.bert.embeddings(ids, jnp.full_like(ids, cap_type_id),
+                                   pos, deterministic=True)
         l_total = cache.shape[2]
         # key validity: committed caption slots strictly before t-1 + valid
         # ctx; fresh keys: the committed token visible to both queries, the

@@ -36,12 +36,18 @@ def initialize(coordinator_address: Optional[str] = None,
         # That is a TEST-environment property, so the 2-process tests set
         # DIST_HEARTBEAT_TIMEOUT_S/DIST_SHUTDOWN_TIMEOUT_S in their env
         # instead of this library widening everyone's defaults.
+        if process_id is None:
+            # RANK unset must stay None: JAX autodetects only params that
+            # are None (auto_detect_unset_distributed_params), so a
+            # defaulted 0 would make EVERY Cloud-TPU-pod host claim
+            # process 0 and hang the rendezvous
+            rank_env = os.environ.get("RANK")
+            process_id = int(rank_env) if rank_env is not None else None
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("COORDINATOR_ADDRESS"),
             num_processes=num_processes or world,
-            process_id=process_id
-            if process_id is not None else int(os.environ.get("RANK", 0)),
+            process_id=process_id,
             initialization_timeout=int(
                 os.environ.get("DIST_INIT_TIMEOUT_S", 300)),
             heartbeat_timeout_seconds=int(

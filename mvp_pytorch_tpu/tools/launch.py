@@ -29,10 +29,20 @@ import threading
 import time
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
+class _PortHold:
+    """Pick a free port and HOLD it (SO_REUSEADDR) until just before the
+    workers spawn — probing-then-closing immediately is a TOCTOU race:
+    a concurrent launcher (parallel CI jobs) can be handed the same port
+    and the two jobs rendezvous with the wrong coordinator."""
+
+    def __init__(self):
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("localhost", 0))
+        self.port = self._sock.getsockname()[1]
+
+    def release(self):
+        self._sock.close()
 
 
 def main(argv=None):
@@ -52,8 +62,17 @@ def main(argv=None):
     if not cmd:
         p.error("no worker command given (append: -- -m <module> ...)")
 
-    coord = args.coordinator or f"localhost:{_free_port()}"
+    hold = None
+    if args.coordinator:
+        coord = args.coordinator
+    else:
+        hold = _PortHold()
+        coord = f"localhost:{hold.port}"
     procs = []
+    if hold is not None:
+        # released at the last moment: rank 0's coordinator binds with
+        # SO_REUSEADDR-compatible semantics right after
+        hold.release()
     for rank in range(args.nproc):
         env = dict(os.environ,
                    WORLD_SIZE=str(args.nproc), RANK=str(rank),

@@ -25,8 +25,12 @@ import numpy as np
 from .masking import random_phrases, random_visual, random_word
 
 
-@dataclass
+@dataclass(frozen=True)
 class TensorizeConfig:
+    # frozen: a TensorizeConfig() instance is used as a default argument
+    # in several signatures (one shared instance per process) — mutation
+    # would silently change tensorization for every default-arg caller.
+    # Derive variants with dataclasses.replace().
     max_seq_length: int = 35        # includes [CLS]/[SEP], excludes phrases
     max_tag_length: int = 20        # includes [CLS]/[SEP]
     max_img_seq_length: int = 50

@@ -32,8 +32,10 @@ def preprocess_image(img, canvas: int) -> Tuple[np.ndarray, int, int]:
     w, h = img.size
     scale = canvas / max(w, h)
     nw, nh = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
-    img = img.resize((nw, nh))
-    x = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    # convert FIRST: PIL forces NEAREST resampling for palette-mode
+    # images and RGBA alpha would be resized then dropped
+    img = img.convert("RGB").resize((nw, nh))
+    x = np.asarray(img, np.float32) / 255.0
     out = np.zeros((canvas, canvas, 3), np.float32)
     out[:nh, :nw] = x
     return (out - 0.5) / 0.5, nw, nh
@@ -122,7 +124,10 @@ class JaxDetectionFrontend:
         valid = np.asarray(out.valid[i])
         cls = np.asarray(out.class_ids[i])
         n = int(valid.sum())
-        order = np.argsort(~valid)          # valid rows first, stable
+        # kind="stable": the default introsort permutes equal boolean keys,
+        # scrambling the NMS confidence order (and with it the tag string
+        # and which regions survive downstream truncation)
+        order = np.argsort(~valid, kind="stable")
         boxes, feats, cls = boxes[order][:n], feats[order][:n], cls[order][:n]
         # clip to the unpadded extent, normalize (reference tool :96-110)
         boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0, nw) / nw

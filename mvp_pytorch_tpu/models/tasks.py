@@ -145,7 +145,6 @@ class RetrievalModel(nn.Module):
             # phrase args, so --use_phrase crashes as released; semantics
             # here follow the working pretrain-file variant
             # (modeling_vlbert_pretrain.py:3069-3086, phrase_mod='hard').
-            from .pretrain import wra_hard_loss
             wra_seq = (out.sequence_output if phrase_layer is None
                        else out.mid_joint)
             wra_hard_seq = (out.hard_sequence_output if phrase_layer is None
@@ -448,10 +447,13 @@ class WREModel(nn.Module):
                  phrase_index=None, img_index=None, *,
                  max_tag_length: int = 20, mod: int = 1,
                  wra_phrase_width: int = 10, deterministic: bool = True):
+        # mod 3 (wra_sample_loss) never reads the hard-pair outputs —
+        # skipping the hard-negative fused pass halves fusion compute there
         out = self.bert(input_ids_a, attention_mask_a, token_type_ids_a,
                         input_ids_b, attention_mask_b, token_type_ids_b,
                         img_feats, max_tag_length=max_tag_length,
-                        encode_hn=True, deterministic=deterministic)
+                        encode_hn=mod in (1, 2),
+                        deterministic=deterministic)
         la = input_ids_a.shape[1]
         logits = _region_cosine_logits(out.sequence_output, la)
         # mask PADDED region slots out of the max: their fused outputs

@@ -63,10 +63,15 @@ def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean CE with integer labels, no ignoring."""
+    """Mean CE with integer labels. Out-of-range labels (e.g. a stray -1
+    in user data) contribute 0 instead of an OOB gather, which under jit
+    silently fills NaN and poisons the whole batch loss."""
+    v = logits.shape[-1]
+    ok = (labels >= 0) & (labels < v)
+    labels_safe = jnp.clip(labels, 0, v - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    return jnp.mean(jnp.where(ok, nll, 0.0))
 
 
 def gather_span(seq: jax.Array, span: jax.Array, width: int

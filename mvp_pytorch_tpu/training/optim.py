@@ -71,7 +71,6 @@ def freeze_prefix_until(inner: optax.GradientTransformation, prefix: str,
 
     def update(grads, state, params=None, **extra):
         inner_state, count = state
-        updates, new_inner = inner.update(grads, inner_state, params, **extra)
         frozen = count < steps
 
         def mask(path, u):
@@ -80,6 +79,14 @@ def freeze_prefix_until(inner: optax.GradientTransformation, prefix: str,
                 return jnp.where(frozen, jnp.zeros_like(u), u)
             return u
 
+        # mask the GRADIENTS, not just the final updates: the reference's
+        # requires_grad=False means frozen grads never reach the
+        # optimizer, so they must not inflate clip_by_global_norm nor
+        # warm up AdamW's moments (which would discharge as one stale
+        # burst at unfreeze); updates are masked too so AdamW's
+        # decoupled weight decay cannot move frozen params either
+        grads = jax.tree_util.tree_map_with_path(mask, grads)
+        updates, new_inner = inner.update(grads, inner_state, params, **extra)
         updates = jax.tree_util.tree_map_with_path(mask, updates)
         return updates, (new_inner, count + 1)
 

@@ -25,13 +25,10 @@ def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
     cand_len = ref_len = 0
     for cand, refs in zip(candidates, references):
         cand_len += len(cand)
-        # closest reference length; TIES keep the FIRST reference (the
-        # pycocoevalcap 'closest' convention — preferring the shorter ref
-        # on ties inflates the brevity penalty vs the reference scorer)
-        closest = len(refs[0])
-        for r in refs:
-            if abs(len(r) - len(cand)) < abs(closest - len(cand)):
-                closest = len(r)
+        # closest reference length; pycocoevalcap's 'closest' takes
+        # min((abs diff, len)) — ties prefer the SHORTER reference
+        # (bleu_scorer.py single_reflen), which sets the brevity penalty
+        closest = min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
         ref_len += closest
         for n in range(1, max_n + 1):
             c_ngrams = Counter(tuple(cand[i:i + n])

@@ -87,6 +87,19 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "next step boundary and a clean rc=0 exit; "
                              "multi-process runs agree on the save step via "
                              "jax's preemption sync service)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace into this "
+                             "dir (view in TensorBoard / Perfetto) over "
+                             "--profile_steps training steps starting at "
+                             "global step --profile_start; real device "
+                             "profiling where the reference had only "
+                             "wall-clock time_info meters "
+                             "(run_pretrain_ml.py:595-683)")
+    parser.add_argument("--profile_start", type=int, default=2,
+                        help="first global step to trace (default 2 skips "
+                             "the compile step)")
+    parser.add_argument("--profile_steps", type=int, default=3,
+                        help="number of steps in the trace window")
     parser.add_argument("--num_workers", type=int, default=4,
                         help="loader workers; clamped to the host's CPU "
                              "count (extra workers only add GIL/context-"
@@ -416,6 +429,7 @@ class TrainLoop:
         # must still restore the SIGTERM handler installed above (a stale
         # handler on a dead loop would silently swallow real SIGTERMs)
         loader = writer = None
+        prof_active = False
         try:
             # each process loads ITS shard of the global batch (the
             # reference's DistributedSampler role,
@@ -444,13 +458,32 @@ class TrainLoop:
                       if self.is_main else None)
             from ..training.profiler import StepTimer
             timer = StepTimer()  # data/compute split (reference time_info)
+            # jax.profiler trace window (--profile_dir); per-process local
+            # capture, artifact gated to rank 0 like every other artifact
+            prof_dir = getattr(args, "profile_dir", None)
+            prof_start = getattr(args, "profile_start", 2)
+            prof_n = getattr(args, "profile_steps", 3)
+            prof_active = False
             t_last = time.time()
             n_since = 0
             for step, batch in loader:
                 timer.mark("data")
                 if step >= args.max_steps:
                     break
+                if (prof_dir and self.is_main and not prof_active
+                        and step >= prof_start):
+                    jax.profiler.start_trace(prof_dir)
+                    prof_active = True
                 self.state, metrics = self.trainer.step(self.state, batch)
+                if prof_active and step + 1 >= prof_start + prof_n:
+                    # steps dispatch asynchronously: sync before stopping so
+                    # the window contains the device execution, not just
+                    # the host-side dispatches
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    self.logger.info(
+                        f"profiler trace ({prof_n} steps) -> {prof_dir}")
                 timer.mark("compute")
                 n_since += 1
                 if (step + 1) % args.log_period == 0:
@@ -513,6 +546,13 @@ class TrainLoop:
                             with open(path, "w") as f:
                                 json.dump(logs, f, indent=2)
         finally:
+            if prof_active:
+                # loop ended inside the trace window (short run / preempt /
+                # error): close the trace so the artifact is viewable
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
             if old_term is not None:
                 signal.signal(signal.SIGTERM, old_term)
             if loader is not None:

@@ -140,3 +140,25 @@ def test_captioning_learns_tags(tmp_path):
     # overlap the references enough for clearly-nonzero CIDEr-D
     # (random-decode baseline on this corpus is ~0.0)
     assert res["cider_d"] > 0.15, res
+
+
+def test_profile_dir_writes_device_trace(tmp_path):
+    """--profile_dir captures a jax.profiler trace window during training
+    (TrainLoop wiring; the reference had only wall-clock time_info meters,
+    run_pretrain_ml.py:595-683)."""
+    import glob
+    import os
+
+    from mvp_pytorch_tpu.tasks import pretrain
+    out = str(tmp_path / "prof_run")
+    prof = str(tmp_path / "trace")
+    pretrain.main(["--output_dir", out, "--synthetic", "--tiny",
+                   "--train_batch_size", "8", "--do_train",
+                   "--dtype", "float32", "--platform", "cpu",
+                   "--max_steps", "5", "--ckpt_period", "5",
+                   "--hidden_dropout_prob", "0.0",
+                   "--profile_dir", prof, "--profile_start", "2",
+                   "--profile_steps", "2"])
+    traces = glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, f"no xplane trace under {prof}: {os.listdir(prof) if os.path.isdir(prof) else 'missing dir'}"

@@ -70,6 +70,15 @@ class ModelConfig:
                                          # the MXU. Kept as a knob for small-
                                          # batch regimes.
 
+    # --- pipeline parallelism (new capability; reference has none) ---
+    # >0 switches every StreamEncoder to the STACKED scan layout
+    # ({'layers': {'layer': leaves[L, ...]}}) whose leading layer dim is
+    # shardable over a `pipe` mesh axis; execution pipelines (GPipe) when a
+    # parallel.pipeline.pipeline_scope is active, else runs an equivalent
+    # sequential lax.scan. Saved in config.json so checkpoints self-describe
+    # their param layout.
+    pipeline_stages: int = 0
+
     # --- Mixture-of-Experts FFN (new capability; reference has none) ---
     moe_experts: int = 0                 # 0 = dense FFN everywhere
     moe_top_k: int = 2                   # experts per token (normalized gates)

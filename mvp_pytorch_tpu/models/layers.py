@@ -210,6 +210,21 @@ class TransformerLayer(nn.Module):
                                       name="output_norm")(out + attn_out))
 
 
+class _ScanLayer(nn.Module):
+    """nn.scan body for the stacked (pipeline) layout: one TransformerLayer
+    whose params gain a leading layer dim under the lifted scan."""
+
+    config: ModelConfig
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        h, bias = carry
+        h = TransformerLayer(self.config, name="layer")(
+            h, bias, deterministic=self.deterministic)
+        return (h, bias), None
+
+
 class StreamEncoder(nn.Module):
     """Stack of `num_layers` TransformerLayers.
 
@@ -235,6 +250,12 @@ class StreamEncoder(nn.Module):
         KV-cache building block for incremental decoding (the reference
         caches layer inputs, modeling_vlbert.py:63-69)."""
         cfg = self.config
+        if cfg.pipeline_stages > 0:
+            return self._stacked(hidden, bias,
+                                 return_at_layer=return_at_layer,
+                                 history_states=history_states,
+                                 deterministic=deterministic,
+                                 collect_states=collect_states)
         mid = None
         states = []
         per_layer = isinstance(bias, (list, tuple))
@@ -262,6 +283,66 @@ class StreamEncoder(nn.Module):
         if collect_states:
             return hidden, mid, states
         return hidden, mid
+
+    def _stacked(self, hidden, bias, *, return_at_layer, history_states,
+                 deterministic, collect_states):
+        """config.pipeline_stages > 0: the STACKED scan layout.
+
+        Params live as {'layers': {'layer': leaves[L, ...]}} — a leading
+        layer dim shardable over a `pipe` mesh axis. Execution:
+        - under an active parallel.pipeline.pipeline_scope (the Trainer's
+          train step): GPipe over the scope's mesh, numerically equal to
+          the sequential stack (tests/test_pipeline_parallel.py);
+        - otherwise (init, eval, off-mesh): an equivalent lax.scan.
+        The generation/readout features of the per-layer layout are not
+        plumbed here (pretraining needs none of them)."""
+        cfg = self.config
+        if history_states is not None or collect_states:
+            raise NotImplementedError(
+                "pipeline_stages>0 does not support incremental-decoding "
+                "history/collect states; generation models use the "
+                "per-layer layout (pipeline_stages=0)")
+        if return_at_layer is not None:
+            raise NotImplementedError(
+                "pipeline_stages>0 does not support return_at_layer "
+                "(--wra_layer); use pipeline_stages=0 for mid-layer readout")
+        if isinstance(bias, (list, tuple)):
+            raise NotImplementedError(
+                "pipeline_stages>0 requires a single shared bias, not "
+                "per-layer mask lists")
+        if cfg.moe_experts > 0:
+            raise NotImplementedError(
+                "pipeline_stages>0 is incompatible with MoE stacks "
+                "(heterogeneous per-layer params cannot be stacked)")
+        if self.num_layers % cfg.pipeline_stages:
+            raise ValueError(
+                f"{self.num_layers} layers not divisible by "
+                f"{cfg.pipeline_stages} pipeline stages")
+
+        from ..parallel.pipeline import current_pipeline, gpipe_transformer
+        ppc = current_pipeline()
+        if ppc is not None and not self.is_initializing():
+            stacked = self.variables["params"]["layers"]["layer"]
+            rng = None
+            if not deterministic and (
+                    cfg.hidden_dropout_prob > 0
+                    or cfg.attention_probs_dropout_prob > 0):
+                rng = self.make_rng("dropout")
+            hidden = gpipe_transformer(
+                cfg, stacked, hidden, bias, mesh=ppc.mesh,
+                n_microbatches=ppc.n_microbatches,
+                deterministic=deterministic, dropout_rng=rng)
+            return hidden, None
+
+        body = _ScanLayer
+        if cfg.remat:
+            body = nn.remat(body)
+        scan = nn.scan(body, variable_axes={"params": 0},
+                       split_rngs={"params": True, "dropout": True},
+                       length=self.num_layers)
+        (hidden, _), _ = scan(cfg, deterministic,
+                              name="layers")((hidden, bias), None)
+        return hidden, None
 
 
 class Pooler(nn.Module):

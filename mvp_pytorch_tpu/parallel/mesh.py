@@ -23,24 +23,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              data: Optional[int] = None, model: int = 1) -> Mesh:
-    """A (data, model) mesh over the given devices (defaults to all).
+              data: Optional[int] = None, model: int = 1,
+              pipe: int = 1) -> Mesh:
+    """A (data, model[, pipe]) mesh over the given devices (defaults to all).
 
     The reference only ever data-parallels (SURVEY.md §2.2: TP/PP absent),
-    so `model=1` is the parity configuration; the axis exists so task heads
-    and future megamodels can shard weights without re-plumbing.
+    so `model=1, pipe=1` is the parity configuration; the axes exist so task
+    heads and future megamodels can shard weights without re-plumbing.
+    `pipe` is LAST so pipeline-stage neighbors are adjacent in device order
+    (ppermute hand-offs ride nearest-neighbor ICI links); a 2-axis mesh is
+    returned when pipe == 1 so every existing (data, model) consumer is
+    untouched.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        if n % (model * pipe) != 0:
+            raise ValueError(f"{n} devices not divisible by "
+                             f"model={model} x pipe={pipe}")
+        data = n // (model * pipe)
+    if pipe == 1:
+        dev_array = np.asarray(devices[: data * model]).reshape(data, model)
+        return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    dev_array = np.asarray(
+        devices[: data * model * pipe]).reshape(data, model, pipe)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -182,19 +193,42 @@ def tp_param_pspec(path: Sequence[str], shape: tuple, mesh: Mesh) -> P:
     return P()
 
 
+def pp_param_pspec(path: Sequence[str], shape: tuple, mesh: Mesh,
+                   tensor_parallel: bool = False) -> P:
+    """Stage sharding for a stacked ('layers' scan-layout) encoder leaf:
+    the leading layer dim over `pipe`, composed with the TP spec of the
+    remaining dims (tp_param_pspec keys off the same path names; the
+    stacked leaf just carries one extra leading dim). Non-stacked leaves
+    (no 'layers' node in their path) return None — caller falls through
+    to the replicated/TP rule."""
+    npipe = mesh.shape.get(PIPE_AXIS, 1)
+    if npipe <= 1 or "layers" not in path or not shape \
+            or shape[0] % npipe != 0:
+        return None
+    rest = (tuple(tp_param_pspec(path, shape[1:], mesh))
+            if tensor_parallel else ())
+    return P(PIPE_AXIS, *rest)
+
+
 def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
-    """NamedSharding tree for a param pytree: replicated, or TP specs when
-    tensor_parallel and the mesh has a >1 `model` axis."""
-    if not tensor_parallel:
+    """NamedSharding tree for a param pytree: replicated; TP specs when
+    tensor_parallel and the mesh has a >1 `model` axis; stacked encoder
+    leaves stage-sharded over a >1 `pipe` axis (composing with TP)."""
+    pipelined = mesh.shape.get(PIPE_AXIS, 1) > 1
+    if not tensor_parallel and not pipelined:
         rep = replicated(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)
 
     def one(kp, leaf):
         names = tuple(k.key for k in kp
                       if isinstance(k, jax.tree_util.DictKey))
-        return NamedSharding(mesh,
-                             tp_param_pspec(names, getattr(leaf, "shape", ()),
-                                            mesh))
+        shape = getattr(leaf, "shape", ())
+        spec = pp_param_pspec(names, shape, mesh, tensor_parallel) \
+            if pipelined else None
+        if spec is None:
+            spec = (tp_param_pspec(names, shape, mesh)
+                    if tensor_parallel else P())
+        return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(one, params)
 
 

@@ -41,15 +41,35 @@ from jax.sharding import Mesh, PartitionSpec as P
 try:  # jax >= 0.8
     from jax import shard_map as _shard_map
 
-    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True,
+                  manual_axes=None):
+        kw = {}
+        if manual_axes is not None:
+            # partial-manual: only `manual_axes` are manual inside the body;
+            # the rest (e.g. a TP `model` axis) stay GSPMD-auto, so sharded
+            # params/constraints inside the body keep working unchanged
+            kw["axis_names"] = frozenset(manual_axes)
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=check_rep)
+                          out_specs=out_specs, check_vma=check_rep, **kw)
 except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _old_shard_map
 
-from .mesh import DATA_AXIS
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True,
+                  manual_axes=None):
+        kw = {}
+        if manual_axes is not None:
+            kw["auto"] = frozenset(mesh.axis_names) - frozenset(manual_axes)
+        return _old_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=check_rep, **kw)
 
-PIPE_AXIS = "pipe"
+from .mesh import DATA_AXIS, PIPE_AXIS
+
+
+def _manual(mesh: Mesh):
+    """The axes the GPipe schedule handles manually (pipe hand-offs +
+    data-sharded microbatches); any other mesh axis (TP `model`) stays
+    GSPMD-auto so PP composes with TP without manual collectives."""
+    return frozenset({DATA_AXIS, PIPE_AXIS}) & frozenset(mesh.axis_names)
 
 
 def make_pipe_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -163,7 +183,8 @@ def gpipe_apply(apply_layer: Callable[[Any, jax.Array, Any], jax.Array],
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(param_specs, x_spec, extras_specs),
-                   out_specs=x_spec, check_rep=False)
+                   out_specs=x_spec, check_rep=False,
+                   manual_axes=_manual(mesh))
     out = fn(stacked_params, x_mb, extras_mb)
     return out.reshape(b, *x.shape[1:])
 
@@ -198,5 +219,192 @@ def pipeline_stream_encoder(config, encoder_params: dict, hidden: jax.Array,
                        n_microbatches=n_microbatches)
 
 
+# ---------------------------------------------------------------------------
+# driver integration: pipeline context + stacked-layout stream execution
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_PIPELINE_TLS = _threading.local()
+
+
+class PipelineContext:
+    """Runtime PP configuration seen by StreamEncoder at trace time."""
+
+    def __init__(self, mesh: Mesh, n_microbatches: int):
+        self.mesh = mesh
+        self.n_microbatches = n_microbatches
+
+
+class pipeline_scope:
+    """Thread-local context activating pipelined execution inside model
+    applies traced under it (the Trainer enters it around the train step,
+    mirroring how sequence_sharding scopes SP constraints)."""
+
+    def __init__(self, mesh: Mesh, n_microbatches: int):
+        self._ctx = PipelineContext(mesh, n_microbatches)
+
+    def __enter__(self):
+        self._prev = getattr(_PIPELINE_TLS, "ctx", None)
+        _PIPELINE_TLS.ctx = self._ctx
+        return self._ctx
+
+    def __exit__(self, *exc):
+        _PIPELINE_TLS.ctx = self._prev
+        return False
+
+
+def current_pipeline() -> Optional[PipelineContext]:
+    return getattr(_PIPELINE_TLS, "ctx", None)
+
+
+def gpipe_transformer(config, stacked_params, hidden: jax.Array,
+                      bias: jax.Array, *, mesh: Mesh, n_microbatches: int,
+                      deterministic: bool = True,
+                      dropout_rng=None) -> jax.Array:
+    """GPipe a TransformerLayer stack with stacked ('layers' scan-layout)
+    params, composing with DP (manual) and TP (GSPMD-auto `model` axis).
+
+    Unlike `pipeline_stream_encoder` (the standalone adapter over unstacked
+    checkpoints), this is the StreamEncoder-internal execution path: params
+    arrive already stacked [L, ...] and stage-sharded over `pipe`, dropout
+    is supported (per layer x microbatch x data-shard folded keys), and
+    `config.remat` applies per layer like the sequential stack.
+    """
+    from ..models.layers import TransformerLayer
+
+    n_stages = mesh.shape[PIPE_AXIS]
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if num_layers % n_stages:
+        raise ValueError(f"{num_layers} layers not divisible by "
+                         f"{n_stages} pipeline stages")
+    lps = num_layers // n_stages
+    b = hidden.shape[0]
+    m = n_microbatches
+    if b % (m * n_data):
+        raise ValueError(f"batch {b} not divisible by microbatches {m} "
+                         f"x data {n_data}")
+    layer = TransformerLayer(config)
+    use_dropout = (dropout_rng is not None and not deterministic
+                   and (config.hidden_dropout_prob > 0
+                        or config.attention_probs_dropout_prob > 0))
+    key_data = (jax.random.key_data(dropout_rng) if use_dropout
+                else jnp.zeros((2,), jnp.uint32))
+
+    def to_mb(t):
+        return t.reshape(m, b // m, *t.shape[1:])
+
+    x_mb = to_mb(hidden)
+    bias_mb = to_mb(jnp.broadcast_to(bias, (b,) + bias.shape[1:]))
+
+    def mb_spec(t):
+        return P(None, DATA_AXIS, *([None] * (t.ndim - 2)))
+
+    param_specs = jax.tree_util.tree_map(
+        lambda p: P(PIPE_AXIS, *([None] * (p.ndim - 1))), stacked_params)
+
+    def local(params_loc, x_loc, bias_loc, key_loc):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        dshard = (jax.lax.axis_index(DATA_AXIS)
+                  if DATA_AXIS in mesh.axis_names else 0)
+
+        def apply_one(p, h, bias_1, lidx, midx):
+            rngs = None
+            if use_dropout:
+                # distinct mask per (layer, microbatch, data shard) — the
+                # data-shard fold matters: manual-data shards would
+                # otherwise reuse one key and correlate masks across shards
+                k = jax.random.wrap_key_data(key_loc)
+                k = jax.random.fold_in(k, (lidx * m + midx) * n_data + dshard)
+                rngs = {"dropout": k}
+
+            def fwd(p_, h_):
+                return layer.apply({"params": p_}, h_, bias_1,
+                                   deterministic=deterministic, rngs=rngs)
+            if config.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(p, h)
+
+        def apply_stage(h, m_idx):
+            m_c = jnp.clip(m_idx, 0, m - 1)
+            bias_1 = jax.lax.dynamic_index_in_dim(bias_loc, m_c, 0,
+                                                  keepdims=False)
+
+            def body(carry, p):
+                h, li = carry
+                h = apply_one(p, h, bias_1, li, m_c)
+                return (h, li + 1), None
+
+            (h, _), _ = jax.lax.scan(body, (h, stage * lps), params_loc)
+            return h
+
+        def tick(carry, t):
+            recv, outputs = carry
+            x0 = jax.lax.dynamic_index_in_dim(
+                x_loc, jnp.clip(t, 0, m - 1), 0, keepdims=False)
+            h_in = jnp.where(stage == 0, x0, recv)
+            y = apply_stage(h_in, t - stage)
+            out_t = t - (n_stages - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                outputs, y, jnp.clip(out_t, 0, m - 1), 0)
+            write = jnp.logical_and(stage == n_stages - 1, out_t >= 0)
+            outputs = jnp.where(write, upd, outputs)
+            recv = jax.lax.ppermute(
+                y, PIPE_AXIS,
+                [(i, (i + 1) % n_stages) for i in range(n_stages)])
+            return (recv, outputs), None
+
+        init = (jnp.zeros_like(x_loc[0]), jnp.zeros_like(x_loc))
+        (_, outputs), _ = jax.lax.scan(tick, init,
+                                       jnp.arange(m + n_stages - 1))
+        outputs = jnp.where(stage == n_stages - 1, outputs,
+                            jnp.zeros_like(outputs))
+        return jax.lax.psum(outputs, PIPE_AXIS)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(param_specs, mb_spec(x_mb), mb_spec(bias_mb),
+                             P(None)),
+                   out_specs=mb_spec(x_mb), check_rep=False,
+                   manual_axes=_manual(mesh))
+    out = fn(stacked_params, x_mb, bias_mb, key_data)
+    return out.reshape(b, *hidden.shape[1:])
+
+
+def _is_layer_dict(d) -> bool:
+    return (isinstance(d, dict) and "layer_0" in d
+            and all(k.startswith("layer_") for k in d))
+
+
+def stack_model_params(params):
+    """Convert a whole param tree from the unstacked per-layer layout
+    ({'layer_0': {...}, ...}) to the stacked scan layout
+    ({'layers': {'layer': leaves[L, ...]}}) that `config.pipeline_stages>0`
+    models use. Values are bit-identical; only the tree shape changes —
+    the bridge that lets a PP run start from any non-PP checkpoint."""
+    if _is_layer_dict(params):
+        n = len(params)
+        return {"layers": {"layer": stack_layer_params(params, n)}}
+    if isinstance(params, dict):
+        return {k: stack_model_params(v) for k, v in params.items()}
+    return params
+
+
+def unstack_model_params(params):
+    """Inverse of stack_model_params (export a PP checkpoint back to the
+    per-layer layout every other topology and the reference converter use)."""
+    if isinstance(params, dict) and set(params) == {"layers"} \
+            and isinstance(params["layers"], dict) \
+            and set(params["layers"]) == {"layer"}:
+        stacked = params["layers"]["layer"]
+        n = int(jax.tree_util.tree_leaves(stacked)[0].shape[0])
+        return unstack_layer_params(stacked, n)
+    if isinstance(params, dict):
+        return {k: unstack_model_params(v) for k, v in params.items()}
+    return params
+
+
 __all__ = ["PIPE_AXIS", "make_pipe_mesh", "stack_layer_params",
-           "unstack_layer_params", "gpipe_apply", "pipeline_stream_encoder"]
+           "unstack_layer_params", "gpipe_apply", "pipeline_stream_encoder",
+           "pipeline_scope", "current_pipeline", "gpipe_transformer",
+           "stack_model_params", "unstack_model_params"]

@@ -125,6 +125,17 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "LayerNorm/dropout activation regions along "
                              "SEQUENCE over the model axis (Megatron-SP; "
                              "pure layout, numerics unchanged)")
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="size of the GPipe `pipe` mesh axis (>1 "
+                             "stage-shards every encoder's layer stack; "
+                             "devices = data * model_parallel * "
+                             "pipeline_parallel; composes with DP/ZeRO/TP/"
+                             "FSDP; capability beyond the reference, which "
+                             "has no PP — SURVEY §2.2)")
+    parser.add_argument("--pipeline_microbatches", type=int, default=4,
+                        help="GPipe microbatches per step (bubble fraction "
+                             "(S-1)/(M+S-1): pick M >> stages); the global "
+                             "batch must divide microbatches x data")
     parser.add_argument("--fsdp", action="store_true",
                         help="shard the PARAMETERS over the data axis too "
                              "(FSDP / ZeRO-3; the reference's DeepSpeed "
@@ -275,6 +286,11 @@ def build_config(args, tokenizer, **overrides) -> ModelConfig:
         cli["use_img_layernorm"] = bool(args.use_img_layernorm)
     if getattr(args, "img_layer_norm_eps", None) is not None:
         cli["img_layer_norm_eps"] = args.img_layer_norm_eps
+    # pipeline layout is a config property (checkpoints self-describe their
+    # stacked param tree); only an explicit >1 flag switches it on — a
+    # resumed PP checkpoint keeps its saved pipeline_stages without the flag
+    if max(1, getattr(args, "pipeline_parallel", 1)) > 1:
+        cli["pipeline_stages"] = args.pipeline_parallel
     if args.model_name_or_path:
         return ModelConfig.from_pretrained(args.model_name_or_path,
                                            dtype=args.dtype,
@@ -293,12 +309,21 @@ def build_config(args, tokenizer, **overrides) -> ModelConfig:
 
 
 def load_params_or_init(args, model, init_fn):
-    """Load params from --model_name_or_path if it has weights, else init."""
+    """Load params from --model_name_or_path if it has weights, else init.
+
+    When the run's config uses the stacked pipeline layout
+    (pipeline_stages>0) but the checkpoint stores the per-layer layout,
+    the tree is re-stacked bit-identically — any non-PP checkpoint can
+    seed a PP run."""
     if args.model_name_or_path:
         from ..training.checkpoint import WEIGHTS_NAME
         wpath = os.path.join(args.model_name_or_path, WEIGHTS_NAME)
         if os.path.exists(wpath):
             _, params = load_pretrained(args.model_name_or_path)
+            cfg = getattr(model, "config", None)
+            if getattr(cfg, "pipeline_stages", 0) > 0:
+                from ..parallel.pipeline import stack_model_params
+                params = stack_model_params(params)
             return params
     return init_fn()
 
@@ -312,7 +337,22 @@ class TrainLoop:
         self.args = args
         self.logger = logger or setup_logger("train", args.output_dir)
         mp = max(1, getattr(args, "model_parallel", 1))
-        self.mesh = make_mesh(model=mp)
+        pp = max(1, getattr(args, "pipeline_parallel", 1))
+        self.mesh = make_mesh(model=mp, pipe=pp)
+        if pp > 1:
+            mb = max(1, getattr(args, "pipeline_microbatches", 4))
+            ndata = self.mesh.shape["data"]
+            if args.train_batch_size % (mb * ndata):
+                raise ValueError(
+                    f"--train_batch_size {args.train_batch_size} must "
+                    f"divide --pipeline_microbatches {mb} x data axis "
+                    f"{ndata}")
+            if getattr(config, "pipeline_stages", 0) != pp:
+                raise ValueError(
+                    f"--pipeline_parallel {pp} requires the model config "
+                    f"to carry pipeline_stages={pp} (got "
+                    f"{getattr(config, 'pipeline_stages', 0)}); drivers "
+                    "set it via build_config")
         epochs = getattr(args, "num_train_epochs", None)
         if epochs:
             spe = max(1, -(-len(dataset) // args.train_batch_size))
@@ -336,7 +376,9 @@ class TrainLoop:
                                tensor_parallel=mp > 1,
                                sequence_parallel=getattr(
                                    args, "sequence_parallel", False),
-                               fsdp=getattr(args, "fsdp", False))
+                               fsdp=getattr(args, "fsdp", False),
+                               pipeline_microbatches=getattr(
+                                   args, "pipeline_microbatches", 4))
         self.ckpt = CheckpointManager(args.output_dir)
         # async writer only where save_train_state can use it (1 process)
         self.async_saver = (AsyncSaver()
@@ -464,6 +506,11 @@ class TrainLoop:
             prof_start = getattr(args, "profile_start", 2)
             prof_n = getattr(args, "profile_steps", 3)
             prof_active = False
+            # the window runs exactly once: prof_done latches after
+            # stop_trace so later steps never re-arm it (re-arming would
+            # sync the device every step and write a trace dir per step)
+            prof_done = False
+            prof_stop = None
             t_last = time.time()
             n_since = 0
             for step, batch in loader:
@@ -471,17 +518,22 @@ class TrainLoop:
                 if step >= args.max_steps:
                     break
                 if (prof_dir and self.is_main and not prof_active
-                        and step >= prof_start):
+                        and not prof_done and step >= prof_start):
                     jax.profiler.start_trace(prof_dir)
                     prof_active = True
+                    # anchor the stop to the step the trace actually started
+                    # at (a resumed run can begin past prof_start; anchoring
+                    # to prof_start would collapse the window to one step)
+                    prof_stop = step + prof_n
                 self.state, metrics = self.trainer.step(self.state, batch)
-                if prof_active and step + 1 >= prof_start + prof_n:
+                if prof_active and step + 1 >= prof_stop:
                     # steps dispatch asynchronously: sync before stopping so
                     # the window contains the device execution, not just
                     # the host-side dispatches
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
                     prof_active = False
+                    prof_done = True
                     self.logger.info(
                         f"profiler trace ({prof_n} steps) -> {prof_dir}")
                 timer.mark("compute")
@@ -495,6 +547,13 @@ class TrainLoop:
                     m["examples_per_sec"] = n_since * args.train_batch_size / dt
                     for k, v in timer.pop().items():
                         m[f"time_{k}"] = v / max(n_since, 1)
+                    # device-memory telemetry on every log line (the
+                    # reference logs cuda.max_memory_allocated,
+                    # run_pretrain_ml.py:682): runtime allocator stats
+                    # where available, plus XLA's static per-step peak
+                    from ..training.profiler import device_memory_gb
+                    m.update(device_memory_gb())
+                    m.update(getattr(self.trainer, "step_memory", {}))
                     t_last, n_since = time.time(), 0
                     meters.update(**m)
                     if writer is not None:

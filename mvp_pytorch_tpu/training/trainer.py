@@ -29,9 +29,10 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.activation_sharding import sequence_sharding
-from ..parallel.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
-                             compose_data_spec, fit_spec, make_mesh,
-                             param_shardings, replicated, zero_state_spec)
+from ..parallel.mesh import (DATA_AXIS, MODEL_AXIS, PIPE_AXIS,
+                             batch_sharding, compose_data_spec, fit_spec,
+                             make_mesh, param_shardings, replicated,
+                             zero_state_spec)
 
 
 class TrainState(NamedTuple):
@@ -45,7 +46,8 @@ class Trainer:
     def __init__(self, loss_fn: Callable, optimizer: optax.GradientTransformation,
                  mesh: Optional[Mesh] = None, *, zero_sharding: bool = True,
                  grad_accum: int = 1, tensor_parallel: bool = False,
-                 sequence_parallel: bool = False, fsdp: bool = False):
+                 sequence_parallel: bool = False, fsdp: bool = False,
+                 pipeline_microbatches: int = 4):
         import inspect
         # optional extended contract: loss_fn(params, batch, rng, step)
         # (used e.g. by captioning's drop_worst_after curriculum gate)
@@ -71,9 +73,24 @@ class Trainer:
         # reference's DeepSpeed config stops at stage 2). Pure annotation:
         # XLA all-gathers params where used and reduce-scatters grads.
         self.fsdp = fsdp
+        # GPipe pipeline parallelism: active when the mesh carries a >1
+        # `pipe` axis (make_mesh(pipe=N)); StreamEncoders in the stacked
+        # layout (config.pipeline_stages>0) pipeline their stage-sharded
+        # layer stacks inside the step's pipeline_scope
+        self.pipeline = self.mesh.shape.get(PIPE_AXIS, 1) > 1
+        self.pipeline_microbatches = max(1, pipeline_microbatches)
+        if self.pipeline and self.sequence_parallel:
+            raise ValueError("sequence_parallel does not compose with the "
+                             "pipe mesh axis (SP constraints assume the "
+                             "2-axis data/model mesh)")
         self.grad_accum = max(1, grad_accum)
         self._step_fn = None
         self._state_shardings = None
+        # XLA buffer-assignment memory of the compiled step (step_peak_gb /
+        # step_args_gb / step_temp_gb), filled at first compile — the static
+        # analog of the reference's max_memory_allocated log line
+        # (reference run_pretrain_ml.py:682)
+        self.step_memory: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
     # state init / shardings
@@ -99,7 +116,7 @@ class Trainer:
                          if isinstance(k, jax.tree_util.DictKey))
 
         spec_by_path = {}
-        if self.tensor_parallel or self.fsdp:
+        if self.tensor_parallel or self.fsdp or self.pipeline:
             def record(kp, sh):
                 spec_by_path[dict_path(kp)] = sh.spec
             jax.tree_util.tree_map_with_path(record, param_sh)
@@ -150,11 +167,16 @@ class Trainer:
 
         def step_fn(state: TrainState, batch):
             # step_fn's body runs at TRACE time, so entering the
-            # sequence-sharding context here scopes the activation
-            # constraints to exactly this compiled step.
+            # sequence-sharding / pipeline contexts here scopes them to
+            # exactly this compiled step.
             sp = (sequence_sharding(self.mesh) if self.sequence_parallel
                   else contextlib.nullcontext())
-            with sp:
+            if self.pipeline:
+                from ..parallel.pipeline import pipeline_scope
+                pp = pipeline_scope(self.mesh, self.pipeline_microbatches)
+            else:
+                pp = contextlib.nullcontext()
+            with sp, pp:
                 return self._step_body(state, batch)
 
         return jax.jit(
@@ -212,7 +234,26 @@ class Trainer:
         return new_state, metrics
 
     def step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        from ..parallel.mesh import shard_batch
+        batch = shard_batch(self.mesh, batch)
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
-        from ..parallel.mesh import shard_batch
-        return self._step_fn(state, shard_batch(self.mesh, batch))
+            # AOT-compile the first (canonical) batch signature: identical
+            # cost to the jit warm-up call it replaces, and the Compiled
+            # handle exposes XLA's exact memory plan for telemetry
+            try:
+                compiled = self._step_fn.lower(state, batch).compile()
+                from .profiler import compiled_memory_gb
+                self.step_memory = compiled_memory_gb(compiled)
+                self._compiled = compiled
+            except Exception:
+                self._compiled = None
+        if self._compiled is not None:
+            try:
+                return self._compiled(state, batch)
+            except (TypeError, ValueError):
+                # input layout/sharding drifted from the compiled signature
+                # (e.g. a restored state with uncommitted arrays): fall back
+                # to jit dispatch, which reshards instead of raising
+                self._compiled = None
+        return self._step_fn(state, batch)

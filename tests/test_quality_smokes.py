@@ -162,3 +162,9 @@ def test_profile_dir_writes_device_trace(tmp_path):
     traces = glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
                        recursive=True)
     assert traces, f"no xplane trace under {prof}: {os.listdir(prof) if os.path.isdir(prof) else 'missing dir'}"
+    # exactly ONE capture: jax writes one timestamped plugins/profile/<ts>/
+    # dir per start/stop pair, so >1 means the window re-armed after closing
+    capture_dirs = glob.glob(os.path.join(prof, "plugins", "profile", "*"))
+    assert len(capture_dirs) == 1, (
+        f"expected exactly 1 trace capture, got {len(capture_dirs)}: "
+        f"{capture_dirs}")

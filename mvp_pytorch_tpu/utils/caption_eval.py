@@ -53,13 +53,16 @@ def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
 
 
 def evaluate_captions(predictions: Dict[str, List[str]],
-                      references: Dict[str, List[List[str]]]
-                      ) -> Dict[str, float]:
-    """{'Bleu_1'..'Bleu_4', 'METEOR', 'ROUGE_L', 'CIDEr'} over tokenized
-    captions — the reference's evaluate_on_coco_caption metric surface
-    (`oscar/utils/caption_evaluate.py:59-92`) minus SPICE, which needs the
-    external jar (declared contract in tools_tpu/). METEOR here runs the
-    exact+stem stages only (no WordNet offline; see utils/meteor_rouge.py)."""
+                      references: Dict[str, List[List[str]]],
+                      spice=None) -> Dict[str, float]:
+    """{'Bleu_1'..'Bleu_4', 'METEOR', 'ROUGE_L', 'CIDEr'[, 'SPICE']} over
+    tokenized captions — the reference's evaluate_on_coco_caption metric
+    surface (`oscar/utils/caption_evaluate.py:59-92`). SPICE runs through
+    the spice-1.0.jar subprocess contract (utils/spice.py) and auto-enables
+    when the jar is discoverable; absent jar = key omitted (the default
+    `spice=None` probes discovery; pass a SpiceMetric to pin a jar, or
+    False to skip). METEOR here runs the exact+stem stages only (no WordNet
+    offline; see utils/meteor_rouge.py)."""
     from .meteor_rouge import meteor, rouge_l
     keys = sorted(predictions.keys())
     cands = [predictions[k] for k in keys]
@@ -70,6 +73,14 @@ def evaluate_captions(predictions: Dict[str, List[str]],
     out["METEOR"] = meteor(cands, refs)
     out["ROUGE_L"] = rouge_l(cands, refs)
     out["CIDEr"] = cider_mean
+    if spice is not False:
+        if spice is None:
+            from .spice import SpiceMetric
+            spice = SpiceMetric()
+        if spice.available:
+            res = spice.compute(cands, refs)
+            if res is not None:
+                out["SPICE"] = res[0]
     return out
 
 
@@ -102,7 +113,8 @@ class NocapsEvaluator:
     {"annotations": [{"image_id", "caption"}], "images": [{"id",
     "domain"?}]}), in which case the same nested metric dict is computed
     locally with our metric suite (BLEU-1..4 / METEOR / ROUGE-L / CIDEr;
-    SPICE needs the external jar — reported as None). Tokenization is
+    SPICE auto-enables through the utils/spice.py jar contract and is
+    reported as None while the jar is absent). Tokenization is
     lowercase whitespace+punct split (the PTBTokenizer role)."""
 
     def __init__(self, phase: str = "val", gt_json: Optional[str] = None):
@@ -167,6 +179,8 @@ class NocapsEvaluator:
             res = evaluate_captions(p, {k: refs[k] for k in p})
             for ours_key, ref_key in key_map.items():
                 out[ref_key][dom] = res[ours_key]
+            if "SPICE" in res:   # jar present: fill the nested SPICE row
+                out["SPICE"][dom] = res["SPICE"]
         return out
 
     def evaluate(self, predictions, out_path="nocaps_submission.json"):

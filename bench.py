@@ -268,10 +268,16 @@ def main():
     # secondary regression metrics, each gated on the remaining budget
     # (estimated cold cost incl. compiles) and streamed as its own line
     stages = [
-        ("pretrain", "BENCH_PRETRAIN", bench_pretrain_step, 120),
+        ("pretrain", "BENCH_PRETRAIN", bench_pretrain_step, 90),
+        ("pipeline", "BENCH_PIPELINE", bench_pipeline_latency, 90),
+        ("serve", "BENCH_SERVE", bench_serve, 90),
         ("detection", "BENCH_DETECTION", bench_detection_step, 90),
         ("decode", "BENCH_DECODE", bench_decode_step, 120),
         ("data_plane", "BENCH_DATA_PLANE", bench_data_plane, 60),
+        # remat A/B vs the pretrain block above: memory saved vs step-time
+        # cost at base config (VERDICT r3 next #4)
+        ("pretrain_remat", "BENCH_PRETRAIN_REMAT",
+         lambda: bench_pretrain_step(remat=True), 90),
     ]
     for name, env_key, fn, est_cost_s in stages:
         if _os.environ.get(env_key, "1") == "0":
@@ -358,14 +364,23 @@ def bench_pretrain_step(batch: int = 96, **cfg_overrides):
         return optax.apply_updates(p, up), opt, l
 
     flops = None
+    mem = {}
+    compiled = None
     try:
-        ca = step.lower(params, opt, jax.random.PRNGKey(3)
-                        ).compile().cost_analysis()
+        # AOT-compile once: the SAME executable is used for the timed run
+        # (saves the second ~40 s tunnel compile the jit call would pay)
+        # and exposes XLA's flop count + buffer-assignment memory plan
+        compiled = step.lower(params, opt, jax.random.PRNGKey(3)).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None
+        from mvp_pytorch_tpu.training.profiler import compiled_memory_gb
+        mem = compiled_memory_gb(compiled)
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         pass
+    if compiled is not None:
+        step = compiled
 
     params, opt, l = step(params, opt, jax.random.PRNGKey(3))
     float(l)   # force
@@ -388,6 +403,14 @@ def bench_pretrain_step(batch: int = 96, **cfg_overrides):
         out["hlo_tflops_per_step"] = round(flops / 1e12, 2)
         out["tflops_per_sec"] = round(flops / best / 1e12, 1)
         out["mfu_vs_197tflops_bf16"] = round(flops / best / 197e12, 3)
+    # device-memory telemetry (VERDICT r3 next #4): XLA's exact per-step
+    # plan (works through the tunnel) + runtime allocator stats if exposed
+    out.update({k: round(v, 4) for k, v in mem.items()})
+    from mvp_pytorch_tpu.training.profiler import device_memory_gb
+    out.update({k: round(v, 4) for k, v in device_memory_gb().items()})
+    if cfg_overrides:
+        out["config_overrides"] = {k: str(v) for k, v in
+                                   cfg_overrides.items()}
     return out
 
 
@@ -492,6 +515,140 @@ def bench_decode_step():
     return out
 
 
+_SERVE_ASSETS = {}
+
+
+def _serving_assets(hidden=None, layers=None):
+    """One flagship-width MLM checkpoint + synthetic feature store, shared
+    by the pipeline-latency and serve stages (init + save once)."""
+    if _SERVE_ASSETS:
+        return _SERVE_ASSETS
+    hidden = hidden or int(os.environ.get("BENCH_SERVE_HIDDEN", "768"))
+    layers = layers or int(os.environ.get("BENCH_SERVE_LAYERS", "12"))
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
+    from mvp_pytorch_tpu.data.tokenization import (
+        FastBertTokenizer as BertTokenizer)
+    from mvp_pytorch_tpu.models import ModelConfig
+    from mvp_pytorch_tpu.models.tasks import MLMModel
+    from mvp_pytorch_tpu.training.checkpoint import save_pretrained
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    paths = make_synthetic_root(os.path.join(tmp, "synth"))
+    tok = BertTokenizer(paths["vocab"])
+    cfg = ModelConfig(vocab_size=tok.vocab_size + 64,
+                      only_word_size=tok.vocab_size,
+                      hidden_size=hidden, num_hidden_layers=layers,
+                      num_attention_heads=hidden // 64,
+                      intermediate_size=4 * hidden,
+                      max_position_embeddings=512, img_feature_dim=2054,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0, dtype="bfloat16")
+    model = MLMModel(cfg)
+    ex = dict(input_ids_a=jnp.zeros((1, 30), jnp.int32),
+              attention_mask_a=jnp.ones((1, 30), jnp.int32),
+              token_type_ids_a=jnp.zeros((1, 30), jnp.int32),
+              input_ids_b=jnp.zeros((1, 20), jnp.int32),
+              attention_mask_b=jnp.ones((1, 70), jnp.int32),
+              token_type_ids_b=jnp.ones((1, 20), jnp.int32),
+              img_feats=jnp.zeros((1, 50, 2054)))
+    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
+                                   max_tag_length=20))()
+    mdir = os.path.join(tmp, "model")
+    save_pretrained(mdir, v["params"], cfg)
+    tok.save_pretrained(mdir)
+    _SERVE_ASSETS.update(mdir=mdir, paths=paths,
+                         vocab_size=tok.vocab_size, hidden=hidden,
+                         layers=layers)
+    return _SERVE_ASSETS
+
+
+def bench_pipeline_latency():
+    """End-to-end InferencePipeline MLM p50 (VERDICT r3 next #3a): the REAL
+    serving path the reference's quick-start names (modeling_pipeline.py:
+    103-128) — feature lookup + native tokenize + tensorize + device
+    3-encoder forward + [MASK] argmax decode on one pair, at flagship width.
+    Reports the host/device split (the old bench's p50 was device-only)."""
+    import jax.numpy as jnp
+    from mvp_pytorch_tpu.data.datasets import FeatureStore
+    from mvp_pytorch_tpu.pipeline import InferencePipeline
+
+    a = _serving_assets()
+    pipe = InferencePipeline("mlm", a["mdir"],
+                             FeatureStore(a["paths"]["features"]),
+                             id2phrase=a["paths"]["id2phrase"])
+    text = "two [MASK] are playing on a ground"
+    pipe.inference("img_0000", text)            # compile + warm
+    tot = []
+    for i in range(30):
+        t0 = time.time()
+        pipe.inference(f"img_{i % 8:04d}", text)
+        tot.append(time.time() - t0)
+    # device-only portion on a pre-tensorized example, for the split
+    feat, tags = pipe.preprocess_img("img_0000")
+    ex = pipe.tensorize_example(text, feat, " ".join(tags),
+                                pipe.phrase_extract(text))
+    ex = {k: jnp.asarray(v) for k, v in ex.items()}
+    np.asarray(pipe._jit_fwd(pipe.params, ex))  # warm this exact shape
+    dev = []
+    for _ in range(30):
+        t0 = time.time()
+        np.asarray(pipe._jit_fwd(pipe.params, ex))
+        dev.append(time.time() - t0)
+    p50 = sorted(tot)[len(tot) // 2] * 1e3
+    p50_dev = sorted(dev)[len(dev) // 2] * 1e3
+    return {"pipeline_p50_ms": round(p50, 2),
+            "device_forward_p50_ms": round(p50_dev, 2),
+            "host_p50_ms": round(p50 - p50_dev, 2),
+            "hidden": a["hidden"], "layers": a["layers"],
+            "vocab_size": a["vocab_size"],
+            "od_backend": "precomputed", "spice_jar": False}
+
+
+def bench_serve(requests: int = 120, threads: int = 8, max_batch: int = 16,
+                wait_ms: float = 5.0):
+    """Serving endpoint p50/p99 under concurrent load (VERDICT r3 next
+    #3b): the micro-batching HTTP server (tasks/serve.py) on the flagship
+    MLM model, driven by tools_tpu/load_test_serve.run_load."""
+    import argparse
+    import threading
+
+    from mvp_pytorch_tpu.tasks import serve
+    from tools_tpu.load_test_serve import run_load
+
+    a = _serving_assets()
+    sargs = argparse.Namespace(
+        model_dir=a["mdir"], modes="mlm",
+        feature_tsv=a["paths"]["features"], od_model=None,
+        id2phrase=a["paths"]["id2phrase"], img_feature_dim=2054,
+        max_seq_length=30, max_img_seq_length=50, max_tag_length=20,
+        max_phrases=5)
+    pipes, _ = serve.build_pipelines(sargs)
+    pipes["mlm"].inference("img_0000", "warm [MASK]")
+    lock = threading.Lock()
+    batchers = serve.make_batchers(pipes, lock, max_batch=max_batch,
+                                   wait_ms=wait_ms)
+    pipes["mlm"].inference_batch([("img_0000", "warm [MASK]")] * max_batch,
+                                 batch_size=max_batch)    # compile batch=mb
+    httpd = serve.ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler(pipes, batchers, lock))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        res = run_load(f"http://127.0.0.1:{httpd.server_address[1]}",
+                       requests, threads)
+    finally:
+        httpd.shutdown()
+    res["client_threads"] = threads
+    res["max_batch"] = max_batch
+    res["batches"] = batchers["mlm"].stats["batches"]
+    res["max_batch_seen"] = batchers["mlm"].stats["max_batch_seen"]
+    res["host_cpus"] = os.cpu_count() or 1
+    return res
+
+
 def bench_data_plane(device_demand_ex_s: float = 1025.0):
     """Host input-pipeline throughput (VERDICT r2 next #8): examples/s
     through PretrainDataset -> tensorize/mask -> PrefetchLoader collate
@@ -557,6 +714,14 @@ def bench_data_plane(device_demand_ex_s: float = 1025.0):
                                       BatchSampler(len(ds), B, seed=0),
                                       prefetch=2 * n_workers,
                                       num_procs=n_workers)), 1)
+        else:
+            # VERDICT r3 weak #6: record the gap explicitly rather than
+            # leaving the multi-core claim silently unmeasured
+            out["process_loader_ex_s"] = None
+            out["process_loader_note"] = (
+                "not measured: 1-core bench host — fork workers only add "
+                "overhead without real cores; measure on the first "
+                "multi-core TPU host")
         best = max(direct, thread, out.get("process_loader_ex_s", 0.0))
         out["device_demand_ex_s"] = device_demand_ex_s
         out["feed_ratio"] = round(best / device_demand_ex_s, 2)

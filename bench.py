@@ -272,6 +272,8 @@ def main():
         ("pipeline", "BENCH_PIPELINE", bench_pipeline_latency, 90),
         ("serve", "BENCH_SERVE", bench_serve, 90),
         ("detection", "BENCH_DETECTION", bench_detection_step, 90),
+        ("detection_quality", "BENCH_DETECTION_QUALITY",
+         bench_detection_quality, 100),
         ("decode", "BENCH_DECODE", bench_decode_step, 120),
         ("data_plane", "BENCH_DATA_PLANE", bench_data_plane, 60),
         # remat A/B vs the pretrain block above: memory saved vs step-time
@@ -454,6 +456,21 @@ def bench_detection_step():
     best = min(times)
     return {"canvas": c, "p50_single_image_ms": round(p50, 1),
             "batch8_images_per_sec": round(8 / best, 1)}
+
+
+def bench_detection_quality(steps: int = 200, n_images: int = 32):
+    """Synthetic detection QUALITY tracking (VERDICT r3 next #7): train the
+    tiny detector on the colored-rectangles corpus and report held-out
+    mAP@0.5 — a tracked number so trunk/NMS/RoI regressions surface as a
+    trend instead of a silent pass (real VinVL-weight mAP remains
+    egress-blocked, PARITY.md)."""
+    from mvp_pytorch_tpu.detection.synthetic_boxes import (evaluate_map50,
+                                                           train_detector)
+    cfg, params, hist = train_detector(steps=steps, batch=4, seed=0)
+    m = evaluate_map50(cfg, params, n_images=n_images)
+    return {"map50_synth": round(m, 4), "train_steps": steps,
+            "heldout_images": n_images,
+            "final_loss": round(hist[-1], 4)}
 
 
 def bench_decode_step():

@@ -33,3 +33,31 @@ def devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs
+
+
+# ---------------------------------------------------------------------------
+# fast-suite duration budget (VERDICT r3 next #6): the `-m "not slow"` suite
+# must stay under 5 minutes, structurally — any NON-slow test that exceeds
+# the per-test budget fails with instructions to move it to `slow`. The
+# default budget is generous (20 s; healthy fast tests run well under 10 s
+# uncontended) so host contention doesn't flake the suite; tune with
+# MVPTR_TEST_BUDGET_S, or set 0 to disable (e.g. on a known-contended box).
+# ---------------------------------------------------------------------------
+
+import time  # noqa: E402
+
+_BUDGET_S = float(os.environ.get("MVPTR_TEST_BUDGET_S", "20"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    t0 = time.time()
+    yield
+    took = time.time() - t0
+    if (_BUDGET_S > 0 and took > _BUDGET_S
+            and "slow" not in item.keywords):
+        pytest.fail(
+            f"non-slow test took {took:.1f}s (> {_BUDGET_S:.0f}s budget): "
+            f"mark it @pytest.mark.slow or speed it up — the fast suite "
+            f"must stay under 5 minutes (MVPTR_TEST_BUDGET_S overrides)",
+            pytrace=False)

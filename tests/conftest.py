@@ -54,10 +54,17 @@ def pytest_runtest_call(item):
     t0 = time.time()
     yield
     took = time.time() - t0
-    if (_BUDGET_S > 0 and took > _BUDGET_S
+    budget = _BUDGET_S
+    marker = item.get_closest_marker("budget")
+    if marker is not None and marker.args:
+        # a handful of legitimately compile-heavy fast tests (multi-model
+        # end-to-end pipelines) declare a higher allowance instead of
+        # leaving the fast suite flaky under host contention
+        budget = max(budget, float(marker.args[0]))
+    if (_BUDGET_S > 0 and took > budget
             and "slow" not in item.keywords):
         pytest.fail(
-            f"non-slow test took {took:.1f}s (> {_BUDGET_S:.0f}s budget): "
+            f"non-slow test took {took:.1f}s (> {budget:.0f}s budget): "
             f"mark it @pytest.mark.slow or speed it up — the fast suite "
             f"must stay under 5 minutes (MVPTR_TEST_BUDGET_S overrides)",
             pytrace=False)

@@ -267,6 +267,7 @@ def test_checkpoint_self_contained_and_pointer_fallback(tmp_path):
 # DeepSpeed config stops at stage 2, oscar/tmp_config.json)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.budget(75)  # 8-device FSDP gathers on 1 CPU core: 25-32 s measured
 def test_fsdp_shards_params_and_matches_replicated(setup, devices):
     """--fsdp is pure layout: losses and params must track the replicated
     trainer; large params must actually live sharded over `data`."""
@@ -299,6 +300,7 @@ def test_fsdp_shards_params_and_matches_replicated(setup, devices):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.budget(75)  # 8-device FSDP gathers on 1 CPU core: 25-32 s measured
 def test_fsdp_composes_with_tp(setup, devices):
     """fsdp + tensor_parallel: TP params gain a data axis on a free dim."""
     from jax.sharding import PartitionSpec as P
@@ -346,6 +348,7 @@ def test_fsdp_checkpoint_roundtrip(tmp_path, setup, devices):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.budget(60)  # adafactor sharding sweep on 8 CPU devices: ~25 s measured
 def test_factored_optimizer_state_shardings(setup, devices):
     """fit_spec: factored optimizers (adafactor) have state leaves of
     LOWER rank than their param (v_row/v_col) sharing the param's dict

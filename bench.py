@@ -267,15 +267,18 @@ def main():
 
     # secondary regression metrics, each gated on the remaining budget
     # (estimated cold cost incl. compiles) and streamed as its own line
+    # order: the cheap regression stages first (measured r3: detection 7 s,
+    # decode 15 s, data_plane 5 s), then the compile-heavy end-to-end ones —
+    # so a tight budget skips the EXPENSIVE tail, not the broad coverage
     stages = [
         ("pretrain", "BENCH_PRETRAIN", bench_pretrain_step, 90),
-        ("pipeline", "BENCH_PIPELINE", bench_pipeline_latency, 90),
-        ("serve", "BENCH_SERVE", bench_serve, 90),
-        ("detection", "BENCH_DETECTION", bench_detection_step, 90),
+        ("detection", "BENCH_DETECTION", bench_detection_step, 40),
+        ("decode", "BENCH_DECODE", bench_decode_step, 60),
+        ("data_plane", "BENCH_DATA_PLANE", bench_data_plane, 30),
         ("detection_quality", "BENCH_DETECTION_QUALITY",
          bench_detection_quality, 100),
-        ("decode", "BENCH_DECODE", bench_decode_step, 120),
-        ("data_plane", "BENCH_DATA_PLANE", bench_data_plane, 60),
+        ("pipeline", "BENCH_PIPELINE", bench_pipeline_latency, 120),
+        ("serve", "BENCH_SERVE", bench_serve, 90),
         # remat A/B vs the pretrain block above: memory saved vs step-time
         # cost at base config (VERDICT r3 next #4)
         ("pretrain_remat", "BENCH_PRETRAIN_REMAT",
@@ -295,6 +298,10 @@ def main():
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
         _note(f"secondary {name} done")
         _emit({"metric": f"secondary_{name}", **detail[name]})
+        # re-emit the headline with the detail-so-far: whatever point an
+        # external timeout truncates the stream at, the LAST parseable line
+        # is always the headline metric, never a secondary
+        _emit(_headline(pairs_per_sec, detail))
 
     # final line repeats the headline with full detail: drivers that parse
     # the LAST line of output see the headline metric either way
@@ -572,8 +579,24 @@ def _serving_assets(hidden=None, layers=None):
               attention_mask_b=jnp.ones((1, 70), jnp.int32),
               token_type_ids_b=jnp.ones((1, 20), jnp.int32),
               img_feats=jnp.zeros((1, 50, 2054)))
-    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
-                                   max_tag_length=20))()
+    # init on the HOST cpu backend: the random init needs no MXU and a
+    # flagship-width init graph costs a ~40 s remote compile through the
+    # axon tunnel (measured r4: the pipeline stage blew its budget on it)
+    try:
+        init_dev = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        init_dev = None
+    import contextlib
+    with (jax.default_device(init_dev) if init_dev is not None
+          else contextlib.nullcontext()):
+        v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
+                                       max_tag_length=20))()
+        # store bf16 (standard TPU serving): halves the checkpoint and the
+        # device upload (tunnel ~25 MB/s: 528 MB fp32 cost ~21 s alone);
+        # compute is bf16 either way under cfg.dtype
+        v = {"params": jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, v["params"])}
     mdir = os.path.join(tmp, "model")
     save_pretrained(mdir, v["params"], cfg)
     tok.save_pretrained(mdir)

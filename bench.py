@@ -762,7 +762,7 @@ def bench_data_plane(device_demand_ex_s: float = 1025.0):
                 "not measured: 1-core bench host — fork workers only add "
                 "overhead without real cores; measure on the first "
                 "multi-core TPU host")
-        best = max(direct, thread, out.get("process_loader_ex_s", 0.0))
+        best = max(direct, thread, out.get("process_loader_ex_s") or 0.0)
         out["device_demand_ex_s"] = device_demand_ex_s
         out["feed_ratio"] = round(best / device_demand_ex_s, 2)
         return out

@@ -98,6 +98,10 @@ class JaxDetectionFrontend:
                     f"detector checkpoint {wpath} not found — refusing to "
                     "fall back to random weights for an explicit ckpt_dir")
             self.config, self.params = load_detector(ckpt_dir)
+            # commit the host tree to the device once: numpy params into a
+            # jitted forward re-transfer the whole tree on EVERY detect()
+            # call (uncommitted device_put keeps later placement free)
+            self.params = jax.device_put(self.params)
         else:
             self.config = config or DetectorConfig()
             model = JaxDetector(self.config)

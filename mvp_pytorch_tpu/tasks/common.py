@@ -324,6 +324,16 @@ def load_params_or_init(args, model, init_fn):
             if getattr(cfg, "pipeline_stages", 0) > 0:
                 from ..parallel.pipeline import stack_model_params
                 params = stack_model_params(params)
+            if jax.process_count() == 1:
+                # commit the host numpy tree to the device ONCE —
+                # device_put with no target keeps the arrays UNCOMMITTED
+                # (any later mesh/sharding placement still works) but
+                # device-resident, so eval-only runs stop re-uploading
+                # the full tree on every jitted batch (measured through
+                # the axon tunnel: 7.5 s/call at base width). Multi-
+                # process keeps numpy: every rank passing the same host
+                # value is the multi-controller replication contract.
+                params = jax.device_put(params)
             return params
     return init_fn()
 

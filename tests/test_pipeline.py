@@ -53,6 +53,11 @@ def test_mlm_pipeline(model_dir):
     assert isinstance(res, str) and res.startswith("recovered [MASK] tokens")
     # exactly one [MASK] in the input -> exactly one recovered token
     assert res.count("'") == 2, res
+    # params must be DEVICE-RESIDENT jax arrays: host numpy into a jitted
+    # forward re-transfers the whole tree on every call (measured 7.5 s
+    # per call at base width through a tunneled device)
+    assert all(isinstance(p, jax.Array)
+               for p in jax.tree_util.tree_leaves(pipe.params))
 
 
 def test_embedding_pipeline(model_dir):

@@ -362,3 +362,28 @@ def test_factored_optimizer_state_shardings(setup, devices):
     s = t.init_state(params, jax.random.PRNGKey(0))
     s, m = t.step(s, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.budget(60)  # AOT + jit-fallback = two step compiles on 8 CPU devs
+def test_aot_memory_telemetry_and_shape_fallback(setup, devices):
+    """The Trainer AOT-compiles its first step for XLA buffer-assignment
+    memory telemetry (step_peak/args/temp — the reference logs
+    max_memory_allocated per line, run_pretrain_ml.py:682) and must fall
+    back to jit dispatch when the batch signature drifts from the
+    compiled one instead of raising."""
+    cfg, model, params, batch, loss_fn = setup
+    mesh = make_mesh(devices)
+    tx = make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+    trainer = Trainer(loss_fn, tx, mesh)
+    state = trainer.init_state(params, jax.random.PRNGKey(7))
+    state, m = trainer.step(state, batch)
+    assert isinstance(trainer.step_memory, dict)
+    if trainer.step_memory:            # backend exposes memory_analysis
+        assert trainer.step_memory.get("step_peak_gb", 0) > 0
+        assert trainer.step_memory.get("step_args_gb", 0) > 0
+    # drift the input sharding/commitment (device_put'd batch instead of
+    # host numpy): the AOT handle must not wedge the loop
+    jb = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+    state, m2 = trainer.step(state, jb)
+    assert np.isfinite(float(m2["loss"]))
+    assert int(state.step) == 2

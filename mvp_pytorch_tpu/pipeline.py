@@ -91,8 +91,8 @@ class InferencePipeline:
                 id2sg = json.load(f)
             self.sg2id = {tuple(v): int(k) for k, v in id2sg.items()}
 
-        self._jit_fwd = jax.jit(
-            lambda params, ex: self.model.apply(
+        def _fwd_raw(params, ex):
+            return self.model.apply(
                 {"params": params},
                 input_ids_a=ex["input_ids_a"][None],
                 attention_mask_a=ex["input_mask_a"][None],
@@ -101,7 +101,22 @@ class InferencePipeline:
                 attention_mask_b=ex["input_mask_b"][None],
                 token_type_ids_b=ex["segment_ids_b"][None],
                 img_feats=ex["img_feat"][None],
-                max_tag_length=max_tag_length))
+                max_tag_length=max_tag_length)
+
+        def _fwd(params, ex):
+            out = _fwd_raw(params, ex)
+            if self.model_name == "mlm":
+                # fetch-light serving: argmax over the vocab ON DEVICE and
+                # ship [La] token ids — the [La, vocab] logits matrix is
+                # ~3.7 MB at BERT vocab per request (the reference fetches
+                # full prediction_scores, modeling_pipeline.py:120-126)
+                return jnp.argmax(out, axis=-1)
+            return out
+
+        self._jit_fwd = jax.jit(_fwd)
+        # raw logits surface for parity oracles / logit consumers
+        # (jit is lazy: never called -> never compiled)
+        self._jit_fwd_logits = jax.jit(_fwd_raw)
 
     # ------------------------------------------------------------------
 
@@ -206,8 +221,8 @@ class InferencePipeline:
         from .data.tensorize import collate
 
         if not hasattr(self, "_jit_fwd_batch"):
-            self._jit_fwd_batch = jax.jit(
-                lambda params, b: self.model.apply(
+            def _fwd_batch(params, b):
+                out = self.model.apply(
                     {"params": params},
                     input_ids_a=b["input_ids_a"],
                     attention_mask_a=b["input_mask_a"],
@@ -216,7 +231,13 @@ class InferencePipeline:
                     attention_mask_b=b["input_mask_b"],
                     token_type_ids_b=b["segment_ids_b"],
                     img_feats=b["img_feat"],
-                    max_tag_length=self.tcfg.max_tag_length))
+                    max_tag_length=self.tcfg.max_tag_length)
+                if self.model_name == "mlm":
+                    # device-side argmax: ship [B, La] ids, not logits
+                    return jnp.argmax(out, axis=-1)
+                return out
+
+            self._jit_fwd_batch = jax.jit(_fwd_batch)
 
         paths = [p for p, _ in pairs]
         if hasattr(self._od, "batch_call"):
@@ -238,13 +259,12 @@ class InferencePipeline:
             batch = {k: jnp.asarray(v) for k, v in collate(chunk).items()}
             out = self._jit_fwd_batch(self.params, batch)
             if self.model_name == "mlm":
-                scores = np.asarray(out)[:n]
+                pred_ids = np.asarray(out)[:n]       # [n, La] argmax ids
                 for j in range(n):
                     ids = np.asarray(chunk[j]["input_ids_a"])
                     mp = ids == self.tokenizer.vocab["[MASK]"]
-                    pred = scores[j][mp].argmax(-1)
                     results.append(self.tokenizer.convert_ids_to_tokens(
-                        [int(p) for p in pred]))
+                        [int(p) for p in pred_ids[j][mp]]))
             else:
                 for j in range(n):
                     results.append({k: np.asarray(v)[j]
@@ -259,12 +279,11 @@ class InferencePipeline:
         ex = {k: jnp.asarray(v) for k, v in ex.items()}
         out = self._jit_fwd(self.params, ex)
         if self.model_name == "mlm":
-            scores = np.asarray(out)[0]     # [La, only_word_size]
+            pred_ids = np.asarray(out)[0]   # [La] device-argmax'd ids
             ids = np.asarray(ex["input_ids_a"])
             mask_positions = ids == self.tokenizer.vocab["[MASK]"]
-            pred = scores[mask_positions].argmax(-1)
             toks = self.tokenizer.convert_ids_to_tokens(
-                [int(p) for p in pred])
+                [int(p) for p in pred_ids[mask_positions]])
             return "recovered [MASK] tokens: {}".format(toks)
         res = {k: np.asarray(v)[0] for k, v in out.items()}
         return res

@@ -143,8 +143,10 @@ def test_convert_then_pipeline_matches_torch(env, tmp_path):
     torch_pred = torch_logits.numpy().argmax(-1)
 
     import jax.numpy as jnp
-    our_scores = pipe._jit_fwd(pipe.params,
-                               {k: jnp.asarray(v) for k, v in ex.items()})
+    # raw-logits surface: the serving _jit_fwd argmaxes on device and
+    # ships token ids only (fetch-light); the oracle compares LOGITS
+    our_scores = pipe._jit_fwd_logits(
+        pipe.params, {k: jnp.asarray(v) for k, v in ex.items()})
     our_logits = np.asarray(our_scores)[0][mask_pos]
     np.testing.assert_allclose(our_logits, torch_logits.numpy(),
                                atol=3e-4, rtol=1e-3)

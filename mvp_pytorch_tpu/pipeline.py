@@ -256,7 +256,9 @@ class InferencePipeline:
             chunk = exs[i:i + batch_size]
             n = len(chunk)
             chunk = chunk + [chunk[-1]] * (batch_size - n)
-            batch = {k: jnp.asarray(v) for k, v in collate(chunk).items()}
+            # ONE batched transfer (see inference(): per-key asarray issues
+            # a sequential upload per field)
+            batch = jax.device_put(collate(chunk))
             out = self._jit_fwd_batch(self.params, batch)
             if self.model_name == "mlm":
                 pred_ids = np.asarray(out)[:n]       # [n, La] argmax ids
@@ -276,12 +278,17 @@ class InferencePipeline:
         text_b = " ".join(od_tags)
         phrases = self.phrase_extract(text)
         ex = self.tensorize_example(text, img_feat, text_b, phrases)
-        ex = {k: jnp.asarray(v) for k, v in ex.items()}
+        # mask positions come from the HOST copy: reading input_ids back
+        # from the device would cost a full round trip per request
+        ids_host = np.asarray(ex["input_ids_a"])
+        # ONE batched transfer for the whole example — per-key jnp.asarray
+        # issues 7 sequential uploads (each a dispatch, and through the
+        # axon tunnel each carries link latency)
+        ex = jax.device_put(ex)
         out = self._jit_fwd(self.params, ex)
         if self.model_name == "mlm":
             pred_ids = np.asarray(out)[0]   # [La] device-argmax'd ids
-            ids = np.asarray(ex["input_ids_a"])
-            mask_positions = ids == self.tokenizer.vocab["[MASK]"]
+            mask_positions = ids_host == self.tokenizer.vocab["[MASK]"]
             toks = self.tokenizer.convert_ids_to_tokens(
                 [int(p) for p in pred_ids[mask_positions]])
             return "recovered [MASK] tokens: {}".format(toks)

@@ -293,6 +293,9 @@ def main():
             detail[name] = {"skipped": f"budget: {_remaining():.0f}s left, "
                                        f"stage needs ~{est_cost_s}s"}
             _emit({"metric": f"secondary_{name}", **detail[name]})
+            # keep the last-line invariant on the skip path too: the next
+            # stage may run ~100 s and get killed mid-flight
+            _emit(_headline(pairs_per_sec, detail))
             continue
         try:
             detail[name] = fn()
@@ -546,65 +549,27 @@ _SERVE_ASSETS = {}
 
 def _serving_assets(hidden=None, layers=None):
     """One flagship-width MLM checkpoint + synthetic feature store, shared
-    by the pipeline-latency and serve stages (init + save once)."""
+    by the pipeline-latency and serve stages (init + save once). Built by
+    tools_tpu/load_test_serve.build_assets — the single builder both the
+    bench and the load-test CLI use — with the bench's flagship knobs:
+    host-CPU init (a flagship init graph costs a ~40 s remote compile
+    through the axon tunnel) and bf16 storage (tunnel ~25 MB/s: the 528 MB
+    fp32 tree cost ~21 s of upload alone)."""
     if _SERVE_ASSETS:
         return _SERVE_ASSETS
     hidden = hidden or int(os.environ.get("BENCH_SERVE_HIDDEN", "768"))
     layers = layers or int(os.environ.get("BENCH_SERVE_LAYERS", "12"))
     import tempfile
 
-    import jax
-    import jax.numpy as jnp
-    from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
-    from mvp_pytorch_tpu.data.tokenization import (
-        FastBertTokenizer as BertTokenizer)
-    from mvp_pytorch_tpu.models import ModelConfig
-    from mvp_pytorch_tpu.models.tasks import MLMModel
-    from mvp_pytorch_tpu.training.checkpoint import save_pretrained
+    from tools_tpu.load_test_serve import build_assets
 
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
-    paths = make_synthetic_root(os.path.join(tmp, "synth"))
-    tok = BertTokenizer(paths["vocab"])
-    cfg = ModelConfig(vocab_size=tok.vocab_size + 64,
-                      only_word_size=tok.vocab_size,
-                      hidden_size=hidden, num_hidden_layers=layers,
-                      num_attention_heads=hidden // 64,
-                      intermediate_size=4 * hidden,
-                      max_position_embeddings=512, img_feature_dim=2054,
-                      hidden_dropout_prob=0.0,
-                      attention_probs_dropout_prob=0.0, dtype="bfloat16")
-    model = MLMModel(cfg)
-    ex = dict(input_ids_a=jnp.zeros((1, 30), jnp.int32),
-              attention_mask_a=jnp.ones((1, 30), jnp.int32),
-              token_type_ids_a=jnp.zeros((1, 30), jnp.int32),
-              input_ids_b=jnp.zeros((1, 20), jnp.int32),
-              attention_mask_b=jnp.ones((1, 70), jnp.int32),
-              token_type_ids_b=jnp.ones((1, 20), jnp.int32),
-              img_feats=jnp.zeros((1, 50, 2054)))
-    # init on the HOST cpu backend: the random init needs no MXU and a
-    # flagship-width init graph costs a ~40 s remote compile through the
-    # axon tunnel (measured r4: the pipeline stage blew its budget on it)
-    try:
-        init_dev = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        init_dev = None
-    import contextlib
-    with (jax.default_device(init_dev) if init_dev is not None
-          else contextlib.nullcontext()):
-        v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
-                                       max_tag_length=20))()
-        # store bf16 (standard TPU serving): halves the checkpoint and the
-        # device upload (tunnel ~25 MB/s: 528 MB fp32 cost ~21 s alone);
-        # compute is bf16 either way under cfg.dtype
-        v = {"params": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, v["params"])}
-    mdir = os.path.join(tmp, "model")
-    save_pretrained(mdir, v["params"], cfg)
-    tok.save_pretrained(mdir)
-    _SERVE_ASSETS.update(mdir=mdir, paths=paths,
-                         vocab_size=tok.vocab_size, hidden=hidden,
-                         layers=layers)
+    mdir, paths, vocab_size = build_assets(
+        tmp, hidden=hidden, layers=layers, dtype="bfloat16",
+        host_init=True, store_bf16=True, vocab_extra=64,
+        max_position_embeddings=512)
+    _SERVE_ASSETS.update(mdir=mdir, paths=paths, vocab_size=vocab_size,
+                         hidden=hidden, layers=layers)
     return _SERVE_ASSETS
 
 

@@ -167,6 +167,10 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             path = ["bert", k.split(".")[1]]
         elif k == "logit_scale":
             path = ["logit_scale"]
+            # our models declare logit_scale as a 0-d param (the reference's
+            # torch.ones([])); tolerate (1,)-shaped files — torch's own
+            # load_state_dict special-cases that legacy shape too
+            val = np.asarray(val).reshape(())
         elif k.startswith("bert.img_embedding."):
             leaf = "kernel" if k.endswith("weight") else "bias"
             transpose = k.endswith("weight")
@@ -437,7 +441,11 @@ def export_state_dict(params: Dict[str, Any],
             if strict:
                 raise KeyError(f"unmapped flax path: {'/'.join(path)}")
             continue
-        sd[key] = np.ascontiguousarray(val)
+        # ascontiguousarray PROMOTES 0-d arrays to 1-d (ndmin=1); reshape
+        # back so scalar params (logit_scale) export with the reference's
+        # torch.ones([]) shape — torch load_state_dict forgave the (1,)
+        # shape, but our own strict loader (rightly) does not
+        sd[key] = np.ascontiguousarray(val).reshape(val.shape)
     if skipped:
         print(f"export: skipped {len(skipped)} unmapped paths: "
               f"{skipped[:10]}{'...' if len(skipped) > 10 else ''}")

@@ -354,9 +354,9 @@ class TrainLoop:
             ndata = self.mesh.shape["data"]
             if args.train_batch_size % (mb * ndata):
                 raise ValueError(
-                    f"--train_batch_size {args.train_batch_size} must "
-                    f"divide --pipeline_microbatches {mb} x data axis "
-                    f"{ndata}")
+                    f"--train_batch_size {args.train_batch_size} is not "
+                    f"divisible by --pipeline_microbatches {mb} x data "
+                    f"axis {ndata} = {mb * ndata}")
             if getattr(config, "pipeline_stages", 0) != pp:
                 raise ValueError(
                     f"--pipeline_parallel {pp} requires the model config "

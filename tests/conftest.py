@@ -52,8 +52,13 @@ _BUDGET_S = float(os.environ.get("MVPTR_TEST_BUDGET_S", "20"))
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_call(item):
     t0 = time.time()
-    yield
+    outcome = yield
     took = time.time() - t0
+    if outcome.excinfo is not None:
+        # the test already failed/errored on its own: surface THAT —
+        # pytest.fail here would replace the real traceback with the
+        # budget message whenever a failing test is also slow
+        return
     budget = _BUDGET_S
     marker = item.get_closest_marker("budget")
     if marker is not None and marker.args:

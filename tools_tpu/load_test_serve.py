@@ -24,39 +24,74 @@ def build(args, tmp):
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    mdir, paths, _ = build_assets(
+        tmp, hidden=args.hidden, layers=args.layers,
+        dtype="bfloat16" if args.platform == "tpu" else "float32")
+    return mdir, paths
+
+
+def build_assets(tmp, *, hidden=32, layers=4, dtype="float32",
+                 host_init=False, store_bf16=False, vocab_extra=20,
+                 max_position_embeddings=128):
+    """Synthetic MLM serving checkpoint + feature store — the ONE builder
+    shared by this load-test CLI and bench.py's pipeline/serve stages (a
+    divergent copy would silently skew the bench vs this tool).
+
+    host_init: run the random init on the host CPU backend — a
+    flagship-width init graph costs a ~40 s remote compile through the
+    axon tunnel (measured r4). store_bf16: save bf16 params (halves the
+    checkpoint and the device upload; compute is bf16 under dtype either
+    way). Returns (model_dir, synthetic paths, tokenizer vocab_size)."""
+    import contextlib
+
+    import jax
     import jax.numpy as jnp
     from mvp_pytorch_tpu.data.synthetic import make_synthetic_root
-    from mvp_pytorch_tpu.data.tokenization import BertTokenizer
+    from mvp_pytorch_tpu.data.tokenization import (
+        FastBertTokenizer as BertTokenizer)
     from mvp_pytorch_tpu.models import MLMModel, ModelConfig
     from mvp_pytorch_tpu.training.checkpoint import save_pretrained
 
     paths = make_synthetic_root(os.path.join(tmp, "synth"))
     tok = BertTokenizer(paths["vocab"])
-    cfg = ModelConfig(vocab_size=tok.vocab_size + 20,
+    cfg = ModelConfig(vocab_size=tok.vocab_size + vocab_extra,
                       only_word_size=tok.vocab_size,
-                      hidden_size=args.hidden,
-                      num_hidden_layers=args.layers,
-                      num_attention_heads=4,
-                      intermediate_size=args.hidden * 4,
-                      max_position_embeddings=128, img_feature_dim=2054,
+                      hidden_size=hidden,
+                      num_hidden_layers=layers,
+                      num_attention_heads=max(4, hidden // 64),
+                      intermediate_size=hidden * 4,
+                      max_position_embeddings=max_position_embeddings,
+                      img_feature_dim=2054,
                       hidden_dropout_prob=0.0,
                       attention_probs_dropout_prob=0.0,
-                      dtype="bfloat16" if args.platform == "tpu"
-                      else "float32")
+                      dtype=dtype)
     model = MLMModel(cfg)
-    ex = dict(input_ids_a=jnp.zeros((1, 35), jnp.int32),
-              attention_mask_a=jnp.ones((1, 35), jnp.int32),
-              token_type_ids_a=jnp.zeros((1, 35), jnp.int32),
+    ex = dict(input_ids_a=jnp.zeros((1, 30), jnp.int32),
+              attention_mask_a=jnp.ones((1, 30), jnp.int32),
+              token_type_ids_a=jnp.zeros((1, 30), jnp.int32),
               input_ids_b=jnp.zeros((1, 20), jnp.int32),
               attention_mask_b=jnp.ones((1, 70), jnp.int32),
               token_type_ids_b=jnp.ones((1, 20), jnp.int32),
               img_feats=jnp.zeros((1, 50, 2054)))
-    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
-                                   max_tag_length=20))()
+    init_dev = None
+    if host_init:
+        try:
+            init_dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            init_dev = None
+    with (jax.default_device(init_dev) if init_dev is not None
+          else contextlib.nullcontext()):
+        v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), **ex,
+                                       max_tag_length=20))()
+        params = v["params"]
+        if store_bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
     mdir = os.path.join(tmp, "model")
-    save_pretrained(mdir, v["params"], cfg)
+    save_pretrained(mdir, params, cfg)
     tok.save_pretrained(mdir)
-    return mdir, paths
+    return mdir, paths, tok.vocab_size
 
 
 def run_load(base, n, threads):

@@ -7,10 +7,16 @@ obtainable (VERDICT r3 next #1):
 
     python tools_tpu/parity_runbook.py \
         --reference_ckpt /path/to/mvptr_base_coco \
-        --features imageid2idx-rooted features.tsv dir \
-        --captions  {split}_captions.pt dir \
+        --feature_tsv   predictions.tsv (imageid2idx.json beside it) \
+        --captions_json retrieval captions json (RetrievalDataset contract) \
         --out /tmp/parity_run \
-        [--expected '{"i2t_R@1": 77.3, "t2i_R@1": 60.1}'] [--tol 0.5]
+        [--expected '{"fine_i2t_retrieval_R@1": 77.3,
+                      "fine_t2i_retrieval_R@1": 60.1}'] [--tol 0.5]
+
+(Reference-format eval data — {split}_captions.pt dicts + feature tsv —
+converts to these contracts with a torch.load -> json dump; the feature
+tsv format is shared.) Expected-metric keys are section-qualified:
+{coarse|fine}_{i2t|t2i}_retrieval_R@{1,5,10}.
 
 Steps:
   1. convert the torch checkpoint (convert.py, gamma/beta remap + head
@@ -41,21 +47,63 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def flatten_metrics(res):
+    """test_eval.json -> flat dict. Keys are SECTION-qualified
+    ({coarse|fine}_{i2t|t2i}_retrieval_R@K): coarse and fine both report
+    the same {direction}_{R@K} leaves, so an unqualified key would let
+    fine silently overwrite coarse."""
+    flat = {}
+    for section, v in res.items():     # section: coarse | fine
+        if isinstance(v, dict):
+            for dirn, m in v.items():  # dirn: i2t_retrieval | t2i_retrieval
+                if isinstance(m, dict):
+                    for k, val in m.items():   # k: R@1 | R@5 | R@10
+                        flat[f"{section}_{dirn}_{k}"] = val
+                else:
+                    flat[f"{section}_{dirn}"] = m
+        else:
+            flat[section] = v
+    return flat
+
+
+def compare_metrics(flat, expected, tol):
+    """Expected values are percent (reference README convention); our
+    fractions auto-scale. Returns failure strings (empty = parity)."""
+    failures = []
+    for k, want in expected.items():
+        got = flat.get(k)
+        if got is None:
+            failures.append(f"{k}: metric missing (have {sorted(flat)})")
+            continue
+        got_pct = got * 100.0 if got <= 1.0 else got
+        if abs(got_pct - want) > tol:
+            failures.append(f"{k}: got {got_pct:.2f}, expected {want} "
+                            f"(tol {tol})")
+        else:
+            print(f"PARITY RUNBOOK: {k} OK ({got_pct:.2f} vs {want})")
+    return failures
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="convert -> eval -> compare parity runbook")
     p.add_argument("--reference_ckpt", required=True,
                    help="torch checkpoint dir (pytorch_model.bin + "
                         "config.json + vocab.txt)")
-    p.add_argument("--features", required=True,
-                   help="eval features dir/tsv (RetrievalDataset contract)")
-    p.add_argument("--captions", required=True,
-                   help="captions dir ({split}_captions.pt contract)")
-    p.add_argument("--split", default="test")
+    p.add_argument("--feature_tsv", required=True,
+                   help="predictions.tsv with imageid2idx.json beside it "
+                        "(FeatureStore contract)")
+    p.add_argument("--captions_json", required=True,
+                   help="retrieval captions json "
+                        "(RetrievalDataset contract)")
+    p.add_argument("--id2phrase", default=None,
+                   help="optional id2phrase json (phrase vocab)")
+    p.add_argument("--num_captions_per_img", type=int, default=5)
     p.add_argument("--out", required=True)
     p.add_argument("--expected", default=None,
                    help="JSON dict of expected metrics, e.g. "
-                        '\'{"i2t_R@1": 77.3, "t2i_R@1": 60.1}\' '
+                        '\'{"fine_i2t_retrieval_R@1": 77.3, '
+                        '"fine_t2i_retrieval_R@1": 60.1}\' '
                         "(percent, reference README.md:15-22)")
     p.add_argument("--tol", type=float, default=0.5,
                    help="absolute tolerance in percentage points")
@@ -79,9 +127,12 @@ def main(argv=None):
     cmd = [sys.executable, "-m", "mvp_pytorch_tpu.tasks.retrieval",
            "--model_name_or_path", converted,
            "--output_dir", eval_dir, "--do_eval",
-           "--data_dir", args.features, "--captions_dir", args.captions,
-           "--eval_split", args.split,
+           "--feature_tsv", args.feature_tsv,
+           "--captions_json", args.captions_json,
+           "--num_captions_per_img", str(args.num_captions_per_img),
            "--eval_batch_size", str(args.eval_batch_size)]
+    if args.id2phrase:
+        cmd += ["--id2phrase", args.id2phrase]
     cmd += [a for a in args.extra_eval_args.split() if a]
     rc = subprocess.call(cmd, cwd=REPO)
     if rc != 0:
@@ -98,29 +149,7 @@ def main(argv=None):
               "metrics above in PARITY.md)")
         return 0
     expected = json.loads(args.expected)
-    flat = {}
-    for section, v in res.items():
-        if isinstance(v, dict):
-            for dirn, m in v.items():
-                if isinstance(m, dict):
-                    for k, val in m.items():
-                        flat[f"{dirn}_{k}"] = val
-                else:
-                    flat[f"{section}_{dirn}"] = m
-        else:
-            flat[section] = v
-    failures = []
-    for k, want in expected.items():
-        got = flat.get(k)
-        if got is None:
-            failures.append(f"{k}: metric missing (have {sorted(flat)})")
-            continue
-        got_pct = got * 100.0 if got <= 1.0 else got
-        if abs(got_pct - want) > args.tol:
-            failures.append(f"{k}: got {got_pct:.2f}, expected {want} "
-                            f"(tol {args.tol})")
-        else:
-            print(f"PARITY RUNBOOK: {k} OK ({got_pct:.2f} vs {want})")
+    failures = compare_metrics(flatten_metrics(res), expected, args.tol)
     if failures:
         print("PARITY RUNBOOK: FAILED\n  " + "\n  ".join(failures),
               file=sys.stderr)

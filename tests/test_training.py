@@ -92,6 +92,8 @@ def test_zero_sharding_actually_shards(setup, devices):
     assert all(l.sharding.is_fully_replicated for l in p_leaves)
 
 
+@pytest.mark.budget(60)  # accum + full-batch step compiles: 27 s measured
+                         # on a contended 1-core host
 def test_grad_accum_matches_full_batch(setup, devices):
     cfg, model, params, batch, loss_fn = setup
     mesh = make_mesh(devices)
@@ -201,6 +203,8 @@ def test_warmup_linear_schedule():
     np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-6)
 
 
+@pytest.mark.budget(60)  # dropout-variant step compile: 27 s measured on a
+                         # contended 1-core host
 def test_training_with_dropout_rngs(devices):
     """Training with nonzero dropout requires the dropout rng end to end
     (gap found during verification: unit tests all used dropout=0)."""

@@ -368,7 +368,8 @@ def test_multiple_choice_model(cfg):
     assert np.isfinite(float(loss_b))
 
 
-def test_remat_runs_and_matches(devices):
+@pytest.mark.budget(40)  # remat + plain grad compiles: 13.5 s solo, flaked
+def test_remat_runs_and_matches(devices):  # at 20 s under host contention
     """config.remat (jax.checkpoint each encoder layer) must actually be
     enableable — nn.remat(TransformerLayer) used to trace the
     `deterministic` bool and crash in nn.Dropout — and be a pure

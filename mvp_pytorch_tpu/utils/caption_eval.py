@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from collections import Counter
 from typing import Dict, List, Optional, Sequence
 
@@ -54,23 +55,29 @@ def bleu_n(candidates: List[List[str]], references: List[List[List[str]]],
 
 def evaluate_captions(predictions: Dict[str, List[str]],
                       references: Dict[str, List[List[str]]],
-                      spice=None) -> Dict[str, float]:
+                      spice=None, synonyms=None) -> Dict[str, float]:
     """{'Bleu_1'..'Bleu_4', 'METEOR', 'ROUGE_L', 'CIDEr'[, 'SPICE']} over
     tokenized captions — the reference's evaluate_on_coco_caption metric
     surface (`oscar/utils/caption_evaluate.py:59-92`). SPICE runs through
     the spice-1.0.jar subprocess contract (utils/spice.py) and auto-enables
     when the jar is discoverable; absent jar = key omitted (the default
     `spice=None` probes discovery; pass a SpiceMetric to pin a jar, or
-    False to skip). METEOR here runs the exact+stem stages only (no WordNet
-    offline; see utils/meteor_rouge.py)."""
-    from .meteor_rouge import meteor, rouge_l
+    False to skip). METEOR runs exact+stem stages, plus the synonym stage
+    when a local synonym table is discoverable (the WordNet role in the
+    COCO jar; same default-None-probes / table-pins / False-skips
+    convention — see utils/meteor_rouge.py)."""
+    from .meteor_rouge import (find_synonym_file, load_synonyms, meteor,
+                               rouge_l)
     keys = sorted(predictions.keys())
     cands = [predictions[k] for k in keys]
     refs = [references[k] for k in keys]
     bleu = bleu_n(cands, refs)
     cider_mean, _ = CiderScorer().compute(cands, refs)
     out = {f"Bleu_{i+1}": b for i, b in enumerate(bleu)}
-    out["METEOR"] = meteor(cands, refs)
+    if synonyms is None:
+        syn_path = find_synonym_file()
+        synonyms = load_synonyms(syn_path) if syn_path else None
+    out["METEOR"] = meteor(cands, refs, synonyms=synonyms or None)
     out["ROUGE_L"] = rouge_l(cands, refs)
     out["CIDEr"] = cider_mean
     if spice is not False:
@@ -107,19 +114,33 @@ class NocapsEvaluator:
     """EvalAI submission contract (reference :198+, return shape
     {metric: {in-domain, near-domain, out-domain, entire}}).
 
-    This environment has no egress, so the EvalAI POST itself cannot run:
-    `submit` writes the payload to disk and `evaluate` raises — UNLESS a
-    local ground-truth file is provided (`gt_json`, COCO caption format:
-    {"annotations": [{"image_id", "caption"}], "images": [{"id",
-    "domain"?}]}), in which case the same nested metric dict is computed
-    locally with our metric suite (BLEU-1..4 / METEOR / ROUGE-L / CIDEr;
-    SPICE auto-enables through the utils/spice.py jar contract and is
-    reported as None while the jar is absent). Tokenization is
-    lowercase whitespace+punct split (the PTBTokenizer role)."""
+    Three modes, checked in order by `evaluate`:
+    1. local ground truth (`gt_json`, COCO caption format:
+       {"annotations": [{"image_id", "caption"}], "images": [{"id",
+       "domain"?}]}): the same nested metric dict computed locally with
+       our metric suite (BLEU-1..4 / METEOR / ROUGE-L / CIDEr; SPICE
+       auto-enables through the utils/spice.py jar contract and is
+       reported as None while the jar is absent);
+    2. the `evalai` CLI on PATH: the reference's full submit-and-poll
+       subprocess protocol (`evaluate_remote`; reference
+       caption_evaluate.py:232-341 — challenge 355, phase 742/743,
+       submission-id regex, 10 s polling, domain-flip of the result) —
+       protocol-tested against a stub CLI; the real POST is blocked only
+       by egress/credentials in this environment;
+    3. neither: write the payload to disk and raise with instructions.
 
-    def __init__(self, phase: str = "val", gt_json: Optional[str] = None):
+    Tokenization for local mode is lowercase whitespace+punct split (the
+    PTBTokenizer role)."""
+
+    def __init__(self, phase: str = "val", gt_json: Optional[str] = None,
+                 poll_interval: float = 10.0, max_poll_tries: int = 30):
         self.phase = phase
         self.gt_json = gt_json
+        self.poll_interval = poll_interval
+        self.max_poll_tries = max_poll_tries
+        # EvalAI constants for the nocaps challenge (reference :228-232)
+        self._challenge_id = 355
+        self._phase_id = 742 if phase == "val" else 743
 
     def build_payload(self, predictions: List[dict]) -> List[dict]:
         return [{"image_id": p["image_id"], "caption": p["caption"]}
@@ -183,9 +204,78 @@ class NocapsEvaluator:
                 out["SPICE"][dom] = res["SPICE"]
         return out
 
-    def evaluate(self, predictions, out_path="nocaps_submission.json"):
-        path = self.submit(predictions, out_path)
+    def evaluate_remote(self, predictions: List[dict],
+                        iteration: Optional[int] = None
+                        ) -> Dict[str, Dict[str, float]]:
+        """The reference's EvalAI submit-and-poll flow via the `evalai`
+        CLI (caption_evaluate.py:232-341): submit the COCO-format payload,
+        parse the submission id from stdout, poll `evalai submission <id>
+        result` until metrics appear, flip the per-domain list into
+        {metric: {domain: value}}. Differences from the reference, both
+        deliberate: a failed id parse raises instead of recursing
+        unboundedly, and poll cadence/limit are constructor args."""
+        import re
+        import shutil
+        import subprocess
+        import tempfile
+        import time
+
+        if shutil.which("evalai") is None:
+            raise RuntimeError("the `evalai` CLI is not on PATH")
+        fd, pred_file = tempfile.mkstemp(suffix=".json", text=True)
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.build_payload(predictions), f)
+        cmd = ["evalai", "challenge", str(self._challenge_id), "phase",
+               str(self._phase_id), "submit", "--file", pred_file]
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stdin=subprocess.PIPE,
+                                stderr=subprocess.STDOUT)
+        # the CLI prompts for public/private visibility; answer N as the
+        # reference does (caption_evaluate.py:282)
+        stdout = proc.communicate(input=b"N\n")[0].decode("utf-8")
+        match = re.search(r"evalai submission ([0-9]+)", stdout)
+        if match is None:
+            raise RuntimeError(
+                f"EvalAI submission failed — no submission id in CLI "
+                f"output:\n{stdout[-1000:]}")
+        submission_id = match.group(1)
+        if iteration is not None:
+            print(f"Submitted predictions for iteration {iteration}, "
+                  f"submission id: {submission_id}.")
+
+        result_stdout = ""
+        for _ in range(self.max_poll_tries):
+            result_stdout = subprocess.check_output(
+                ["evalai", "submission", submission_id, "result"]
+            ).decode("utf-8")
+            if "CIDEr" in result_stdout:
+                break
+            time.sleep(self.poll_interval)
+        else:
+            raise ConnectionError(
+                f"EvalAI result not ready after {self.max_poll_tries} "
+                f"polls ({self.max_poll_tries * self.poll_interval:.0f}s)")
+
+        # result is a list of one-key dicts, one per domain (reference
+        # :319-326); flip to {metric: {domain: value}}
+        by_domain: Dict[str, Dict[str, float]] = {}
+        for entry in json.loads(result_stdout):
+            by_domain.update(entry)
+        flipped: Dict[str, Dict[str, float]] = {}
+        for dom, vals in by_domain.items():
+            for metric, value in vals.items():
+                flipped.setdefault(metric, {})[dom] = value
+        return flipped
+
+    def evaluate(self, predictions, out_path="nocaps_submission.json",
+                 iteration: Optional[int] = None):
+        import shutil
         if self.gt_json is not None:
+            self.submit(predictions, out_path)
             return self.evaluate_local(predictions)
+        if shutil.which("evalai") is not None:
+            return self.evaluate_remote(predictions, iteration=iteration)
+        path = self.submit(predictions, out_path)
         raise RuntimeError(
-            f"no egress: wrote EvalAI payload to {path}; submit manually")
+            f"no egress and no `evalai` CLI: wrote EvalAI payload to "
+            f"{path}; submit manually")

@@ -9,9 +9,20 @@ metrics that are pure-algorithm (no jar, no WordNet download, no egress):
   LCS precision/recall combined with beta=1.2 F-score, corpus = mean.
 - METEOR: the published algorithm (Banerjee & Lavie 2005 constants as in
   NLTK: alpha=0.9, beta=3, gamma=0.5) with exact + Porter-stem matching
-  stages. The COCO jar additionally uses WordNet synonyms — unavailable
-  offline, so scores are a close lower bound of the jar's (documented
-  non-parity: synonym stage only).
+  stages, plus an optional SYNONYM stage driven by a local synonym table
+  (the role WordNet plays in the COCO jar; WordNet itself is not
+  downloadable here — no egress). Drop a synonym file in place (discovery
+  below, mirroring the SPICE jar contract in utils/spice.py) and the
+  stage auto-enables everywhere `evaluate_captions` is used; without one,
+  scores are a close lower bound of the jar's (documented non-parity:
+  synonym stage only).
+
+Synonym file discovery: $METEOR_SYNONYMS, then
+tools_tpu/meteor/synonyms.{json,tsv}, then
+~/.cache/mvptr/meteor/synonyms.{json,tsv}. Formats: JSON
+{"word": ["syn", ...]} or TSV lines "word<TAB>syn1 syn2 ...". Two tokens
+match at the synonym stage when either lists the other (the symmetric
+closure is applied at load).
 
 The Porter stemmer is implemented from the published algorithm
 (Porter 1980), steps 1a-5b.
@@ -19,7 +30,12 @@ The Porter stemmer is implemented from the published algorithm
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import json
+import os
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------------------
 # Porter stemmer (Porter 1980) — compact implementation of the paper's rules
@@ -196,8 +212,49 @@ def rouge_l(candidates: List[List[str]],
 
 
 # ---------------------------------------------------------------------------
-# METEOR (exact + stem stages; NLTK-convention constants)
+# METEOR (exact + stem [+ synonym] stages; NLTK-convention constants)
 # ---------------------------------------------------------------------------
+
+SynonymTable = Dict[str, FrozenSet[str]]
+
+
+def find_synonym_file() -> Optional[str]:
+    """Local synonym-table discovery (the jar-artifact convention of
+    utils/spice.py): None when no table is present."""
+    candidates = [os.environ.get("METEOR_SYNONYMS")]
+    for root in (os.path.join(_REPO_ROOT, "tools_tpu", "meteor"),
+                 os.path.expanduser(os.path.join("~", ".cache", "mvptr",
+                                                 "meteor"))):
+        candidates += [os.path.join(root, "synonyms.json"),
+                       os.path.join(root, "synonyms.tsv")]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def load_synonyms(path: str) -> SynonymTable:
+    """Load a synonym table (JSON dict or TSV) and symmetrize it: if either
+    word lists the other, both entries contain the pair afterwards, so the
+    match stage can do a single directional lookup."""
+    raw: Dict[str, List[str]] = {}
+    with open(path) as f:
+        if path.endswith(".json"):
+            raw = json.load(f)
+        else:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2 and parts[0]:
+                    raw[parts[0]] = parts[1].split()
+    table: Dict[str, set] = {}
+    for w, syns in raw.items():
+        for s in syns:
+            if s == w:
+                continue
+            table.setdefault(w, set()).add(s)
+            table.setdefault(s, set()).add(w)
+    return {w: frozenset(s) for w, s in table.items()}
+
 
 def _stage_match(cand_pool: Dict[int, str], ref_pool: Dict[int, str],
                  key) -> List[Tuple[int, int]]:
@@ -225,9 +282,28 @@ def _count_chunks(pairs: List[Tuple[int, int]]) -> int:
     return chunks
 
 
+def _synonym_match(cand_pool: Dict[int, str], ref_pool: Dict[int, str],
+                   synonyms: SynonymTable) -> List[Tuple[int, int]]:
+    """Greedy bijective synonym stage: each remaining candidate token pairs
+    with the first unmatched reference token the (symmetrized) table links
+    it to — the WordNet-synset role in the METEOR jar."""
+    pairs = []
+    for ci in sorted(cand_pool):
+        syns = synonyms.get(cand_pool[ci])
+        if not syns:
+            continue
+        for ri in sorted(ref_pool):
+            if ref_pool[ri] in syns:
+                pairs.append((ci, ri))
+                del cand_pool[ci], ref_pool[ri]
+                break
+    return pairs
+
+
 def meteor_sentence(cand: Sequence[str], refs: Sequence[Sequence[str]],
                     alpha: float = 0.9, beta: float = 3.0,
-                    gamma: float = 0.5) -> float:
+                    gamma: float = 0.5,
+                    synonyms: Optional[SynonymTable] = None) -> float:
     """Max over references of the single-reference METEOR score."""
     best = 0.0
     for ref in refs:
@@ -237,6 +313,8 @@ def meteor_sentence(cand: Sequence[str], refs: Sequence[Sequence[str]],
         ref_pool = dict(enumerate(ref))
         pairs = _stage_match(cand_pool, ref_pool, key=lambda t: t)
         pairs += _stage_match(cand_pool, ref_pool, key=porter_stem)
+        if synonyms:
+            pairs += _synonym_match(cand_pool, ref_pool, synonyms)
         m = len(pairs)
         if m == 0:
             continue
@@ -249,9 +327,13 @@ def meteor_sentence(cand: Sequence[str], refs: Sequence[Sequence[str]],
 
 
 def meteor(candidates: List[List[str]],
-           references: List[List[List[str]]]) -> float:
-    """Corpus METEOR = mean of per-image scores."""
+           references: List[List[List[str]]],
+           synonyms: Optional[SynonymTable] = None) -> float:
+    """Corpus METEOR = mean of per-image scores. `synonyms` enables the
+    synonym stage; pass None to run exact+stem only (callers that want
+    auto-discovery resolve the table via find_synonym_file/load_synonyms
+    once — see evaluate_captions)."""
     if not candidates:
         return 0.0
-    return sum(meteor_sentence(c, r)
+    return sum(meteor_sentence(c, r, synonyms=synonyms)
                for c, r in zip(candidates, references)) / len(candidates)

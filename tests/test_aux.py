@@ -336,3 +336,72 @@ def test_inspect_ckpt_tool(tmp_path, capsys):
     assert main([d, "--tree"]) == 0
     out = capsys.readouterr().out
     assert "params.msgpack" in out and "embeddings/word_embeddings" in out
+
+
+def test_nocaps_remote_protocol(tmp_path, monkeypatch):
+    """NocapsEvaluator.evaluate_remote speaks the reference's full evalai-CLI
+    protocol (caption_evaluate.py:232-341) — verified against a stub CLI:
+    challenge/phase args, --file payload shape, N\\n visibility answer,
+    submission-id regex, pending->ready polling, domain flip. The real POST
+    is blocked only by egress/credentials."""
+    import stat
+    import textwrap
+
+    from mvp_pytorch_tpu.utils.caption_eval import NocapsEvaluator
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    stub = bin_dir / "evalai"
+    stub.write_text(textwrap.dedent(f"""\
+        #!/usr/bin/env python3
+        import json, os, sys
+        marker = {str(tmp_path / 'polled')!r}
+        if sys.argv[1] == "challenge":
+            assert sys.argv[2:7] == ["355", "phase", "742", "submit",
+                                     "--file"], sys.argv
+            payload = json.load(open(sys.argv[7]))
+            assert payload and all(set(p) == {{"image_id", "caption"}}
+                                   for p in payload), payload
+            assert sys.stdin.read() == "N\\n"
+            print("Do you want to make it public? ... "
+                  "Use `evalai submission 4242` to view the status")
+        elif sys.argv[1] == "submission":
+            assert sys.argv[2:] == ["4242", "result"], sys.argv
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                print("The Submission is yet to be evaluated.")
+            else:
+                print(json.dumps([
+                    {{"in-domain": {{"CIDEr": 80.1, "B1": 70.2}}}},
+                    {{"near-domain": {{"CIDEr": 75.5, "B1": 65.0}}}},
+                    {{"out-domain": {{"CIDEr": 70.0, "B1": 60.3}}}},
+                    {{"entire": {{"CIDEr": 76.4, "B1": 66.1}}}},
+                ]))
+        """))
+    stub.chmod(stub.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+    ev = NocapsEvaluator(phase="val", poll_interval=0.01)
+    preds = [{"image_id": 1, "caption": "two dogs play"},
+             {"image_id": 2, "caption": "a man rides a horse"}]
+    # evaluate() dispatches to the remote protocol when the CLI is on PATH
+    res = ev.evaluate(preds)
+    assert res == {"CIDEr": {"in-domain": 80.1, "near-domain": 75.5,
+                             "out-domain": 70.0, "entire": 76.4},
+                   "B1": {"in-domain": 70.2, "near-domain": 65.0,
+                          "out-domain": 60.3, "entire": 66.1}}
+    assert (tmp_path / "polled").exists()   # the pending poll really ran
+
+    # a CLI answer with no submission id raises instead of recursing
+    stub.write_text("#!/bin/sh\necho submission rejected\n")
+    with pytest.raises(RuntimeError, match="no submission id"):
+        ev.evaluate_remote(preds)
+
+    # no CLI, no gt: payload written + explicit instructions
+    monkeypatch.setenv("PATH", "/usr/bin:/bin")
+    import shutil as _sh
+    if _sh.which("evalai") is None:
+        out = tmp_path / "payload.json"
+        with pytest.raises(RuntimeError, match="submit manually"):
+            NocapsEvaluator().evaluate(preds, out_path=str(out))
+        assert out.exists()

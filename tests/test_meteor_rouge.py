@@ -121,3 +121,60 @@ def test_corpus_means_and_surface():
     # scores it ~0.98 while exact-token ROUGE-L gives 2/3 -> mean 5/6
     assert math.isclose(out["ROUGE_L"], (1.0 + 2 / 3) / 2)
     assert out["METEOR"] > 0.95
+
+
+# ---------------------------------------------------------------------------
+# synonym stage (the WordNet role in the COCO jar, via a local table)
+# ---------------------------------------------------------------------------
+
+def test_meteor_synonym_stage_golden():
+    """Hand-computed: exact matches 'a'; the synonym stage matches
+    puppy<->dog. With both matched: m=2, P=R=1, fmean=1, 1 chunk,
+    penalty=0.5*(1/2)^3 -> 0.9375. Without the table the score is 0.25
+    (m=1, P=R=0.5, fmean=0.5, penalty=0.5)."""
+    cand, refs = ["a", "puppy"], [["a", "dog"]]
+    syn = {"puppy": frozenset({"dog"})}
+    assert math.isclose(meteor_sentence(cand, refs, synonyms=syn), 0.9375)
+    assert math.isclose(meteor_sentence(cand, refs), 0.25)
+    # the stage runs AFTER exact+stem: a synonym entry can never steal a
+    # token that matches exactly
+    same = {"dog": frozenset({"dog"})}
+    assert math.isclose(
+        meteor_sentence(["dog"], [["dog"]], synonyms=same),
+        meteor_sentence(["dog"], [["dog"]]))
+
+
+def test_load_synonyms_formats_and_symmetry(tmp_path):
+    from mvp_pytorch_tpu.utils.meteor_rouge import load_synonyms
+
+    j = tmp_path / "synonyms.json"
+    j.write_text('{"puppy": ["dog", "pup"], "cat": ["kitten"]}')
+    tj = load_synonyms(str(j))
+    # symmetric closure: either direction lists the other
+    assert "dog" in tj["puppy"] and "puppy" in tj["dog"]
+    assert "cat" in tj["kitten"]
+    t = tmp_path / "synonyms.tsv"
+    t.write_text("puppy\tdog pup\ncat\tkitten\n\n")
+    assert load_synonyms(str(t)) == tj
+    # self-loops dropped
+    j2 = tmp_path / "self.json"
+    j2.write_text('{"dog": ["dog"]}')
+    assert load_synonyms(str(j2)) == {}
+
+
+def test_evaluate_captions_synonym_autodiscovery(tmp_path, monkeypatch):
+    """The table auto-enables via $METEOR_SYNONYMS (the SPICE-jar artifact
+    convention) and raises corpus METEOR on a synonym-only match."""
+    preds = {"i1": ["a", "puppy"]}
+    refs = {"i1": [["a", "dog"]]}
+    monkeypatch.delenv("METEOR_SYNONYMS", raising=False)
+    base = evaluate_captions(preds, refs, spice=False)
+    syn_file = tmp_path / "synonyms.json"
+    syn_file.write_text('{"puppy": ["dog"]}')
+    monkeypatch.setenv("METEOR_SYNONYMS", str(syn_file))
+    boosted = evaluate_captions(preds, refs, spice=False)
+    assert math.isclose(base["METEOR"], 0.25)
+    assert math.isclose(boosted["METEOR"], 0.9375)
+    # synonyms=False pins the stage off even when a table is discoverable
+    off = evaluate_captions(preds, refs, spice=False, synonyms=False)
+    assert math.isclose(off["METEOR"], 0.25)

@@ -126,3 +126,60 @@ def test_pipeline_train_step_shards_params():
     # params must actually be stage-sharded
     leaf = jax.tree_util.tree_leaves(stacked)[0]
     assert any(PIPE_AXIS == e for e in leaf.sharding.spec), leaf.sharding
+
+
+def test_gpipe_dropout_branch():
+    """The dropout path of gpipe_transformer (every other PP test pins
+    dropout to 0): finite, reproducible under the same rng, and the
+    per-(layer, microbatch, data-shard) key fold gives IDENTICAL input
+    rows placed in different cells DIFFERENT masks — a broken fold makes
+    e.g. row 0 (mb0/shard0) and row 4 (mb1/shard0) bit-equal."""
+    import dataclasses
+
+    from mvp_pytorch_tpu.parallel.pipeline import (gpipe_transformer,
+                                                   pipeline_scope)
+
+    cfg_d = dataclasses.replace(CFG, hidden_dropout_prob=0.3)
+    mesh = make_pipe_mesh(jax.devices()[:4], pipe=2, data=2)
+    enc = StreamEncoder(CFG, num_layers=NUM_LAYERS)
+    rs = np.random.RandomState(0)
+    row = rs.randn(1, L, H).astype(np.float32)
+    hidden = jnp.asarray(np.repeat(row, 8, axis=0))      # 8 identical rows
+    bias = mask_to_bias(jnp.ones((8, L), jnp.int32))
+    params = enc.init(jax.random.PRNGKey(0), hidden, bias)["params"]
+    stacked = stack_layer_params(params, NUM_LAYERS)
+    rng = jax.random.PRNGKey(7)
+
+    def run(key):
+        return np.asarray(gpipe_transformer(
+            cfg_d, stacked, hidden, bias, mesh=mesh, n_microbatches=2,
+            deterministic=False, dropout_rng=key))
+
+    out = run(rng)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_array_equal(out, run(rng))          # reproducible
+    assert not np.array_equal(out, run(jax.random.PRNGKey(8)))
+    flat = out.reshape(8, -1)
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.array_equal(flat[i], flat[j]), (i, j)
+
+    # deterministic=False with zero dropout probability takes the rng-free
+    # path and equals the plain sequential stack
+    out_p0 = gpipe_transformer(CFG, stacked, hidden, bias, mesh=mesh,
+                               n_microbatches=2, deterministic=False,
+                               dropout_rng=rng)
+    seq_out, _ = enc.apply({"params": params}, hidden, bias)
+    np.testing.assert_allclose(np.asarray(out_p0), np.asarray(seq_out),
+                               rtol=2e-5, atol=2e-5)
+
+    # integration: StreamEncoder._stacked threads make_rng("dropout")
+    # through to the same GPipe path under an active pipeline_scope
+    cfg_pp = dataclasses.replace(cfg_d, pipeline_stages=2)
+    enc_pp = StreamEncoder(cfg_pp, num_layers=NUM_LAYERS)
+    tree = {"layers": {"layer": stacked}}
+    with pipeline_scope(mesh, 2):
+        out_enc, _ = enc_pp.apply({"params": tree}, hidden, bias,
+                                  deterministic=False,
+                                  rngs={"dropout": rng})
+    assert np.all(np.isfinite(np.asarray(out_enc)))

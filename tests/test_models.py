@@ -132,7 +132,8 @@ def test_padding_invariance(cfg):
                                np.asarray(out2.sim_mat), atol=2e-5)
 
 
-def test_pretrain_losses(cfg):
+@pytest.mark.budget(60)  # 5-loss composite forward compile: 27 s solo on a
+def test_pretrain_losses(cfg):  # cold jax compile cache
     model = BiPretrainModel(cfg)
     batch = make_batch(cfg)
     r = np.random.RandomState(1)

@@ -47,6 +47,14 @@ def _remaining():
     return _BUDGET - (time.time() - _T0)
 
 
+def _extend_budget(s: float):
+    """Refund wall time lost to a tunnel stall (see the headline's
+    stall-recovery clause) so the budget gates measure MEASUREMENT time,
+    not stall time."""
+    global _BUDGET
+    _BUDGET += s
+
+
 def _emit(obj):
     """One JSON object per stdout line, flushed immediately."""
     print(json.dumps(obj), flush=True)
@@ -228,6 +236,36 @@ def main():
                     dict(detail, wall_s=round(results[0][0], 2), reps=1)))
     while len(results) < n_reps and _remaining() > 30:
         results.append(run_once())
+
+    # --- tunnel-stall recovery (measured r4 session 3: ONE multi-minute
+    # tunnel stall inside rep 1 consumed the whole 480 s budget and left a
+    # 148 pairs/s "headline" — 70x below any healthy run of this code).
+    # A stalled rep is a measurement failure, not a throughput number:
+    # while even the BEST rep sits below the sanity floor (1k pairs/s =
+    # 20% of the 5k target; healthy runs are >10k), keep taking reps past
+    # the budget — bounded by BENCH_STALL_EXTRA_S — until one lands in a
+    # healthy window. On recovery, refund the stalled wall time to the
+    # stage budget so the secondaries still run; the emit-after-every-
+    # stage protocol keeps the headline as the last parseable line even
+    # if an external timeout then kills the longer run.
+    floor = float(os.environ.get("BENCH_SANITY_FLOOR", "1000"))
+    stall_deadline = time.time() + float(
+        os.environ.get("BENCH_STALL_EXTRA_S", "600"))
+    while (n_pairs / min(r[0] for r in results) < floor
+           and time.time() < stall_deadline):
+        _note(f"headline {n_pairs / min(r[0] for r in results):.0f} "
+              f"pairs/s is below the {floor:.0f} sanity floor — tunnel "
+              f"stall suspected, taking an extra rep")
+        results.append(run_once())
+    if (len(results) > 1 and n_pairs / min(r[0] for r in results) >= floor):
+        best_wall = min(r[0] for r in results)
+        stalled = sum(max(0.0, w - 3 * best_wall) for w, _ in results)
+        if stalled > 10:
+            _note(f"refunding {stalled:.0f}s of stalled rep wall time "
+                  f"to the stage budget")
+            _extend_budget(stalled)
+            detail["stall_refund_s"] = round(stalled, 1)
+
     dt = min(r[0] for r in results)
     pairs_per_sec = n_pairs / dt
     detail.update(wall_s=round(dt, 2), reps=len(results))

@@ -405,3 +405,27 @@ def test_nocaps_remote_protocol(tmp_path, monkeypatch):
         with pytest.raises(RuntimeError, match="submit manually"):
             NocapsEvaluator().evaluate(preds, out_path=str(out))
         assert out.exists()
+
+
+def test_nocaps_local_gt_preferred_over_cli(tmp_path, monkeypatch):
+    """When both a local gt file and the evalai CLI are available, evaluate()
+    uses the local path (free + offline) — the CLI is the fallback."""
+    import stat
+
+    from mvp_pytorch_tpu.utils.caption_eval import NocapsEvaluator
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    stub = bin_dir / "evalai"
+    stub.write_text("#!/bin/sh\necho SHOULD-NOT-RUN >&2\nexit 1\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IXUSR)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+    gt = {"images": [{"id": 1}],
+          "annotations": [{"image_id": 1, "caption": "a dog runs"}]}
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    ev = NocapsEvaluator(gt_json=str(gt_path))
+    res = ev.evaluate([{"image_id": 1, "caption": "a dog runs"}],
+                      out_path=str(tmp_path / "payload.json"))
+    assert res["CIDEr"]["entire"] is not None   # local metrics computed

@@ -248,15 +248,32 @@ def main():
     # stage budget so the secondaries still run; the emit-after-every-
     # stage protocol keeps the headline as the last parseable line even
     # if an external timeout then kills the longer run.
+    # A stall and a genuine regression look different: a stall is one
+    # wildly-slow rep among healthy ones; a regression REPRODUCES rep after
+    # rep. So the recovery loop is capped (BENCH_STALL_MAX_REPS extra reps)
+    # and stops early the moment two consecutive extra reps agree with each
+    # other (within 1.5x) while still sub-floor — that's a real slowdown,
+    # reported fast and honestly instead of burning the stall budget.
     floor = float(os.environ.get("BENCH_SANITY_FLOOR", "1000"))
+    max_extra = int(os.environ.get("BENCH_STALL_MAX_REPS", "3"))
+    extra = 0
     stall_deadline = time.time() + float(
         os.environ.get("BENCH_STALL_EXTRA_S", "600"))
     while (n_pairs / min(r[0] for r in results) < floor
-           and time.time() < stall_deadline):
+           and extra < max_extra and time.time() < stall_deadline):
         _note(f"headline {n_pairs / min(r[0] for r in results):.0f} "
               f"pairs/s is below the {floor:.0f} sanity floor — tunnel "
-              f"stall suspected, taking an extra rep")
+              f"stall suspected, taking an extra rep "
+              f"({extra + 1}/{max_extra})")
         results.append(run_once())
+        extra += 1
+        if extra >= 2:
+            w1, w2 = results[-2][0], results[-1][0]
+            if (max(w1, w2) / min(w1, w2) < 1.5
+                    and n_pairs / min(w1, w2) < floor):
+                _note("two consecutive sub-floor reps agree — this is a "
+                      "regression, not a stall; reporting it as measured")
+                break
     if (len(results) > 1 and n_pairs / min(r[0] for r in results) >= floor):
         best_wall = min(r[0] for r in results)
         stalled = sum(max(0.0, w - 3 * best_wall) for w, _ in results)
@@ -268,7 +285,10 @@ def main():
 
     dt = min(r[0] for r in results)
     pairs_per_sec = n_pairs / dt
-    detail.update(wall_s=round(dt, 2), reps=len(results))
+    # every rep's wall time goes in the artifact so a stall_refund_s (and
+    # the best-of-N choice itself) is auditable from BENCH_r*.json alone
+    detail.update(wall_s=round(dt, 2), reps=len(results),
+                  rep_walls_s=[round(r[0], 2) for r in results])
     _note(f"headline timed: {pairs_per_sec:.0f} pairs/s "
           f"(best of {len(results)})")
 

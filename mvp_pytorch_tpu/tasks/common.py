@@ -324,7 +324,13 @@ def load_params_or_init(args, model, init_fn):
             if getattr(cfg, "pipeline_stages", 0) > 0:
                 from ..parallel.pipeline import stack_model_params
                 params = stack_model_params(params)
-            if jax.process_count() == 1:
+            sharded_train = (getattr(args, "do_train", False)
+                             and (getattr(args, "fsdp", False)
+                                  or max(1, getattr(args, "model_parallel",
+                                                    1)) > 1
+                                  or max(1, getattr(args, "pipeline_parallel",
+                                                    1)) > 1))
+            if jax.process_count() == 1 and not sharded_train:
                 # commit the host numpy tree to the device ONCE —
                 # device_put with no target keeps the arrays UNCOMMITTED
                 # (any later mesh/sharding placement still works) but
@@ -333,6 +339,11 @@ def load_params_or_init(args, model, init_fn):
                 # the axon tunnel: 7.5 s/call at base width). Multi-
                 # process keeps numpy: every rank passing the same host
                 # value is the multi-controller replication contract.
+                # Sharded training (FSDP/TP/PP) also keeps numpy: the
+                # Trainer immediately re-places params with the target
+                # sharding, and transiently staging a larger-than-one-
+                # device checkpoint on the default device — the exact
+                # case param sharding exists for — would OOM here.
                 params = jax.device_put(params)
             return params
     return init_fn()

@@ -121,23 +121,30 @@ class NocapsEvaluator:
        our metric suite (BLEU-1..4 / METEOR / ROUGE-L / CIDEr; SPICE
        auto-enables through the utils/spice.py jar contract and is
        reported as None while the jar is absent);
-    2. the `evalai` CLI on PATH: the reference's full submit-and-poll
-       subprocess protocol (`evaluate_remote`; reference
-       caption_evaluate.py:232-341 — challenge 355, phase 742/743,
-       submission-id regex, 10 s polling, domain-flip of the result) —
-       protocol-tested against a stub CLI; the real POST is blocked only
-       by egress/credentials in this environment;
-    3. neither: write the payload to disk and raise with instructions.
+    2. REMOTE SUBMISSION, only when explicitly opted in (`allow_remote=
+       True` or MVPTR_EVALAI_SUBMIT=1) AND the `evalai` CLI is on PATH:
+       the reference's full submit-and-poll subprocess protocol
+       (`evaluate_remote`; reference caption_evaluate.py:232-341 —
+       challenge 355, phase 742/743, submission-id regex, 10 s polling,
+       domain-flip of the result) — protocol-tested against a stub CLI.
+       Remote submission PUBLISHES predictions to the external EvalAI
+       service (and test-phase submissions count against quotas), so a
+       CLI merely being installed must never trigger it;
+    3. otherwise: write the payload to disk and raise with instructions.
 
     Tokenization for local mode is lowercase whitespace+punct split (the
     PTBTokenizer role)."""
 
     def __init__(self, phase: str = "val", gt_json: Optional[str] = None,
-                 poll_interval: float = 10.0, max_poll_tries: int = 30):
+                 poll_interval: float = 10.0, max_poll_tries: int = 30,
+                 allow_remote: Optional[bool] = None):
         self.phase = phase
         self.gt_json = gt_json
         self.poll_interval = poll_interval
         self.max_poll_tries = max_poll_tries
+        if allow_remote is None:
+            allow_remote = os.environ.get("MVPTR_EVALAI_SUBMIT") == "1"
+        self.allow_remote = allow_remote
         # EvalAI constants for the nocaps challenge (reference :228-232)
         self._challenge_id = 355
         self._phase_id = 742 if phase == "val" else 743
@@ -273,9 +280,13 @@ class NocapsEvaluator:
         if self.gt_json is not None:
             self.submit(predictions, out_path)
             return self.evaluate_local(predictions)
-        if shutil.which("evalai") is not None:
+        # remote submission publishes to the external EvalAI service —
+        # gated on the explicit opt-in, never on PATH contents alone
+        if self.allow_remote and shutil.which("evalai") is not None:
             return self.evaluate_remote(predictions, iteration=iteration)
         path = self.submit(predictions, out_path)
         raise RuntimeError(
-            f"no egress and no `evalai` CLI: wrote EvalAI payload to "
-            f"{path}; submit manually")
+            f"wrote EvalAI payload to {path}; no local gt_json and remote "
+            f"submission is not enabled — pass allow_remote=True (or set "
+            f"MVPTR_EVALAI_SUBMIT=1) with the `evalai` CLI installed to "
+            f"submit automatically, or submit the payload manually")

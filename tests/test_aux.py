@@ -381,10 +381,22 @@ def test_nocaps_remote_protocol(tmp_path, monkeypatch):
     stub.chmod(stub.stat().st_mode | stat.S_IXUSR)
     monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
 
-    ev = NocapsEvaluator(phase="val", poll_interval=0.01)
     preds = [{"image_id": 1, "caption": "two dogs play"},
              {"image_id": 2, "caption": "a man rides a horse"}]
+    # WITHOUT the explicit opt-in, a CLI on PATH must NOT trigger a remote
+    # submission (it publishes predictions + burns submission quota):
+    # evaluate() writes the payload and raises with instructions instead
+    monkeypatch.delenv("MVPTR_EVALAI_SUBMIT", raising=False)
+    gated_out = tmp_path / "gated_payload.json"
+    with pytest.raises(RuntimeError, match="MVPTR_EVALAI_SUBMIT"):
+        NocapsEvaluator(phase="val").evaluate(preds,
+                                              out_path=str(gated_out))
+    assert gated_out.exists()
+
+    ev = NocapsEvaluator(phase="val", poll_interval=0.01,
+                         allow_remote=True)
     # evaluate() dispatches to the remote protocol when the CLI is on PATH
+    # AND remote submission was explicitly opted into
     res = ev.evaluate(preds)
     assert res == {"CIDEr": {"in-domain": 80.1, "near-domain": 75.5,
                              "out-domain": 70.0, "entire": 76.4},
@@ -402,7 +414,7 @@ def test_nocaps_remote_protocol(tmp_path, monkeypatch):
     import shutil as _sh
     if _sh.which("evalai") is None:
         out = tmp_path / "payload.json"
-        with pytest.raises(RuntimeError, match="submit manually"):
+        with pytest.raises(RuntimeError, match="manually"):
             NocapsEvaluator().evaluate(preds, out_path=str(out))
         assert out.exists()
 

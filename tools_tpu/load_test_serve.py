@@ -54,11 +54,17 @@ def build_assets(tmp, *, hidden=32, layers=4, dtype="float32",
 
     paths = make_synthetic_root(os.path.join(tmp, "synth"))
     tok = BertTokenizer(paths["vocab"])
+    # head count must divide hidden (head_dim = hidden // heads): start
+    # from the flagship ratio (64-wide heads, min 4) and round DOWN to the
+    # nearest divisor so any CLI --hidden builds a valid config
+    heads = max(4, hidden // 64)
+    while hidden % heads:
+        heads -= 1
     cfg = ModelConfig(vocab_size=tok.vocab_size + vocab_extra,
                       only_word_size=tok.vocab_size,
                       hidden_size=hidden,
                       num_hidden_layers=layers,
-                      num_attention_heads=max(4, hidden // 64),
+                      num_attention_heads=heads,
                       intermediate_size=hidden * 4,
                       max_position_embeddings=max_position_embeddings,
                       img_feature_dim=2054,

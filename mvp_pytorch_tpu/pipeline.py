@@ -214,10 +214,37 @@ class InferencePipeline:
 
     # ------------------------------------------------------------------
 
-    def inference_batch(self, pairs, batch_size: int = 16):
-        """Batched serving: pairs = [(img_path, text), ...]. Pads the last
-        batch for static shapes; returns a list of per-pair results
-        (capability the reference pipeline lacks — it is batch-1 only)."""
+    def prepare_batch(self, pairs, batch_size: int = 16):
+        """HOST stage of batched serving: OD feature lookup + phrase
+        extraction + tensorize for pairs = [(img_path, text), ...].
+        Returns a list of tensorized examples (numpy dicts) ready for
+        `infer_prepared`. Pure host work — safe to run concurrently on
+        request threads OUTSIDE any device lock (VERDICT r4 next #4: the
+        serving tail was host tokenize/tensorize serializing inside the
+        batcher's device lock)."""
+        paths = [p for p, _ in pairs]
+        if hasattr(self._od, "batch_call"):
+            # JAX detector: one device forward per image batch (17x the
+            # per-image path, measured); batch_call pads partial chunks
+            od_out = self._od.batch_call(paths, batch_size=batch_size)
+        else:
+            od_out = [self.preprocess_img(p) for p in paths]
+        exs = []
+        phrase_lists = self.phrase_extract_batch([t for _, t in pairs])
+        for (feat, tags), (_, text), ph in zip(od_out, pairs, phrase_lists):
+            exs.append(self.tensorize_example(
+                text, feat, " ".join(tags), ph))
+        return exs
+
+    def prepare_example(self, img_path: str, text: str):
+        """Single-pair host stage (see prepare_batch)."""
+        return self.prepare_batch([(img_path, text)], batch_size=1)[0]
+
+    def infer_prepared(self, exs, batch_size: int = 16):
+        """DEVICE stage of batched serving: pads each chunk to one static
+        shape, uploads once, runs the jitted batched forward. Returns raw
+        per-example outputs: for mlm, [La] device-argmax'd token-id arrays
+        (decode with `decode_mlm`); for embedding, {name: vector} dicts."""
         from .data.tensorize import collate
 
         if not hasattr(self, "_jit_fwd_batch"):
@@ -239,18 +266,6 @@ class InferencePipeline:
 
             self._jit_fwd_batch = jax.jit(_fwd_batch)
 
-        paths = [p for p, _ in pairs]
-        if hasattr(self._od, "batch_call"):
-            # JAX detector: one device forward per image batch (17x the
-            # per-image path, measured); batch_call pads partial chunks
-            od_out = self._od.batch_call(paths, batch_size=batch_size)
-        else:
-            od_out = [self.preprocess_img(p) for p in paths]
-        exs = []
-        phrase_lists = self.phrase_extract_batch([t for _, t in pairs])
-        for (feat, tags), (_, text), ph in zip(od_out, pairs, phrase_lists):
-            exs.append(self.tensorize_example(
-                text, feat, " ".join(tags), ph))
         results = []
         for i in range(0, len(exs), batch_size):
             chunk = exs[i:i + batch_size]
@@ -262,16 +277,33 @@ class InferencePipeline:
             out = self._jit_fwd_batch(self.params, batch)
             if self.model_name == "mlm":
                 pred_ids = np.asarray(out)[:n]       # [n, La] argmax ids
-                for j in range(n):
-                    ids = np.asarray(chunk[j]["input_ids_a"])
-                    mp = ids == self.tokenizer.vocab["[MASK]"]
-                    results.append(self.tokenizer.convert_ids_to_tokens(
-                        [int(p) for p in pred_ids[j][mp]]))
+                results.extend(pred_ids[j] for j in range(n))
             else:
                 for j in range(n):
                     results.append({k: np.asarray(v)[j]
                                     for k, v in out.items()})
         return results
+
+    def decode_mlm(self, ex, pred_ids) -> List[str]:
+        """HOST decode: the predicted tokens at the example's [MASK]
+        positions (mask positions come from the host-side tensorized
+        example, not a device readback)."""
+        ids = np.asarray(ex["input_ids_a"])
+        mp = ids == self.tokenizer.vocab["[MASK]"]
+        return self.tokenizer.convert_ids_to_tokens(
+            [int(p) for p in np.asarray(pred_ids)[mp]])
+
+    def inference_batch(self, pairs, batch_size: int = 16):
+        """Batched serving: pairs = [(img_path, text), ...]. Pads the last
+        batch for static shapes; returns a list of per-pair results
+        (capability the reference pipeline lacks — it is batch-1 only).
+        Composition of the host prepare / device infer / host decode
+        stages the server uses individually."""
+        exs = self.prepare_batch(pairs, batch_size=batch_size)
+        raw = self.infer_prepared(exs, batch_size=batch_size)
+        if self.model_name == "mlm":
+            return [self.decode_mlm(ex, r) for ex, r in zip(exs, raw)]
+        return raw
 
     def inference(self, img_path: str, text: str):
         img_feat, od_tags = self.preprocess_img(img_path)

@@ -225,6 +225,25 @@ class _ScanLayer(nn.Module):
         return (h, bias), None
 
 
+class _ScanLayerMid(nn.Module):
+    """_ScanLayer plus the mid-layer readout: the carry additionally holds
+    (layer index, mid buffer) and the readout layer's output is latched via
+    a where — same param tree ('layer' under the lifted scan) as _ScanLayer,
+    so checkpoints are interchangeable."""
+
+    config: ModelConfig
+    deterministic: bool
+    return_at_layer: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        h, bias, li, mid = carry
+        h = TransformerLayer(self.config, name="layer")(
+            h, bias, deterministic=self.deterministic)
+        mid = jnp.where(li == self.return_at_layer, h, mid)
+        return (h, bias, li + 1, mid), None
+
+
 class StreamEncoder(nn.Module):
     """Stack of `num_layers` TransformerLayers.
 
@@ -294,18 +313,24 @@ class StreamEncoder(nn.Module):
           train step): GPipe over the scope's mesh, numerically equal to
           the sequential stack (tests/test_pipeline_parallel.py);
         - otherwise (init, eval, off-mesh): an equivalent lax.scan.
-        The generation/readout features of the per-layer layout are not
-        plumbed here (pretraining needs none of them)."""
+        `return_at_layer` (--wra_layer/--phrase_layer) is supported in both
+        executions (the scan latches the readout layer's output; GPipe's
+        owning stage records it per microbatch). Incremental decoding
+        (history/collect states) is not: token-at-a-time microbatches have
+        no pipeline to fill — generation under PP configs runs on an
+        unstacked per-layer copy instead (tasks/captioning.py)."""
         cfg = self.config
         if history_states is not None or collect_states:
             raise NotImplementedError(
                 "pipeline_stages>0 does not support incremental-decoding "
                 "history/collect states; generation models use the "
-                "per-layer layout (pipeline_stages=0)")
-        if return_at_layer is not None:
-            raise NotImplementedError(
-                "pipeline_stages>0 does not support return_at_layer "
-                "(--wra_layer); use pipeline_stages=0 for mid-layer readout")
+                "per-layer layout (pipeline_stages=0) — captioning decode "
+                "under --pipeline_parallel runs on an unstacked eval copy "
+                "(tasks/captioning.py)")
+        if return_at_layer is not None and not (
+                0 <= return_at_layer < self.num_layers):
+            raise ValueError(f"return_at_layer {return_at_layer} outside "
+                             f"[0, {self.num_layers})")
         if isinstance(bias, (list, tuple)):
             raise NotImplementedError(
                 "pipeline_stages>0 requires a single shared bias, not "
@@ -328,11 +353,27 @@ class StreamEncoder(nn.Module):
                     cfg.hidden_dropout_prob > 0
                     or cfg.attention_probs_dropout_prob > 0):
                 rng = self.make_rng("dropout")
-            hidden = gpipe_transformer(
+            res = gpipe_transformer(
                 cfg, stacked, hidden, bias, mesh=ppc.mesh,
                 n_microbatches=ppc.n_microbatches,
-                deterministic=deterministic, dropout_rng=rng)
-            return hidden, None
+                deterministic=deterministic, dropout_rng=rng,
+                return_at_layer=return_at_layer)
+            if return_at_layer is not None:
+                return res            # (hidden, mid)
+            return res, None
+
+        if return_at_layer is not None:
+            body = _ScanLayerMid
+            if cfg.remat:
+                body = nn.remat(body)
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           length=self.num_layers)
+            (hidden, _, _, mid), _ = scan(
+                cfg, deterministic, return_at_layer,
+                name="layers")((hidden, bias, jnp.zeros((), jnp.int32),
+                                jnp.zeros_like(hidden)), None)
+            return hidden, mid
 
         body = _ScanLayer
         if cfg.remat:

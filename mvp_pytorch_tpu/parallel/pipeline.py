@@ -261,7 +261,7 @@ def current_pipeline() -> Optional[PipelineContext]:
 def gpipe_transformer(config, stacked_params, hidden: jax.Array,
                       bias: jax.Array, *, mesh: Mesh, n_microbatches: int,
                       deterministic: bool = True,
-                      dropout_rng=None) -> jax.Array:
+                      dropout_rng=None, return_at_layer=None):
     """GPipe a TransformerLayer stack with stacked ('layers' scan-layout)
     params, composing with DP (manual) and TP (GSPMD-auto `model` axis).
 
@@ -270,6 +270,12 @@ def gpipe_transformer(config, stacked_params, hidden: jax.Array,
     arrive already stacked [L, ...] and stage-sharded over `pipe`, dropout
     is supported (per layer x microbatch x data-shard folded keys), and
     `config.remat` applies per layer like the sequential stack.
+
+    `return_at_layer` (the reference's --wra_layer/--phrase_layer mid
+    readout, run_pretrain_ml_qa.py:173-177): the stage holding that global
+    layer additionally records its output per microbatch; the call then
+    returns (out, mid) with mid broadcast over pipe like out. None keeps
+    the single-array return.
     """
     from ..models.layers import TransformerLayer
 
@@ -285,6 +291,13 @@ def gpipe_transformer(config, stacked_params, hidden: jax.Array,
     if b % (m * n_data):
         raise ValueError(f"batch {b} not divisible by microbatches {m} "
                          f"x data {n_data}")
+    collect_mid = return_at_layer is not None
+    if collect_mid and not 0 <= return_at_layer < num_layers:
+        raise ValueError(f"return_at_layer {return_at_layer} outside "
+                         f"[0, {num_layers})")
+    # the stage that owns the readout layer (static: the schedule below
+    # compares the runtime stage id against it)
+    s_mid = (return_at_layer // lps) if collect_mid else -1
     layer = TransformerLayer(config)
     use_dropout = (dropout_rng is not None and not deterministic
                    and (config.hidden_dropout_prob > 0
@@ -332,43 +345,71 @@ def gpipe_transformer(config, stacked_params, hidden: jax.Array,
                                                   keepdims=False)
 
             def body(carry, p):
-                h, li = carry
+                h, li, mid = carry
                 h = apply_one(p, h, bias_1, li, m_c)
-                return (h, li + 1), None
+                if collect_mid:
+                    # record the readout layer's output; on stages other
+                    # than s_mid the predicate never fires
+                    mid = jnp.where(li == return_at_layer, h, mid)
+                return (h, li + 1, mid), None
 
-            (h, _), _ = jax.lax.scan(body, (h, stage * lps), params_loc)
-            return h
+            (h, _, mid), _ = jax.lax.scan(
+                body, (h, stage * lps, jnp.zeros_like(h)), params_loc)
+            return h, mid
 
         def tick(carry, t):
-            recv, outputs = carry
+            recv, outputs, mids = carry
             x0 = jax.lax.dynamic_index_in_dim(
                 x_loc, jnp.clip(t, 0, m - 1), 0, keepdims=False)
             h_in = jnp.where(stage == 0, x0, recv)
-            y = apply_stage(h_in, t - stage)
+            y, y_mid = apply_stage(h_in, t - stage)
             out_t = t - (n_stages - 1)
             upd = jax.lax.dynamic_update_index_in_dim(
                 outputs, y, jnp.clip(out_t, 0, m - 1), 0)
             write = jnp.logical_and(stage == n_stages - 1, out_t >= 0)
             outputs = jnp.where(write, upd, outputs)
+            if collect_mid:
+                # stage s processes microbatch t - s at tick t; only the
+                # stage owning the readout layer writes, and only for
+                # in-range microbatches (early/late ticks carry junk)
+                mt = t - stage
+                upd_m = jax.lax.dynamic_update_index_in_dim(
+                    mids, y_mid, jnp.clip(mt, 0, m - 1), 0)
+                write_m = jnp.logical_and(
+                    stage == s_mid,
+                    jnp.logical_and(mt >= 0, mt < m))
+                mids = jnp.where(write_m, upd_m, mids)
             recv = jax.lax.ppermute(
                 y, PIPE_AXIS,
                 [(i, (i + 1) % n_stages) for i in range(n_stages)])
-            return (recv, outputs), None
+            return (recv, outputs, mids), None
 
-        init = (jnp.zeros_like(x_loc[0]), jnp.zeros_like(x_loc))
-        (_, outputs), _ = jax.lax.scan(tick, init,
-                                       jnp.arange(m + n_stages - 1))
+        init = (jnp.zeros_like(x_loc[0]), jnp.zeros_like(x_loc),
+                jnp.zeros_like(x_loc))
+        (_, outputs, mids), _ = jax.lax.scan(tick, init,
+                                             jnp.arange(m + n_stages - 1))
         outputs = jnp.where(stage == n_stages - 1, outputs,
                             jnp.zeros_like(outputs))
-        return jax.lax.psum(outputs, PIPE_AXIS)
+        out = jax.lax.psum(outputs, PIPE_AXIS)
+        if collect_mid:
+            # only s_mid holds real values; psum replicates them over pipe
+            return out, jax.lax.psum(mids, PIPE_AXIS)
+        return out
 
+    out_spec = mb_spec(x_mb)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(param_specs, mb_spec(x_mb), mb_spec(bias_mb),
                              P(None)),
-                   out_specs=mb_spec(x_mb), check_rep=False,
+                   out_specs=(out_spec, out_spec) if collect_mid
+                   else out_spec,
+                   check_rep=False,
                    manual_axes=_manual(mesh))
-    out = fn(stacked_params, x_mb, bias_mb, key_data)
-    return out.reshape(b, *hidden.shape[1:])
+    res = fn(stacked_params, x_mb, bias_mb, key_data)
+    if collect_mid:
+        out, mid = res
+        return (out.reshape(b, *hidden.shape[1:]),
+                mid.reshape(b, *hidden.shape[1:]))
+    return res.reshape(b, *hidden.shape[1:])
 
 
 def _is_layer_dict(d) -> bool:

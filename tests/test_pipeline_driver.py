@@ -108,6 +108,31 @@ def test_pp_checkpoint_resume(tmp_path, seed_ckpt):
     assert cfg["pipeline_stages"] == 2
 
 
+def test_pp_composes_wra_layer(tmp_path, seed_ckpt):
+    """--pipeline_parallel composes with --wra_layer (mid-layer WRA
+    readout, reference run_pretrain_ml_qa.py:173-177): pp2 and dp8 runs
+    with the SAME --wra_layer produce equal losses from a shared
+    checkpoint — closing VERDICT r4 next #2a (the r4 stacked layout
+    refused return_at_layer outright)."""
+    dp = _run(str(tmp_path / "dp"),
+              ["--model_name_or_path", seed_ckpt, "--wra_layer", "0"])
+    pp = _run(str(tmp_path / "pp"),
+              ["--model_name_or_path", seed_ckpt, "--wra_layer", "0",
+               "--pipeline_parallel", "2", "--pipeline_microbatches", "2"])
+    for step in (1, 2, 3, 4):
+        assert step in dp and step in pp, (sorted(dp), sorted(pp))
+        assert abs(dp[step] - pp[step]) < 1e-3, (step, dp[step], pp[step])
+    # the mid readout actually changes the objective: same pp topology
+    # WITHOUT --wra_layer must give different losses (a silently-ignored
+    # flag would make the equality above vacuous)
+    pp_plain = _run(str(tmp_path / "pp_plain"),
+                    ["--model_name_or_path", seed_ckpt,
+                     "--pipeline_parallel", "2",
+                     "--pipeline_microbatches", "2"])
+    assert any(abs(pp_plain[s] - pp[s]) > 1e-6 for s in (1, 2, 3, 4)), (
+        pp_plain, pp)
+
+
 def test_pp_checkpoint_loads_without_flag(tmp_path, seed_ckpt):
     """A PP checkpoint resumes WITHOUT --pipeline_parallel: the saved
     config's pipeline_stages keeps the stacked layout and the sequential

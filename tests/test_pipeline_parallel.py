@@ -183,3 +183,76 @@ def test_gpipe_dropout_branch():
                                   deterministic=False,
                                   rngs={"dropout": rng})
     assert np.all(np.isfinite(np.asarray(out_enc)))
+
+
+@pytest.mark.parametrize("ral", [0, 1, 2])
+def test_return_at_layer_matches_sequential(setup, ral):
+    """Mid-layer readout (--wra_layer/--phrase_layer) under BOTH stacked
+    executions — the GPipe schedule (readout layer owned by stage 0 for
+    ral<2 and stage 1 for ral=2 at pp2) and the off-mesh lax.scan fallback
+    — equals the per-layer sequential stack (VERDICT r4 next #2a; the
+    r4 layout refused return_at_layer outright)."""
+    import dataclasses
+
+    from mvp_pytorch_tpu.parallel.pipeline import (gpipe_transformer,
+                                                   pipeline_scope)
+
+    enc, params, hidden, bias, seq_out = setup
+    _, seq_mid = enc.apply({"params": params}, hidden, bias,
+                           return_at_layer=ral)
+    stacked = stack_layer_params(params, NUM_LAYERS)
+
+    # GPipe path (pp2 x dp2): (out, mid) both equal the sequential stack
+    mesh = make_pipe_mesh(jax.devices()[:4], pipe=2, data=2)
+    pp_out, pp_mid = gpipe_transformer(CFG, stacked, hidden, bias,
+                                       mesh=mesh, n_microbatches=2,
+                                       return_at_layer=ral)
+    np.testing.assert_allclose(np.asarray(pp_out), np.asarray(seq_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pp_mid), np.asarray(seq_mid),
+                               rtol=2e-5, atol=2e-5)
+
+    # StreamEncoder stacked-layout dispatch: pipeline_scope active -> GPipe
+    cfg_pp = dataclasses.replace(CFG, pipeline_stages=2)
+    enc_pp = StreamEncoder(cfg_pp, num_layers=NUM_LAYERS)
+    tree = {"layers": {"layer": stacked}}
+    with pipeline_scope(mesh, 2):
+        out_s, mid_s = enc_pp.apply({"params": tree}, hidden, bias,
+                                    return_at_layer=ral)
+    np.testing.assert_allclose(np.asarray(mid_s), np.asarray(seq_mid),
+                               rtol=2e-5, atol=2e-5)
+
+    # ... and the off-mesh lax.scan fallback (eval path, no scope)
+    out_f, mid_f = enc_pp.apply({"params": tree}, hidden, bias,
+                                return_at_layer=ral)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(seq_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mid_f), np.asarray(seq_mid),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_return_at_layer_gradients_flow(setup):
+    """A loss on the MID readout (the WRA loss consumes mid_joint) must
+    backprop identically through the GPipe schedule and the sequential
+    stack — a broken where/psum gating would zero or double the grads."""
+    enc, params, hidden, bias, _ = setup
+    mesh = make_pipe_mesh(jax.devices()[:4], pipe=2, data=2)
+    from mvp_pytorch_tpu.parallel.pipeline import gpipe_transformer
+
+    def seq_loss(p):
+        out, mid = enc.apply({"params": p}, hidden, bias,
+                             return_at_layer=1)
+        return jnp.mean(out ** 2) + jnp.mean(mid ** 2)
+
+    def pp_loss(p):
+        out, mid = gpipe_transformer(
+            CFG, stack_layer_params(p, NUM_LAYERS), hidden, bias,
+            mesh=mesh, n_microbatches=2, return_at_layer=1)
+        return jnp.mean(out ** 2) + jnp.mean(mid ** 2)
+
+    g_seq = jax.grad(seq_loss)(params)
+    g_pp = jax.grad(pp_loss)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+        g_seq, g_pp)

@@ -178,6 +178,28 @@ def main(argv=None):
                             drop_worst_ratio=args.drop_worst_ratio,
                             drop_worst_after=args.drop_worst_after)
 
+    # KV-cache decode under PP configs (VERDICT r4 next #2b): incremental
+    # decoding has no pipeline to fill — token-at-a-time steps would leave
+    # S-1 of S stages idle — so the stacked layout refuses history/collect
+    # states (models/layers.py). Decoding instead runs on a per-layer EVAL
+    # copy: the same model at pipeline_stages=0, params unstacked
+    # bit-identically inside the jitted decode. Training stays pipelined.
+    if cfg.pipeline_stages > 0:
+        import dataclasses
+
+        from ..parallel.pipeline import unstack_model_params
+        dec_model = CaptioningModel(
+            dataclasses.replace(cfg, pipeline_stages=0),
+            label_smoothing=args.label_smoothing,
+            drop_worst_ratio=args.drop_worst_ratio,
+            drop_worst_after=args.drop_worst_after)
+        dec_params = unstack_model_params
+    else:
+        dec_model = model
+
+        def dec_params(p):
+            return p
+
     def model_args(batch):
         b = batch["caption_ids"].shape[0]
         seg = jnp.zeros((b, max_cap), jnp.int32)
@@ -217,9 +239,11 @@ def main(argv=None):
             return _decode_jit[key]
 
         def run(p, ids_b, ctx_mask, feats):
+            p = dec_params(p)   # PP configs: per-layer copy for decoding
+
             def logits_fn(tokens):
                 reps = tokens.shape[0] // n
-                return model.apply(
+                return dec_model.apply(
                     {"params": p}, tokens,
                     jnp.repeat(ids_b, reps, 0),
                     jnp.repeat(ctx_mask, reps, 0),
@@ -235,13 +259,14 @@ def main(argv=None):
                 mask_id = tk["[MASK]"]
 
                 def prefill():
-                    return model.apply({"params": p}, rb, rm, seg, rf,
-                                       gen_len, method=model.prefill)
+                    return dec_model.apply({"params": p}, rb, rm, seg, rf,
+                                           gen_len,
+                                           method=dec_model.prefill)
 
                 def step(cache, t, prev):
-                    return model.apply({"params": p}, cache, t, prev, rm,
-                                       gen_len, mask_id,
-                                       method=model.decode_step)
+                    return dec_model.apply({"params": p}, cache, t, prev,
+                                           rm, gen_len, mask_id,
+                                           method=dec_model.decode_step)
                 return prefill, step
 
             if args.num_beams > 1:

@@ -133,6 +133,30 @@ def test_pp_composes_wra_layer(tmp_path, seed_ckpt):
         pp_plain, pp)
 
 
+def test_pp_captioning_trains_and_decodes(tmp_path):
+    """Captioning under --pipeline_parallel: training runs the GPipe
+    schedule, and eval's KV-cache decode runs on the unstacked per-layer
+    eval copy (VERDICT r4 next #2b — incremental decoding has no pipeline
+    to fill, so the stacked layout refuses it and the driver routes decode
+    to a pipeline_stages=0 copy of the same params)."""
+    from mvp_pytorch_tpu.tasks import captioning
+    out = str(tmp_path / "cap_pp")
+    captioning.main([
+        "--output_dir", out, "--synthetic", "--tiny", "--do_train",
+        "--do_eval", "--dtype", "float32", "--platform", "cpu",
+        "--train_batch_size", "8", "--max_steps", "4", "--ckpt_period", "4",
+        "--log_period", "1", "--hidden_dropout_prob", "0.0",
+        "--attention_dropout_prob", "0.0",
+        "--pipeline_parallel", "2", "--pipeline_microbatches", "2"])
+    losses = _read_losses(out)
+    assert all(np.isfinite(losses[s]) for s in (1, 2, 3, 4)), losses
+    logs = json.load(open(os.path.join(out, "eval_logs.json")))
+    assert np.isfinite(logs[-1]["cider_d"])     # cached decode really ran
+    cfg = json.load(open(os.path.join(out, "checkpoint-0000004",
+                                      "config.json")))
+    assert cfg["pipeline_stages"] == 2          # trained pipelined
+
+
 def test_pp_checkpoint_loads_without_flag(tmp_path, seed_ckpt):
     """A PP checkpoint resumes WITHOUT --pipeline_parallel: the saved
     config's pipeline_stages keeps the stacked layout and the sequential

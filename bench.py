@@ -335,10 +335,10 @@ def main():
         ("data_plane", "BENCH_DATA_PLANE", bench_data_plane, 30),
         ("detection_quality", "BENCH_DETECTION_QUALITY",
          bench_detection_quality, 100),
-        # post-residency-fix cost (measured r4 session 2): assets ~30 s
-        # (host-CPU init + bf16 upload) + ~40 s compile + 60 fast forwards
-        ("pipeline", "BENCH_PIPELINE", bench_pipeline_latency, 100),
-        ("serve", "BENCH_SERVE", bench_serve, 90),
+        # r5 flagship-vocab assets: ~30 s host-CPU init + ~12 s bf16 upload
+        # (~300 MB tree) + ~40 s compile + 60 fast forwards
+        ("pipeline", "BENCH_PIPELINE", bench_pipeline_latency, 140),
+        ("serve", "BENCH_SERVE", bench_serve, 100),
         # remat A/B vs the pretrain block above: memory saved vs step-time
         # cost at base config (VERDICT r3 next #4)
         ("pretrain_remat", "BENCH_PRETRAIN_REMAT",
@@ -606,13 +606,19 @@ _SERVE_ASSETS = {}
 
 
 def _serving_assets(hidden=None, layers=None):
-    """One flagship-width MLM checkpoint + synthetic feature store, shared
-    by the pipeline-latency and serve stages (init + save once). Built by
+    """One flagship MLM checkpoint + synthetic feature store, shared by
+    the pipeline-latency and serve stages (init + save once). Built by
     tools_tpu/load_test_serve.build_assets — the single builder both the
     bench and the load-test CLI use — with the bench's flagship knobs:
     host-CPU init (a flagship init graph costs a ~40 s remote compile
-    through the axon tunnel) and bf16 storage (tunnel ~25 MB/s: the 528 MB
-    fp32 tree cost ~21 s of upload alone)."""
+    through the axon tunnel), bf16 storage (tunnel ~25 MB/s; the flagship
+    tree is ~300 MB bf16), and the REAL serving vocabulary (86,051 model
+    rows over a 30,522-row wordpiece tokenizer — the embedding table +
+    tied LM head + device argmax the BASELINE-named MLM path actually
+    runs, modeling_pipeline.py:103-128; VERDICT r4 missing #2: the r4
+    bench served a 40-row stand-in). BENCH_SERVE_VOCAB=tiny keeps the
+    old stand-in; a failed flagship build falls back to it with the
+    reason recorded in the stage blocks."""
     if _SERVE_ASSETS:
         return _SERVE_ASSETS
     hidden = hidden or int(os.environ.get("BENCH_SERVE_HIDDEN", "768"))
@@ -622,12 +628,27 @@ def _serving_assets(hidden=None, layers=None):
     from tools_tpu.load_test_serve import build_assets
 
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
-    mdir, paths, vocab_size = build_assets(
-        tmp, hidden=hidden, layers=layers, dtype="bfloat16",
-        host_init=True, store_bf16=True, vocab_extra=64,
-        max_position_embeddings=512)
-    _SERVE_ASSETS.update(mdir=mdir, paths=paths, vocab_size=vocab_size,
-                         hidden=hidden, layers=layers)
+    want_flagship = os.environ.get("BENCH_SERVE_VOCAB", "flagship") != "tiny"
+    fallback = None
+    if want_flagship:
+        try:
+            mdir, paths, tok_rows = build_assets(
+                tmp, hidden=hidden, layers=layers, dtype="bfloat16",
+                host_init=True, store_bf16=True, vocab_rows=30522,
+                vocab_extra=86051 - 30522, max_position_embeddings=512)
+            model_vocab = 86051
+        except Exception as e:  # noqa: BLE001 — keep the stage alive
+            fallback = f"{type(e).__name__}: {e}"
+            want_flagship = False
+    if not want_flagship:
+        mdir, paths, tok_rows = build_assets(
+            tmp, hidden=hidden, layers=layers, dtype="bfloat16",
+            host_init=True, store_bf16=True, vocab_extra=64,
+            max_position_embeddings=512)
+        model_vocab = tok_rows + 64
+    _SERVE_ASSETS.update(mdir=mdir, paths=paths, vocab_size=model_vocab,
+                         only_word_size=tok_rows, hidden=hidden,
+                         layers=layers, vocab_fallback=fallback)
     return _SERVE_ASSETS
 
 
@@ -665,12 +686,16 @@ def bench_pipeline_latency():
         dev.append(time.time() - t0)
     p50 = sorted(tot)[len(tot) // 2] * 1e3
     p50_dev = sorted(dev)[len(dev) // 2] * 1e3
-    return {"pipeline_p50_ms": round(p50, 2),
-            "device_forward_p50_ms": round(p50_dev, 2),
-            "host_p50_ms": round(p50 - p50_dev, 2),
-            "hidden": a["hidden"], "layers": a["layers"],
-            "vocab_size": a["vocab_size"],
-            "od_backend": "precomputed", "spice_jar": False}
+    out = {"pipeline_p50_ms": round(p50, 2),
+           "device_forward_p50_ms": round(p50_dev, 2),
+           "host_p50_ms": round(p50 - p50_dev, 2),
+           "hidden": a["hidden"], "layers": a["layers"],
+           "vocab_size": a["vocab_size"],
+           "only_word_size": a["only_word_size"],
+           "od_backend": "precomputed", "spice_jar": False}
+    if a.get("vocab_fallback"):
+        out["vocab_fallback"] = a["vocab_fallback"]
+    return out
 
 
 def bench_serve(requests: int = 120, threads: int = 8, max_batch: int = 16,
@@ -711,6 +736,10 @@ def bench_serve(requests: int = 120, threads: int = 8, max_batch: int = 16,
     res["batches"] = batchers["mlm"].stats["batches"]
     res["max_batch_seen"] = batchers["mlm"].stats["max_batch_seen"]
     res["host_cpus"] = os.cpu_count() or 1
+    res["vocab_size"] = a["vocab_size"]
+    res["only_word_size"] = a["only_word_size"]
+    if a.get("vocab_fallback"):
+        res["vocab_fallback"] = a["vocab_fallback"]
     return res
 
 

@@ -32,7 +32,7 @@ def build(args, tmp):
 
 def build_assets(tmp, *, hidden=32, layers=4, dtype="float32",
                  host_init=False, store_bf16=False, vocab_extra=20,
-                 max_position_embeddings=128):
+                 max_position_embeddings=128, vocab_rows=None):
     """Synthetic MLM serving checkpoint + feature store — the ONE builder
     shared by this load-test CLI and bench.py's pipeline/serve stages (a
     divergent copy would silently skew the bench vs this tool).
@@ -41,7 +41,13 @@ def build_assets(tmp, *, hidden=32, layers=4, dtype="float32",
     flagship-width init graph costs a ~40 s remote compile through the
     axon tunnel (measured r4). store_bf16: save bf16 params (halves the
     checkpoint and the device upload; compute is bf16 under dtype either
-    way). Returns (model_dir, synthetic paths, tokenizer vocab_size)."""
+    way). vocab_rows: pad the tokenizer vocab file to N rows (30,522 =
+    the BERT wordpiece vocab the flagship serves; the synthetic corpus
+    words stay at their original ids, filler rows tokenize as themselves)
+    so the embedding table + tied LM head are REAL flagship-size device
+    work — a 40-row stand-in understates the head matmul + argmax
+    (VERDICT r4 missing #2). Returns (model_dir, synthetic paths,
+    tokenizer vocab_size)."""
     import contextlib
 
     import jax
@@ -53,7 +59,17 @@ def build_assets(tmp, *, hidden=32, layers=4, dtype="float32",
     from mvp_pytorch_tpu.training.checkpoint import save_pretrained
 
     paths = make_synthetic_root(os.path.join(tmp, "synth"))
-    tok = BertTokenizer(paths["vocab"])
+    vocab_path = paths["vocab"]
+    if vocab_rows:
+        with open(vocab_path) as f:
+            lines = f.read().splitlines()
+        if len(lines) < vocab_rows:
+            lines += [f"unused{i:05d}"
+                      for i in range(vocab_rows - len(lines))]
+        vocab_path = os.path.join(tmp, "vocab_flagship.txt")
+        with open(vocab_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    tok = BertTokenizer(vocab_path)
     # head count must divide hidden (head_dim = hidden // heads): start
     # from the flagship ratio (64-wide heads, min 4) and round DOWN to the
     # nearest divisor so any CLI --hidden builds a valid config

@@ -59,6 +59,43 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def data_shard_info(mesh: Mesh) -> tuple:
+    """(data_rank, data_world): how training-batch ROWS shard across
+    PROCESSES under this mesh.
+
+    In the plain DP deployment every process owns a distinct block of the
+    `data` axis -> (process_index, process_count), the classic
+    DistributedSampler contract. When a model axis (pipe/TP) spans
+    processes — e.g. one pipeline stage per host — several processes share
+    the same data coordinates and must load IDENTICAL rows: fewer data
+    ranks than processes (data_world == 1 when every process sees every
+    row). The loaders and `shard_batch` both key off this, so the two
+    contracts can never disagree."""
+    if jax.process_count() == 1:
+        return 0, 1
+    dev = mesh.devices
+    ndata = dev.shape[0]
+    blocks = {}
+    for p in range(jax.process_count()):
+        rows = tuple(i for i in range(ndata)
+                     if any(d.process_index == p for d in dev[i].flat))
+        blocks.setdefault(rows, []).append(p)
+    ordered = sorted(blocks)
+    # supported layouts: the process row-blocks either partition the data
+    # axis (DP across hosts) or coincide (model axes across hosts); mixed
+    # raggedness would make a row load ambiguous
+    covered = [i for b in ordered for i in b]
+    if (sorted(covered) != list(range(ndata))
+            or len({len(b) for b in ordered}) != 1):
+        raise ValueError(
+            f"unsupported process-to-data layout: process row-blocks "
+            f"{ordered} neither partition nor replicate the data axis "
+            f"(size {ndata})")
+    me = next(rows for rows, procs in blocks.items()
+              if jax.process_index() in procs)
+    return ordered.index(me), len(ordered)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -74,15 +111,30 @@ def shard_batch(mesh: Mesh, batch):
     Multi-process: each process holds only its LOCAL rows (the rank-sharded
     loader's output — reference DistributedSampler); the global array is
     assembled from the process-local shards, collectives-free (the rows a
-    process feeds are exactly the rows its devices own)."""
+    process feeds are exactly the rows its devices own). When a model axis
+    (pipe/TP) spans processes, processes SHARE data coordinates
+    (data_shard_info) and each holds its data-block's rows — possibly the
+    full batch — assembled via a callback that maps global row ranges into
+    the local block."""
     s = batch_sharding(mesh)
     if jax.process_count() > 1:
-        world = jax.process_count()
+        dr, dw = data_shard_info(mesh)
 
         def put_local(x):
             x = np.asarray(x)
-            gshape = (x.shape[0] * world,) + x.shape[1:]
-            return jax.make_array_from_process_local_data(s, x, gshape)
+            gshape = (x.shape[0] * dw,) + x.shape[1:]
+            if dw == jax.process_count():
+                return jax.make_array_from_process_local_data(s, x, gshape)
+            off = dr * x.shape[0]
+
+            def cb(idx, _x=x, _off=off, _g=gshape):
+                rows = idx[0]
+                lo = rows.start or 0
+                hi = _g[0] if rows.stop is None else rows.stop
+                return _x[lo - _off:hi - _off][(slice(None),)
+                                               + tuple(idx[1:])]
+
+            return jax.make_array_from_callback(gshape, s, cb)
 
         return jax.tree_util.tree_map(put_local, batch)
     return jax.tree_util.tree_map(

@@ -497,10 +497,15 @@ class TrainLoop:
             # each process loads ITS shard of the global batch (the
             # reference's DistributedSampler role,
             # oscar_datasets_ml/build.py:84-93); Trainer.step assembles the
-            # global array from the local shards
+            # global array from the local shards. Ranks come from the MESH
+            # (data_shard_info), not process ids: when a pipe/TP axis spans
+            # processes, processes share a data block and must load
+            # identical rows (dp-only meshes reduce to process_index/count)
+            from ..parallel.mesh import data_shard_info
+            data_rank, data_world = data_shard_info(self.mesh)
             sampler = BatchSampler(len(self.dataset), args.train_batch_size,
-                                   seed=args.seed, rank=jax.process_index(),
-                                   world_size=jax.process_count())
+                                   seed=args.seed, rank=data_rank,
+                                   world_size=data_world)
             # workers beyond the host's cores only add GIL/context-switch
             # overhead (measured: on 1 core, 8 threads run at 0.7x of 1)
             n_workers = max(1, min(args.num_workers, os.cpu_count() or 1))

@@ -92,12 +92,32 @@ class FeatureStore:
         # seek_bytes: skip the utf-8 decode of the ~0.5 MB base64 line
         # (json.loads/b64decode take bytes) — profiled 40% of this call
         row = self.tsv.seek_bytes(self.id2idx[str(image_id)])
-        rec = json.loads(row[1])
+        # json.loads spends ~1 ms/row just CHARACTER-SCANNING the ~0.5 MB
+        # base64 string value (profiled at corpus scale, r5 ingest
+        # rehearsal: 25% of the per-example cost). Base64 contains no
+        # quotes or escapes, so the "feature" value can be sliced out
+        # directly and only the small remainder json-parsed; any surprise
+        # in the layout falls back to the full parse.
+        raw = row[1]
+        b64 = rec = None
+        try:
+            k = raw.find(b'"feature"')
+            if k >= 0:
+                q1 = raw.find(b'"', k + 9)      # opening quote of the value
+                q2 = raw.find(b'"', q1 + 1)     # base64 has no '"' or '\'
+                if q1 > 0 and q2 > q1 and b"\\" not in raw[q1:q2]:
+                    b64 = raw[q1 + 1:q2]
+                    rec = json.loads(raw[:q1 + 1] + raw[q2:])
+        except ValueError:   # sliced a wrong span: remainder is not json
+            b64 = rec = None
+        if rec is None:
+            rec = json.loads(raw)
+            b64 = rec["feature"]
         # stdlib binascii beats our C b64 kernel (156 vs 232 us per ~60 KB
         # after fixing the wrapper; the original ctypes slice was 977 us) —
         # the native path was measured and retired, same policy as the
         # Pallas kernels
-        blob = base64.b64decode(rec["feature"])
+        blob = base64.b64decode(b64)
         feats = np.frombuffer(blob, dtype=np.float32).reshape(
             -1, self.feature_dim)
         return np.copy(feats), list(rec.get("predictions", []))

@@ -30,11 +30,11 @@ def test_scale_ingest_rehearsal(tmp_path):
     assert paths["n_images"] % 3 == 0
 
     res = rehearse(paths, batch=96, steps=24, resume_at=12, workers=2)
-    # streamed well past any plausible cache while RSS stayed bounded:
-    # the loader may hold a few in-flight batches (96 x 0.4 MB features
+    # streamed past any plausible cache while RSS stayed bounded: the
+    # loader may hold a few in-flight batches (96 x 0.4 MB features
     # ~= 40 MB each) plus tokenizer/corpus state, but nothing scaling
     # with bytes streamed
     assert res["streamed_gb"] > 1.0, res
-    assert res["rss_growth_mb"] < 600, res
-    assert res["resume_bit_exact_steps"] == 12, res
+    assert res["rss_growth_mb"] < 400, res
+    assert res["resume_bit_exact_steps"] == 4, res
     assert res["ingest_ex_s"] > 0, res

@@ -33,6 +33,7 @@ from .tensorize import (PretrainExample, TensorizeConfig, collate,
                         convert_example_to_features,
                         convert_qa_example_to_features, tensorize_example)
 from .tsv import TSVFile
+from .. import native as _native
 
 VE_LABELS = {"contradiction": 0, "neutral": 1, "entailment": 2}
 
@@ -89,38 +90,55 @@ class FeatureStore:
         return list(self.id2idx.keys())
 
     def get(self, image_id) -> Tuple[np.ndarray, List[str]]:
-        # seek_bytes: skip the utf-8 decode of the ~0.5 MB base64 line
-        # (json.loads/b64decode take bytes) — profiled 40% of this call
-        row = self.tsv.seek_bytes(self.id2idx[str(image_id)])
-        # json.loads spends ~1 ms/row just CHARACTER-SCANNING the ~0.5 MB
-        # base64 string value (profiled at corpus scale, r5 ingest
-        # rehearsal: 25% of the per-example cost). Base64 contains no
-        # quotes or escapes, so the "feature" value can be sliced out
-        # directly and only the small remainder json-parsed; any surprise
-        # in the layout falls back to the full parse.
-        raw = row[1]
-        b64 = rec = None
+        # Corpus-scale hot path (r5 ingest rehearsal profile: 5.9 ms/ex on
+        # realistic ~0.5 MB rows, 46% binascii decode + 19% readline + 15%
+        # bytes.split). Three fixes, each with a permissive fallback:
+        #   1. seek_raw: ONE exact-extent pread of the line (the .lineidx
+        #      bounds it) — no newline scan, no buffered-chunk reassembly,
+        #      and no utf-8 decode (json.loads/b64decode take bytes);
+        #   2. the ~0.5 MB base64 "feature" value is located by offset
+        #      arithmetic on the line buffer (base64 has no '"' or '\', so
+        #      quote-find is exact) and NEVER copied by split()/slicing;
+        #      only the small remainder is json-parsed — json.loads spends
+        #      ~1 ms/row character-scanning the value otherwise;
+        #   3. the native 4-LUT kernel (fastdata.cpp b64_decode_at) decodes
+        #      the span straight into the output float buffer at multi-GB/s
+        #      vs binascii's ~200 MB/s. (An earlier ctypes b64 wrapper was
+        #      retired as slower than binascii; its cost was the string
+        #      round-trips this zero-copy call avoids.)
+        raw = self.tsv.seek_raw(self.id2idx[str(image_id)])
+        rec = span = None
         try:
-            k = raw.find(b'"feature"')
+            t = raw.index(b"\t")
+            k = raw.find(b'"feature"', t)
             if k >= 0:
-                q1 = raw.find(b'"', k + 9)      # opening quote of the value
-                q2 = raw.find(b'"', q1 + 1)     # base64 has no '"' or '\'
-                if q1 > 0 and q2 > q1 and b"\\" not in raw[q1:q2]:
-                    b64 = raw[q1 + 1:q2]
-                    rec = json.loads(raw[:q1 + 1] + raw[q2:])
+                q1 = raw.index(b'"', k + 9)     # opening quote of the value
+                q2 = raw.index(b'"', q1 + 1)
+                if raw.find(b"\\", q1, q2) < 0:
+                    rec = json.loads(raw[t + 1:q1 + 1] + raw[q2:])
+                    span = (q1 + 1, q2)
         except ValueError:   # sliced a wrong span: remainder is not json
-            b64 = rec = None
+            rec = span = None
+        feats = None
+        if span is not None:
+            n64 = span[1] - span[0]
+            if _native.available:
+                out = np.empty(n64 // 4 * 3 + 4, dtype=np.uint8)
+                n = _native.b64_decode_at(raw, span[0], n64, out)
+                if n > 0 and n % 4 == 0:
+                    feats = out[:n].view(np.float32).reshape(
+                        -1, self.feature_dim)
+            if feats is None:
+                blob = base64.b64decode(raw[span[0]:span[1]])
+                feats = np.frombuffer(blob, dtype=np.float32).reshape(
+                    -1, self.feature_dim).copy()
         if rec is None:
-            rec = json.loads(raw)
-            b64 = rec["feature"]
-        # stdlib binascii beats our C b64 kernel (156 vs 232 us per ~60 KB
-        # after fixing the wrapper; the original ctypes slice was 977 us) —
-        # the native path was measured and retired, same policy as the
-        # Pallas kernels
-        blob = base64.b64decode(b64)
-        feats = np.frombuffer(blob, dtype=np.float32).reshape(
-            -1, self.feature_dim)
-        return np.copy(feats), list(rec.get("predictions", []))
+            rec = json.loads(raw.split(b"\t", 1)[1])
+        if feats is None:
+            blob = base64.b64decode(rec["feature"])
+            feats = np.frombuffer(blob, dtype=np.float32).reshape(
+                -1, self.feature_dim).copy()
+        return feats, list(rec.get("predictions", []))
 
 
 class GeneralDataset:

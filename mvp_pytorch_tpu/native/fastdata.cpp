@@ -171,4 +171,70 @@ int32_t b64_decode(const char* in, int32_t in_len, uint8_t* out,
   return n;
 }
 
+// --------------------------------------------------------------------------
+// fast base64 span decode (4x256 uint32 LUT; one OR + one 4-byte store per
+// input quartet). binascii.a2b_base64 runs ~200 MB/s on the ~0.55 MB feature
+// rows (2.7 ms/example — 46% of corpus-scale ingest, profiled r5); this
+// kernel decodes the same span at multi-GB/s directly into the caller's
+// output buffer, so the Python side never materializes the base64 slice or
+// the decoded bytes object.
+// --------------------------------------------------------------------------
+
+struct B64Tables {
+  // per-position contributions to the little-endian output word; invalid
+  // chars carry 0xFF000000 so one AND after the OR detects them.
+  uint32_t d0[256], d1[256], d2[256], d3[256];
+  B64Tables() {
+    const char* alpha =
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+    for (int i = 0; i < 256; ++i)
+      d0[i] = d1[i] = d2[i] = d3[i] = 0xFF000000u;
+    for (uint32_t v = 0; v < 64; ++v) {
+      unsigned char c = (unsigned char)alpha[v];
+      // b0 = v0<<2 | v1>>4;  b1 = (v1&15)<<4 | v2>>2;  b2 = (v2&3)<<6 | v3
+      d0[c] = v << 2;
+      d1[c] = (v >> 4) | ((v & 0x0Fu) << 12);
+      d2[c] = ((v >> 2) << 8) | ((v & 0x03u) << 22);
+      d3[c] = v << 16;
+    }
+  }
+};
+
+// Decode the base64 span buf[start : start+len] into out. Returns bytes
+// written, or -1 when the span is not clean contiguous base64 (invalid
+// char, mid-span padding/whitespace, dangling quartet) or out_cap is too
+// small — the caller falls back to the stdlib decoder, which owns the
+// permissive/error semantics.
+int64_t b64_decode_at(const char* buf, int64_t start, int64_t len,
+                      uint8_t* out, int64_t out_cap) {
+  static const B64Tables T;  // C++11 static-local init is thread-safe
+  const unsigned char* in = (const unsigned char*)buf + start;
+  int64_t n = len;
+  while (n > 0 && (in[n - 1] == '=' || in[n - 1] == '\n' ||
+                   in[n - 1] == '\r')) {
+    --n;
+  }
+  const int64_t groups = n / 4;
+  const int64_t tail = n % 4;
+  if (tail == 1) return -1;  // 6 dangling bits: never valid base64
+  // each group stores 4 bytes (3 valid + 1 spare the next store or the
+  // tail overwrites); the buffer must hold every byte actually touched
+  const int64_t touched = groups * 3 + (tail ? tail - 1 : (groups ? 1 : 0));
+  if (touched > out_cap) return -1;
+  const unsigned char* p = in;
+  uint8_t* o = out;
+  for (int64_t g = 0; g < groups; ++g, p += 4, o += 3) {
+    uint32_t w = T.d0[p[0]] | T.d1[p[1]] | T.d2[p[2]] | T.d3[p[3]];
+    if (w & 0xFF000000u) return -1;
+    std::memcpy(o, &w, 4);
+  }
+  if (tail) {  // 2 or 3 chars -> 1 or 2 bytes
+    uint32_t w = T.d0[p[0]] | T.d1[p[1]] | (tail == 3 ? T.d2[p[2]] : 0u);
+    if (w & 0xFF000000u) return -1;
+    std::memcpy(o, &w, tail == 3 ? 2 : 1);  // within cap (`touched`)
+    o += tail - 1;
+  }
+  return o - out;
+}
+
 }  // extern "C"

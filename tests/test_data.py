@@ -231,6 +231,25 @@ def test_tsv_roundtrip(tmp_path):
     assert t2.seek(5)[0] == "img_5"
 
 
+def test_tsv_seek_raw_extents(tmp_path):
+    """seek_raw's exact-extent pread must agree with line-based reads on
+    every boundary shape: CRLF rows, a last line with no trailing newline,
+    and negative indices."""
+    p = str(tmp_path / "edges.tsv")
+    with open(p, "wb") as f:
+        f.write(b"a\t1\r\n")           # CRLF row
+        f.write(b"b\t" + b"x" * 100 + b"\n")
+        f.write(b"c\t3")               # no trailing newline
+    t = TSVFile(p)
+    assert len(t) == 3
+    assert t.seek_raw(0) == b"a\t1"
+    assert t.seek_raw(1) == b"b\t" + b"x" * 100
+    assert t.seek_raw(2) == b"c\t3"
+    assert t.seek_raw(-1) == b"c\t3"
+    assert t.seek(0) == ["a", "1"]
+    assert t.seek_bytes(2) == [b"c", b"3"]
+
+
 def test_tsv_ops_helpers(tmp_path):
     from mvp_pytorch_tpu.data.tsv import (TSVFile, tsv_concat, tsv_delete,
                                           tsv_reorder, tsv_writer)

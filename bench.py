@@ -29,6 +29,7 @@ stages are reported in the final detail. Stage timestamps go to stderr.
 budgets assume cold compiles every run.)
 """
 
+import base64
 import functools
 import json
 import os
@@ -819,6 +820,39 @@ def bench_data_plane(device_demand_ex_s: float = 1025.0):
         best = max(direct, thread, out.get("process_loader_ex_s") or 0.0)
         out["device_demand_ex_s"] = device_demand_ex_s
         out["feed_ratio"] = round(best / device_demand_ex_s, 2)
+
+        # Corpus-scale variant: the deployment regime is ~0.5 MB feature
+        # rows (50 regions x 2054 fp32, reference predictions.tsv), 15-30x
+        # the toy rows above — the r5 ingest rehearsal showed the toy
+        # number overstated feed_ratio ~4x before the fast row parse.
+        # Rewrite the toy root's features at realistic shape and measure
+        # the same direct single-thread fetch.
+        from mvp_pytorch_tpu.data.tsv import tsv_writer
+        ids = sorted(FeatureStore(paths["features"]).keys())
+        rng = np.random.RandomState(0)
+        base = rng.randn(50, 2054).astype(np.float32)
+        cdir = os.path.join(root, "big_feats")
+        os.makedirs(cdir, exist_ok=True)
+        tsv_writer(
+            ([img, json.dumps({
+                "feature": base64.b64encode(base.tobytes()).decode(),
+                "predictions": ["dog", "grass", "ball"]})] for img in ids),
+            os.path.join(cdir, "predictions.tsv"))
+        with open(os.path.join(cdir, "imageid2idx.json"), "w") as f:
+            json.dump({img: i for i, img in enumerate(ids)}, f)
+        ds_big = PretrainDataset(paths["corpus"],
+                                 FeatureStore(os.path.join(
+                                     cdir, "predictions.tsv")),
+                                 tok, seed=0, mask_prob=0.15,
+                                 mask_visual=True, qa_pairs=True)
+        ds_big.fetch(idx)
+        t0 = time.time()
+        for i in range(20):
+            ds_big.fetch((idx + i * B) % len(ds_big))
+        corpus_direct = 20 * B / (time.time() - t0)
+        out["corpus_row_direct_ex_s"] = round(corpus_direct, 1)
+        out["corpus_row_feed_ratio"] = round(
+            corpus_direct / device_demand_ex_s, 2)
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -111,8 +111,17 @@ class FeatureStore:
         try:
             t = raw.index(b"\t")
             k = raw.find(b'"feature"', t)
+            while k >= 0:
+                # must be the KEY: a literal tag string "feature" inside
+                # the predictions array would otherwise slice a wrong span
+                j = k + 9
+                while raw[j:j + 1] in (b" ", b"\t"):
+                    j += 1
+                if raw[j:j + 1] == b":":
+                    break
+                k = raw.find(b'"feature"', k + 1)
             if k >= 0:
-                q1 = raw.index(b'"', k + 9)     # opening quote of the value
+                q1 = raw.index(b'"', j + 1)     # opening quote of the value
                 q2 = raw.index(b'"', q1 + 1)
                 if raw.find(b"\\", q1, q2) < 0:
                     rec = json.loads(raw[t + 1:q1 + 1] + raw[q2:])

@@ -45,7 +45,6 @@ class TSVFile:
             build_lineidx(tsv_path)
         self._local = threading.local()
         self._lineidx: Optional[List[int]] = None
-        self._fsize: Optional[int] = None
 
     def _ensure_lineidx(self):
         if self._lineidx is None:
@@ -94,13 +93,15 @@ class TSVFile:
         if idx < 0:
             idx += len(self._lineidx)
         off = self._lineidx[idx]
+        fd = self._fp().fileno()
         if idx + 1 < len(self._lineidx):
             end = self._lineidx[idx + 1]
         else:
-            if self._fsize is None:
-                self._fsize = os.path.getsize(self.tsv_path)
-            end = self._fsize
-        data = os.pread(self._fp().fileno(), end - off, off)
+            # fstat the OPEN fd, not the path: tsv_writer replaces files
+            # by rename, and a concurrent replacement must not pair the
+            # old inode's offsets with the new file's size
+            end = os.fstat(fd).st_size
+        data = os.pread(fd, end - off, off)
         return data.rstrip(b"\r\n")
 
     def __getitem__(self, idx: int) -> List[str]:

@@ -250,6 +250,27 @@ def test_tsv_seek_raw_extents(tmp_path):
     assert t.seek_bytes(2) == [b"c", b"3"]
 
 
+def test_feature_store_literal_feature_tag(tmp_path):
+    """A predictions tag that is literally the string "feature", serialized
+    BEFORE the feature key, must not confuse the sliced-span fast parse."""
+    import base64
+    import json as _json
+
+    import numpy as np
+    from mvp_pytorch_tpu.data.datasets import FeatureStore
+
+    feats = np.arange(2054 * 2, dtype=np.float32).reshape(2, 2054)
+    rec = {"predictions": ["feature", "dog"],
+           "feature": base64.b64encode(feats.tobytes()).decode()}
+    p = str(tmp_path / "predictions.tsv")
+    tsv_writer([["img_x", _json.dumps(rec)]], p)
+    with open(str(tmp_path / "imageid2idx.json"), "w") as f:
+        _json.dump({"img_x": 0}, f)
+    got, tags = FeatureStore(p).get("img_x")
+    np.testing.assert_array_equal(got, feats)
+    assert tags == ["feature", "dog"]
+
+
 def test_tsv_ops_helpers(tmp_path):
     from mvp_pytorch_tpu.data.tsv import (TSVFile, tsv_concat, tsv_delete,
                                           tsv_reorder, tsv_writer)

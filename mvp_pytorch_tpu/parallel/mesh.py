@@ -86,11 +86,16 @@ def data_shard_info(mesh: Mesh) -> tuple:
     # raggedness would make a row load ambiguous
     covered = [i for b in ordered for i in b]
     if (sorted(covered) != list(range(ndata))
-            or len({len(b) for b in ordered}) != 1):
+            or len({len(b) for b in ordered}) != 1
+            # shard_batch's global-offset math additionally needs each
+            # block to be a CONTIGUOUS row range (an interleaved equal
+            # partition would otherwise fail later with an opaque
+            # shape error inside make_array_from_callback)
+            or any(b[-1] - b[0] + 1 != len(b) for b in ordered)):
         raise ValueError(
             f"unsupported process-to-data layout: process row-blocks "
-            f"{ordered} neither partition nor replicate the data axis "
-            f"(size {ndata})")
+            f"{ordered} must be contiguous ranges that partition or "
+            f"replicate the data axis (size {ndata})")
     me = next(rows for rows, procs in blocks.items()
               if jax.process_index() in procs)
     return ordered.index(me), len(ordered)

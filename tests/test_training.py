@@ -186,6 +186,50 @@ def test_async_checkpoint_save(tmp_path, setup):
     saver.wait()   # error is consumed; saver remains usable
 
 
+def test_data_shard_info_layouts(monkeypatch):
+    """The process-to-data-row contract behind multi-process loading:
+    contiguous DP blocks partition; model-axis-spanning processes coincide
+    (data_world=1); an interleaved equal partition is REJECTED up front —
+    shard_batch's global-offset math assumes contiguous row ranges and
+    would otherwise fail later with an opaque callback shape error."""
+    import types
+
+    from mvp_pytorch_tpu.parallel import mesh as mesh_mod
+
+    class Dev:
+        def __init__(self, p):
+            self.process_index = p
+
+    def fake_mesh(proc_of_row):
+        arr = np.empty((len(proc_of_row), 1), dtype=object)
+        for i, p in enumerate(proc_of_row):
+            arr[i, 0] = Dev(p)
+        return types.SimpleNamespace(devices=arr)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+
+    # classic cross-host DP: contiguous halves -> (rank, world) = (0, 2)
+    assert mesh_mod.data_shard_info(fake_mesh([0, 0, 1, 1])) == (0, 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert mesh_mod.data_shard_info(fake_mesh([0, 0, 1, 1])) == (1, 2)
+
+    # model axis spans hosts: both processes own every data row -> world 1
+    arr = np.empty((2, 2), dtype=object)
+    for i in range(2):
+        for j in range(2):
+            arr[i, j] = Dev(j)
+    assert mesh_mod.data_shard_info(
+        types.SimpleNamespace(devices=arr)) == (0, 1)
+
+    # interleaved equal partition: covered + equal-sized but NOT contiguous
+    with pytest.raises(ValueError, match="contiguous"):
+        mesh_mod.data_shard_info(fake_mesh([0, 1, 0, 1]))
+    # ragged partition: still rejected
+    with pytest.raises(ValueError, match="contiguous"):
+        mesh_mod.data_shard_info(fake_mesh([0, 1, 1, 1]))
+
+
 def test_sequential_shards_roundtrip():
     idx, total = sequential_shards(10, 4)
     assert idx.shape == (4, 3)

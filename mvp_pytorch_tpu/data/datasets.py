@@ -130,17 +130,25 @@ class FeatureStore:
             rec = span = None
         feats = None
         if span is not None:
-            n64 = span[1] - span[0]
-            if _native.available:
-                out = np.empty(n64 // 4 * 3 + 4, dtype=np.uint8)
-                n = _native.b64_decode_at(raw, span[0], n64, out)
-                if n > 0 and n % 4 == 0:
-                    feats = out[:n].view(np.float32).reshape(
-                        -1, self.feature_dim)
-            if feats is None:
-                blob = base64.b64decode(raw[span[0]:span[1]])
-                feats = np.frombuffer(blob, dtype=np.float32).reshape(
-                    -1, self.feature_dim).copy()
+            try:
+                n64 = span[1] - span[0]
+                if _native.available:
+                    out = np.empty(n64 // 4 * 3 + 4, dtype=np.uint8)
+                    n = _native.b64_decode_at(raw, span[0], n64, out)
+                    if n > 0 and n % 4 == 0:
+                        feats = out[:n].view(np.float32).reshape(
+                            -1, self.feature_dim)
+                if feats is None:
+                    blob = base64.b64decode(raw[span[0]:span[1]])
+                    feats = np.frombuffer(blob, dtype=np.float32).reshape(
+                        -1, self.feature_dim).copy()
+            except ValueError:
+                # a wrong-but-json-consistent span (e.g. a NESTED
+                # "feature" key holding short valid base64) can fail the
+                # reshape here even though the row is fine — let the full
+                # parse own it; genuinely corrupt top-level values re-raise
+                # the same error below, so corruption stays loud
+                rec, feats = None, None
         if rec is None:
             rec = json.loads(raw.split(b"\t", 1)[1])
         if feats is None:

@@ -132,9 +132,6 @@ int32_t tokenize_ascii(void* handle, const char* text, int32_t text_len,
 // base64 -> bytes (feature decode)
 // --------------------------------------------------------------------------
 
-static const int8_t B64_INV[256] = {
-    /* built lazily below */};
-
 static int8_t* b64_table() {
   static int8_t table[256];
   static bool init = false;

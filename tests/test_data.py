@@ -271,6 +271,31 @@ def test_feature_store_literal_feature_tag(tmp_path):
     assert tags == ["feature", "dog"]
 
 
+def test_feature_store_nested_feature_key(tmp_path):
+    """A NESTED "feature" key holding short valid base64 serialized before
+    the top-level one passes the key-colon check AND the remainder-json
+    check but fails the reshape — the fast path must fall back to the full
+    parse instead of raising (regression: the decode block was outside the
+    try)."""
+    import base64
+    import json as _json
+
+    import numpy as np
+    from mvp_pytorch_tpu.data.datasets import FeatureStore
+
+    feats = np.arange(2054, dtype=np.float32).reshape(1, 2054)
+    rec = {"meta": {"feature": "abcd"},   # 3 decoded bytes: reshape fails
+           "predictions": ["cat"],
+           "feature": base64.b64encode(feats.tobytes()).decode()}
+    p = str(tmp_path / "predictions.tsv")
+    tsv_writer([["img_y", _json.dumps(rec)]], p)
+    with open(str(tmp_path / "imageid2idx.json"), "w") as f:
+        _json.dump({"img_y": 0}, f)
+    got, tags = FeatureStore(p).get("img_y")
+    np.testing.assert_array_equal(got, feats)
+    assert tags == ["cat"]
+
+
 def test_tsv_ops_helpers(tmp_path):
     from mvp_pytorch_tpu.data.tsv import (TSVFile, tsv_concat, tsv_delete,
                                           tsv_reorder, tsv_writer)

@@ -203,11 +203,19 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
         len(tokenizer.vocab), phrase_vocab_size, rng, mask_prob=mask_prob)
     phrase_label = [-1] * len(phrase_nodes)   # parity: not predicted
 
-    img_feat = np.array(example.img_feat, np.float32, copy=True)
+    will_mask = mask_visual and tag2id is not None
+    # copy only when random_visual will zero rows in place (the ~0.4 MB
+    # copy is a measured slice of the corpus-ingest budget, r5 profile);
+    # asarray still copies on dtype mismatch, so the no-mask path stays
+    # safe for non-fp32 inputs
+    if will_mask:
+        img_feat = np.array(example.img_feat, np.float32, copy=True)
+    else:
+        img_feat = np.asarray(example.img_feat, np.float32)
     target_feat = img_feat.copy() if visual_learning else None
     vis_label: List[int] = []
     vis_flags: List[int] = []
-    if mask_visual and tag2id is not None:
+    if will_mask:
         img_feat, vis_label, vis_flags = random_visual(
             img_feat, example.od_tags, tag2id, rng, mask_prob=mask_prob)
 
@@ -229,16 +237,16 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
     input_mask_b = [1] * len(input_ids_b)
 
     total_a = cfg.seq_a_total
-    while len(input_ids_a) < total_a:
-        input_ids_a.append(0)
-        input_mask_a.append(0)
-        segment_ids_a.append(cfg.seq_a_segment_id)
-        lm_label_ids_a.append(-1)
-    while len(input_ids_b) < cfg.max_tag_length:
-        input_ids_b.append(0)
-        input_mask_b.append(0)
-        segment_ids_b.append(cfg.seq_b_segment_id)
-        lm_label_ids_b.append(-1)
+    pad_a = total_a - len(input_ids_a)
+    input_ids_a.extend([0] * pad_a)
+    input_mask_a.extend([0] * pad_a)
+    segment_ids_a.extend([cfg.seq_a_segment_id] * pad_a)
+    lm_label_ids_a.extend([-1] * pad_a)
+    pad_b = cfg.max_tag_length - len(input_ids_b)
+    input_ids_b.extend([0] * pad_b)
+    input_mask_b.extend([0] * pad_b)
+    segment_ids_b.extend([cfg.seq_b_segment_id] * pad_b)
+    lm_label_ids_b.extend([-1] * pad_b)
     assert len(input_ids_a) == total_a
     assert len(lm_label_ids_a) == total_a
 
@@ -250,8 +258,10 @@ def convert_example_to_features(example: PretrainExample, tokenizer, *,
     else:
         pad = cfg.max_img_seq_length - img_feat.shape[0]
         input_mask_b += [1] * img_feat.shape[0] + [0] * pad
-        img_feat = np.concatenate(
-            [img_feat, np.zeros((pad, img_feat.shape[1]), img_feat.dtype)], 0)
+        if pad:
+            img_feat = np.concatenate(
+                [img_feat,
+                 np.zeros((pad, img_feat.shape[1]), img_feat.dtype)], 0)
 
     vis_label = vis_label[:cfg.max_img_seq_length]
     lm_label_ids_b += vis_label + [-1] * (cfg.max_img_seq_length - len(vis_label))
@@ -335,9 +345,13 @@ def convert_qa_example_to_features(example: PretrainExample, tokenizer, *,
         len(tokenizer.vocab), phrase_vocab_size, rng, mask_prob=mask_prob)
     phrase_label = [-1] * len(phrase_nodes)   # parity: not predicted
 
-    img_feat = np.array(example.img_feat, np.float32, copy=True)
+    will_mask = mask_visual and tag2id is not None
+    if will_mask:   # copy only when random_visual mutates (see above)
+        img_feat = np.array(example.img_feat, np.float32, copy=True)
+    else:
+        img_feat = np.asarray(example.img_feat, np.float32)
     vis_label: List[int] = []
-    if mask_visual and tag2id is not None:
+    if will_mask:
         img_feat, vis_label, _ = random_visual(
             img_feat, example.od_tags, tag2id, rng, mask_prob=mask_prob)
 
@@ -366,16 +380,16 @@ def convert_qa_example_to_features(example: PretrainExample, tokenizer, *,
     input_mask_b = [1] * len(input_ids_b)
 
     total_a = cfg.seq_a_total
-    while len(input_ids_a) < total_a:
-        input_ids_a.append(0)
-        input_mask_a.append(0)
-        segment_ids_a.append(cfg.seq_a_segment_id)
-        lm_label_ids_a.append(-1)
-    while len(input_ids_b) < cfg.max_tag_length:
-        input_ids_b.append(0)
-        input_mask_b.append(0)
-        segment_ids_b.append(cfg.seq_b_segment_id)
-        lm_label_ids_b.append(-1)
+    pad_a = total_a - len(input_ids_a)
+    input_ids_a.extend([0] * pad_a)
+    input_mask_a.extend([0] * pad_a)
+    segment_ids_a.extend([cfg.seq_a_segment_id] * pad_a)
+    lm_label_ids_a.extend([-1] * pad_a)
+    pad_b = cfg.max_tag_length - len(input_ids_b)
+    input_ids_b.extend([0] * pad_b)
+    input_mask_b.extend([0] * pad_b)
+    segment_ids_b.extend([cfg.seq_b_segment_id] * pad_b)
+    lm_label_ids_b.extend([-1] * pad_b)
     assert len(input_ids_a) == total_a
     assert len(lm_label_ids_a) == total_a
 
@@ -387,8 +401,10 @@ def convert_qa_example_to_features(example: PretrainExample, tokenizer, *,
     else:
         pad = cfg.max_img_seq_length - img_feat.shape[0]
         input_mask_b += [1] * img_feat.shape[0] + [0] * pad
-        img_feat = np.concatenate(
-            [img_feat, np.zeros((pad, img_feat.shape[1]), img_feat.dtype)], 0)
+        if pad:
+            img_feat = np.concatenate(
+                [img_feat,
+                 np.zeros((pad, img_feat.shape[1]), img_feat.dtype)], 0)
 
     vis_label = vis_label[:cfg.max_img_seq_length]
     lm_label_ids_b += vis_label + [-1] * (cfg.max_img_seq_length - len(vis_label))

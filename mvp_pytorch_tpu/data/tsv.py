@@ -101,7 +101,25 @@ class TSVFile:
             # by rename, and a concurrent replacement must not pair the
             # old inode's offsets with the new file's size
             end = os.fstat(fd).st_size
-        data = os.pread(fd, end - off, off)
+        cnt = end - off
+        if cnt > 65536:
+            # big rows: bytes.rstrip always reallocates, so stripping the
+            # newline off a ~0.5 MB feature row copies the whole row (r5
+            # ingest profile). Probe the tail bytes with a ~µs pread to
+            # make the content pread EXACT instead.
+            k = min(8, cnt)
+            tail = os.pread(fd, k, end - k)
+            strip = 0
+            for ch in reversed(tail):
+                if ch in (10, 13):
+                    strip += 1
+                else:
+                    break
+            if strip < len(tail):  # saw a non-newline byte: count exact
+                return os.pread(fd, cnt - strip, off)
+            # degenerate (≥8 trailing newline bytes, or a short read):
+            # the full-read + rstrip path below owns the edge
+        data = os.pread(fd, cnt, off)
         return data.rstrip(b"\r\n")
 
     def __getitem__(self, idx: int) -> List[str]:

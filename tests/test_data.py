@@ -250,6 +250,29 @@ def test_tsv_seek_raw_extents(tmp_path):
     assert t.seek_bytes(2) == [b"c", b"3"]
 
 
+def test_tsv_seek_raw_big_rows(tmp_path):
+    """Rows past the 64 KB threshold take the tail-probe path (the exact
+    strip-count pread that avoids bytes.rstrip's full-row copy) — it must
+    agree with the small-row path on LF, CRLF, and newline-less-last-row
+    shapes."""
+    big = b"y" * 70000
+    p = str(tmp_path / "big.tsv")
+    with open(p, "wb") as f:
+        f.write(b"a\t" + big + b"\r\n")    # big CRLF row
+        f.write(b"b\t" + big + b"\n")      # big LF row
+        f.write(b"small\t1\n")             # small row interleaved
+        f.write(b"c\t" + big)              # big last row, no newline
+    t = TSVFile(p)
+    assert len(t) == 4
+    assert t.seek_raw(0) == b"a\t" + big
+    assert t.seek_raw(1) == b"b\t" + big
+    assert t.seek_raw(2) == b"small\t1"
+    assert t.seek_raw(3) == b"c\t" + big
+    assert t.seek_raw(-1) == b"c\t" + big
+    assert t.seek_bytes(0)[0] == b"a"
+    assert t.seek(2) == ["small", "1"]
+
+
 def test_feature_store_literal_feature_tag(tmp_path):
     """A predictions tag that is literally the string "feature", serialized
     BEFORE the feature key, must not confuse the sliced-span fast parse."""

@@ -206,6 +206,68 @@ def test_process_loader_matches_thread_loader(tmp_path):
     p.close()
 
 
+@pytest.mark.slow
+def test_process_loader_matches_thread_loader_corpus_rows(tmp_path):
+    """Byte-identity at the deployment row size: the shared-memory ring
+    exists for ~40 MB batches of ~0.5 MB feature rows (50 regions x 2054
+    fp32 — the regime the toy test above never reaches), so prove the
+    fork + shm transport byte-exact against the thread loader through the
+    REAL PretrainDataset fetch (seek_raw exact-extent reads + native b64
+    span decode + masking) at that scale."""
+    import base64
+    import json as _json
+
+    import numpy as np
+
+    from mvp_pytorch_tpu.data.datasets import FeatureStore, PretrainDataset
+    from mvp_pytorch_tpu.data.loader import (BatchSampler, PrefetchLoader,
+                                             ProcessPrefetchLoader)
+    from mvp_pytorch_tpu.data.tokenization import \
+        FastBertTokenizer as BertTokenizer
+    from mvp_pytorch_tpu.data.tsv import tsv_writer
+
+    root = make_synthetic_root(str(tmp_path / "s"), n_images=16, seed=0)
+    tok = BertTokenizer(root["vocab"])
+    ids = sorted(FeatureStore(root["features"]).keys())
+    rng = np.random.RandomState(0)
+    cdir = tmp_path / "big_feats"
+    cdir.mkdir()
+    base = rng.randn(50, 2054).astype(np.float32)
+
+    def rows():
+        for j, img in enumerate(ids):
+            feats = base.copy()
+            feats[0, 0] = float(j)     # rows distinct
+            yield [img, _json.dumps({
+                "feature": base64.b64encode(feats.tobytes()).decode(),
+                "predictions": ["dog", "grass", "ball"]})]
+
+    tsv_writer(rows(), str(cdir / "predictions.tsv"))
+    with open(cdir / "imageid2idx.json", "w") as f:
+        _json.dump({img: i for i, img in enumerate(ids)}, f)
+    ds = PretrainDataset(root["corpus"],
+                         FeatureStore(str(cdir / "predictions.tsv")),
+                         tok, seed=0, mask_prob=0.15, mask_visual=True,
+                         qa_pairs=True)
+    B = 64                              # ~27 MB img_feat per batch/slot
+    t = PrefetchLoader(ds.fetch, BatchSampler(len(ds), B, seed=3),
+                       num_threads=2)
+    p = ProcessPrefetchLoader(ds.fetch, BatchSampler(len(ds), B, seed=3),
+                              prefetch=2, num_procs=2)
+    it_t, it_p = iter(t), iter(p)
+    try:
+        for _ in range(4):
+            st, bt = next(it_t)
+            sp, bp = next(it_p)
+            assert st == sp
+            assert sorted(bt) == sorted(bp)
+            for k in bt:
+                np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)
+    finally:
+        t.close()
+        p.close()
+
+
 def test_process_loader_error_propagates():
     from mvp_pytorch_tpu.data.loader import BatchSampler, ProcessPrefetchLoader
 

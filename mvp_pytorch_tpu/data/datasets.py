@@ -125,7 +125,16 @@ class FeatureStore:
                 q2 = raw.index(b'"', q1 + 1)
                 if raw.find(b"\\", q1, q2) < 0:
                     rec = json.loads(raw[t + 1:q1 + 1] + raw[q2:])
-                    span = (q1 + 1, q2)
+                    # exact top-level discriminator: excising the TOP-LEVEL
+                    # value leaves rec["feature"] == ""; a NESTED "feature"
+                    # key found first (whose base64 could even decode to a
+                    # plausible shape) leaves the top-level value intact —
+                    # fall back to the full parse instead of silently
+                    # decoding the wrong span
+                    if rec.get("feature") == "":
+                        span = (q1 + 1, q2)
+                    else:
+                        rec = None
         except ValueError:   # sliced a wrong span: remainder is not json
             rec = span = None
         feats = None
@@ -143,11 +152,10 @@ class FeatureStore:
                     feats = np.frombuffer(blob, dtype=np.float32).reshape(
                         -1, self.feature_dim).copy()
             except ValueError:
-                # a wrong-but-json-consistent span (e.g. a NESTED
-                # "feature" key holding short valid base64) can fail the
-                # reshape here even though the row is fine — let the full
-                # parse own it; genuinely corrupt top-level values re-raise
-                # the same error below, so corruption stays loud
+                # span verified top-level, so a decode/reshape failure
+                # means the value itself is off-contract — let the full
+                # parse own the error semantics (it re-raises the same
+                # error below, so corruption stays loud)
                 rec, feats = None, None
         if rec is None:
             rec = json.loads(raw.split(b"\t", 1)[1])

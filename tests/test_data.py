@@ -319,6 +319,32 @@ def test_feature_store_nested_feature_key(tmp_path):
     assert tags == ["cat"]
 
 
+def test_feature_store_nested_feature_key_plausible_shape(tmp_path):
+    """The adversarial variant: a nested "feature" key found FIRST whose
+    base64 decodes to a SHAPE-PLAUSIBLE value (exactly one feature_dim
+    row). Without the top-level discriminator (rec["feature"] must be ""
+    after the excision) the fast path would silently return the nested
+    bytes as the features."""
+    import base64
+    import json as _json
+
+    import numpy as np
+    from mvp_pytorch_tpu.data.datasets import FeatureStore
+
+    decoy = np.full((1, 2054), 7.0, dtype=np.float32)
+    feats = np.arange(2054, dtype=np.float32).reshape(1, 2054)
+    rec = {"meta": {"feature": base64.b64encode(decoy.tobytes()).decode()},
+           "predictions": ["cat"],
+           "feature": base64.b64encode(feats.tobytes()).decode()}
+    p = str(tmp_path / "predictions.tsv")
+    tsv_writer([["img_z", _json.dumps(rec)]], p)
+    with open(str(tmp_path / "imageid2idx.json"), "w") as f:
+        _json.dump({"img_z": 0}, f)
+    got, tags = FeatureStore(p).get("img_z")
+    np.testing.assert_array_equal(got, feats)   # NOT the decoy
+    assert tags == ["cat"]
+
+
 def test_tsv_ops_helpers(tmp_path):
     from mvp_pytorch_tpu.data.tsv import (TSVFile, tsv_concat, tsv_delete,
                                           tsv_reorder, tsv_writer)

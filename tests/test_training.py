@@ -59,6 +59,8 @@ def setup(devices):
     return cfg, model, variables["params"], batch, loss_fn
 
 
+@pytest.mark.budget(45)  # 5-loss grad + AdamW step compile at call time:
+                         # 30.4 s observed in-suite under host contention
 def test_train_steps_decrease_loss(setup, devices):
     cfg, model, params, batch, loss_fn = setup
     mesh = make_mesh(devices)
